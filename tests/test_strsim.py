@@ -1,0 +1,95 @@
+"""Batch string-sim kernels vs scalar reference implementations (K9)."""
+
+import numpy as np
+import pytest
+
+from wned_ray.functions import strsim
+
+PAIRS = [
+    ("kitten", "sitting"),
+    ("martha", "marhta"),
+    ("dixon", "dicksonx"),
+    ("jellyfish", "smellyfish"),
+    ("", ""),
+    ("", "abc"),
+    ("abc", ""),
+    ("same", "same"),
+    ("university of alberta", "univ of alberta"),
+    ("a", "b"),
+    ("ab", "ba"),
+    ("varnel cortiva", "varnel cortiva inc"),
+    ("o'neill", "oneill"),
+    ("x" * 70, "x" * 70 + "y"),  # truncation path
+]
+
+
+def _arrs():
+    a = np.array([p[0] for p in PAIRS], dtype=object)
+    b = np.array([p[1] for p in PAIRS], dtype=object)
+    return a, b
+
+
+def test_levenshtein_batch_matches_scalar():
+    a, b = _arrs()
+    got = strsim.levenshtein_batch(a, b)
+    want = [strsim.levenshtein_scalar(x[:64], y[:64]) for x, y in PAIRS]
+    assert got.tolist() == want
+
+
+def test_levenshtein_known_values():
+    assert strsim.levenshtein_scalar("kitten", "sitting") == 3
+    assert strsim.levenshtein_scalar("flaw", "lawn") == 2
+
+
+def test_levenshtein_sim_range():
+    a, b = _arrs()
+    sim = strsim.levenshtein_sim_batch(a, b)
+    assert np.all(sim >= 0.0) and np.all(sim <= 1.0)
+    assert sim[PAIRS.index(("same", "same"))] == 1.0
+    assert sim[PAIRS.index(("", ""))] == 1.0
+    assert sim[PAIRS.index(("", "abc"))] == 0.0
+
+
+def test_jaro_winkler_batch_matches_scalar():
+    a, b = _arrs()
+    got = strsim.jaro_winkler_batch(a, b)
+    want = [strsim.jaro_winkler_scalar(x[:64], y[:64]) for x, y in PAIRS]
+    np.testing.assert_allclose(got, want, atol=1e-12)
+
+
+def test_jaro_winkler_known_values():
+    # classic textbook values
+    assert strsim.jaro_scalar("MARTHA", "MARHTA") == pytest.approx(0.944444, abs=1e-5)
+    assert strsim.jaro_winkler_scalar("MARTHA", "MARHTA") == pytest.approx(0.961111, abs=1e-5)
+    assert strsim.jaro_scalar("DWAYNE", "DUANE") == pytest.approx(0.822222, abs=1e-5)
+    assert strsim.jaro_winkler_scalar("DIXON", "DICKSONX") == pytest.approx(0.813333, abs=1e-4)
+
+
+def test_ngram_sim():
+    assert strsim.ngram_sim_scalar("abc", "abc") == 1.0
+    assert strsim.ngram_sim_scalar("abcd", "abce") == pytest.approx(2 * 2 / 6)
+    assert strsim.ngram_sim_scalar("ab", "cd") == 0.0
+    assert strsim.ngram_sim_scalar("a", "a") == 1.0  # short-circuit len<n
+    a, b = _arrs()
+    got = strsim.ngram_sim_batch(a, b)
+    assert got[PAIRS.index(("same", "same"))] == 1.0
+
+
+def test_lcs_length():
+    # reference returns raw longest-common-substring length
+    assert strsim.lcs_length_scalar("university", "universe") == 7  # "univers"
+    assert strsim.lcs_length_scalar("abc", "xyz") == 0
+    assert strsim.lcs_length_scalar("", "abc") == 0
+
+
+def test_random_fuzz_levenshtein_and_jw():
+    rng = np.random.default_rng(7)
+    alphabet = list("abcdef ")
+    strs = ["".join(rng.choice(alphabet, size=rng.integers(0, 15))) for _ in range(200)]
+    a = np.array(strs[:100], dtype=object)
+    b = np.array(strs[100:], dtype=object)
+    lev = strsim.levenshtein_batch(a, b)
+    jw = strsim.jaro_winkler_batch(a, b)
+    for i in range(100):
+        assert lev[i] == strsim.levenshtein_scalar(a[i], b[i]), (a[i], b[i])
+        assert jw[i] == pytest.approx(strsim.jaro_winkler_scalar(a[i], b[i]), abs=1e-12), (a[i], b[i])

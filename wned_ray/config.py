@@ -1,0 +1,103 @@
+"""Pipeline configuration.
+
+Single dataclass passed to every stage — the analog of the reference's
+``WNEDConfig`` (``src/ca/ualberta/entitylinking/config/WNEDConfig.java:25-88``
++ ``el.config:1-31``), but validated and immutable.
+
+Notable reference operating points carried over (see BASELINE.md):
+- PPR: alpha=0.85, L1 delta <= 1e-5, max 3 iterations
+  (``…/graph/algorithms/PersonalizedPageRank.java:27-29``).
+- Candidate cap: top-20 by prior (``…/cs/CandidateSelectionLucene.java:41-44``).
+- Rank scheme default: the reference's ``el.config`` says "MULTIPLY" but the
+  parser only accepts the misspelling "MULTIPLE" (``WNEDConfig.java:175-176``)
+  so the shipped default falls through to LINEAR — we default to LINEAR for
+  parity and keep all schemes available.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+from dataclasses import asdict, dataclass, field
+
+
+RANK_SCHEMES = (
+    "SEMANTIC",      # semSim only                     (Feature.compareToSemantic)
+    "PRIOR_SEM",     # prior * semSim                  (compareToPriorSemantic)
+    "LOCAL_SEM",     # local * semSim                  (compareToLocalSemantic)
+    "NOR",           # noisy-or of the three           (compareToNOR)
+    "LINEAR",        # a*prior + b*local + (1-a-b)*sem (compareToJoint)
+    "MULTIPLY",      # a*prior*sem + (1-a)*local*sem   (compareToJoint2)
+    "VOTE",          # 2-of-3 majority                 (compareToVote)
+)
+
+
+@dataclass(frozen=True)
+class PipelineConfig:
+    """All knobs for the linkage pipeline. Frozen => hashable for lineage."""
+
+    seed: int = 42
+
+    # --- normalization (M9/M10/M11) ---
+    strip_titles: bool = True
+    strip_corp_suffixes: bool = True
+
+    # --- blocking: char shingles -> MinHash -> LSH bands (J2 analog) ---
+    shingle_k: int = 4           # char k-grams over normalized mention text
+    num_perm: int = 64           # minhash permutations
+    band_rows: int = 4           # rows per LSH band  => num_perm/band_rows bands
+    max_block_size: int = 64     # blocks larger than this are dropped (hub
+                                 # filter — the analog of the reference's
+                                 # in-degree>=200/600 hub thresholds,
+                                 # SubGraphGenerator.java:30-31, and the
+                                 # Lucene top-200 fuzzy budget)
+
+    # --- candidate selection (J1/G2/G3) ---
+    top_k_candidates: int = 20   # CandidateSelectionLucene.java:41-44
+    prior_floor: float = 2e-5    # CSUtils.java:190-199
+
+    # --- PPR semantic kernel (K2/K4/K5) ---
+    ppr_alpha: float = 0.85
+    ppr_max_iter: int = 3
+    ppr_tol: float = 1e-5
+    kl_gamma: float = 10.0       # ZeroKLDivergence gamma  (VectorSimilarity.java:93)
+    kl_eps: float = 1e-6         # ZeroKLDivergence epsilon (VectorSimilarity.java:98)
+    hub_degree_threshold: int = 200  # subgraph expansion hub cutoff (K1)
+
+    # --- feature fusion (K10) + match decision (K12 analog) ---
+    rank_scheme: str = "LINEAR"
+    prior_weight: float = 0.08   # el.config:22  priorWeight
+    local_weight: float = 0.10   # el.config:23  localWeight
+    name_weight: float = 0.45    # pairwise-graft extra feature weight: the
+                                 # fused score is
+                                 #   (1-name_weight)*fuse(prior,local,sem) +
+                                 #   name_weight*name_sim
+    match_threshold: float = 0.50  # pairs scoring below are non-matches (NIL)
+
+    # --- scoring actor pool ---
+    score_batch_size: int = 4096
+    score_concurrency: int = 4
+
+    # --- connected components ---
+    cc_max_rounds: int = 12
+    cc_driver_max_pairs: int = 5_000_000  # fast-path union-find cutoff
+
+    # --- checkpointing ---
+    checkpoint_dir: str | None = None
+
+    def __post_init__(self) -> None:
+        if self.rank_scheme not in RANK_SCHEMES:
+            raise ValueError(f"rank_scheme must be one of {RANK_SCHEMES}")
+        if self.num_perm % self.band_rows != 0:
+            raise ValueError("num_perm must be divisible by band_rows")
+        if not (0.0 < self.ppr_alpha < 1.0):
+            raise ValueError("ppr_alpha must be in (0,1)")
+
+    @property
+    def num_bands(self) -> int:
+        return self.num_perm // self.band_rows
+
+    def fingerprint(self) -> str:
+        """Stable hash of the config — part of every lineage manifest."""
+        blob = json.dumps(asdict(self), sort_keys=True, default=str)
+        return hashlib.sha256(blob.encode()).hexdigest()[:16]

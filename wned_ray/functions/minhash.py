@@ -1,0 +1,154 @@
+"""Character-shingle MinHash + LSH band keys (J2 / blocking tier).
+
+The reference's fuzzy alias lookup is a Lucene char-ngram index queried
+with a 200-hit budget and three re-rankers
+(``…/common/indexing/AliasLuceneIndex.java:65-75,247-300``). The scalable
+Ray-Data-native analog is MinHash-LSH over character k-shingles: mentions
+sharing an LSH band hash land in the same block; the scorer then verifies
+with exact string-similarity kernels (the re-rank step).
+
+Everything here is vectorized over a whole Arrow batch:
+
+1. all strings are concatenated into one byte buffer (numpy uint8 view);
+2. k-gram hashes are polynomial rolling hashes computed with k shifted
+   multiplies over the whole buffer (no per-string loop);
+3. per-permutation minima are taken with ``np.minimum.reduceat`` over the
+   per-string segment boundaries;
+4. band keys combine each band's rows with a vectorized mix.
+
+Short strings (len < k) fall back to a single "gram" = hash of the whole
+string, so equal short strings still co-block.
+
+Determinism: all hash parameters derive from a fixed seed via
+``np.random.Generator(PCG64(seed))`` — no wall-clock seeding (the
+reference's wall-clock ``Random`` at ``SemanticSignatureEL.java:389`` is a
+documented nondeterminism we deliberately fix, SURVEY §7).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+_P = np.uint64(1099511628211)       # FNV-ish odd multiplier for rolling hash
+_MIX = np.uint64(0x9E3779B97F4A7C15)
+
+
+def _hash_params(num_perm: int, seed: int) -> tuple[np.ndarray, np.ndarray]:
+    rng = np.random.default_rng(seed)
+    a = rng.integers(1, 1 << 62, size=num_perm, dtype=np.uint64) * np.uint64(2) + np.uint64(1)
+    b = rng.integers(0, 1 << 63, size=num_perm, dtype=np.uint64)
+    return a, b
+
+
+def shingle_gram_hashes(texts: "np.ndarray | list[str]", k: int
+                        ) -> tuple[np.ndarray, np.ndarray]:
+    """Return (gram_hashes uint64 flat array, offsets int64 [n+1]) where
+    grams[offsets[i]:offsets[i+1]] are string i's k-gram hashes.
+
+    Strings shorter than k contribute exactly one gram (whole-string hash).
+    """
+    n = len(texts)
+    enc = [s.encode("utf-8") for s in texts]
+    lens = np.fromiter((len(e) for e in enc), np.int64, n)
+    if n == 0:
+        return np.zeros(0, np.uint64), np.zeros(1, np.int64)
+    buf = np.frombuffer(b"".join(enc), dtype=np.uint8) if lens.sum() else np.zeros(0, np.uint8)
+    starts = np.zeros(n, np.int64)
+    np.cumsum(lens[:-1], out=starts[1:])
+    # per-string gram counts: max(len - k + 1, 1)
+    counts = np.maximum(lens - k + 1, 1)
+    offsets = np.zeros(n + 1, np.int64)
+    np.cumsum(counts, out=offsets[1:])
+    total = int(offsets[-1])
+    grams = np.zeros(total, np.uint64)
+
+    # long strings: rolling polynomial hash over the flat buffer
+    long_mask = lens >= k
+    if long_mask.any() and len(buf):
+        with np.errstate(over="ignore"):
+            h = np.zeros(len(buf) - k + 1 if len(buf) >= k else 0, np.uint64)
+            b64 = buf.astype(np.uint64)
+            for j in range(k):
+                h = h * _P + b64[j : len(b64) - k + 1 + j]
+            h = (h ^ (h >> np.uint64(33))) * _MIX
+        # gather grams for all long strings at once: flat gram g of string i
+        # reads h[starts[i] + (g - offsets[i])]
+        src = np.repeat(starts - offsets[:-1], counts) + np.arange(total)
+        long_flat = np.repeat(long_mask, counts)
+        np.clip(src, 0, len(h) - 1, out=src)
+        grams[long_flat] = h[src[long_flat]]
+
+    # short strings: single whole-string hash
+    short_idx = np.nonzero(~long_mask)[0]
+    for idx in short_idx:
+        e = enc[idx]
+        hv = np.uint64(0)
+        with np.errstate(over="ignore"):
+            for byte in e:
+                hv = hv * _P + np.uint64(byte)
+            hv = (hv ^ (hv >> np.uint64(33))) * _MIX ^ np.uint64(0x5bf)
+        grams[offsets[idx]] = hv
+    return grams, offsets
+
+
+def minhash_signatures(gram_hashes: np.ndarray, offsets: np.ndarray,
+                       num_perm: int, seed: int) -> np.ndarray:
+    """MinHash signature matrix [n, num_perm] (uint64)."""
+    n = len(offsets) - 1
+    sig = np.empty((n, num_perm), np.uint64)
+    if n == 0:
+        return sig
+    a, b = _hash_params(num_perm, seed)
+    starts = offsets[:-1]
+    with np.errstate(over="ignore"):
+        for p in range(num_perm):
+            hp = gram_hashes * a[p] + b[p]
+            sig[:, p] = np.minimum.reduceat(hp, starts)
+    return sig
+
+
+def band_keys(sig: np.ndarray, band_rows: int) -> np.ndarray:
+    """Collapse each LSH band's rows into one uint64 key; returns [n, bands].
+
+    The caller emits (mention_id, band_index, band_key) rows; the block key
+    is the (band_index, band_key) pair so different bands never collide.
+    """
+    n, num_perm = sig.shape
+    bands = num_perm // band_rows
+    out = np.empty((n, bands), np.uint64)
+    with np.errstate(over="ignore"):
+        for b in range(bands):
+            h = np.uint64(1469598103934665603)
+            acc = np.full(n, h, np.uint64)
+            for r in range(band_rows):
+                acc = (acc ^ sig[:, b * band_rows + r]) * _P
+            out[:, b] = acc
+    return out
+
+
+def block_keys_for(texts: "np.ndarray | list[str]", k: int, num_perm: int,
+                   band_rows: int, seed: int) -> tuple[np.ndarray, np.ndarray]:
+    """Convenience: texts -> (row_index int64, block_key string) exploded
+    arrays, one row per (text, band)."""
+    grams, offsets = shingle_gram_hashes(texts, k)
+    sig = minhash_signatures(grams, offsets, num_perm, seed)
+    bk = band_keys(sig, band_rows)
+    n, bands = bk.shape
+    row_idx = np.repeat(np.arange(n, dtype=np.int64), bands)
+    band_idx = np.tile(np.arange(bands, dtype=np.int64), n)
+    keys = bk.reshape(-1)
+    # block key string "band:hash" — string keys groupby cleanly across blocks
+    import pyarrow.compute as pc
+    import pyarrow as pa
+
+    key_str = pc.binary_join_element_wise(
+        pc.cast(pa.array(band_idx), pa.string()),
+        pc.cast(pa.array(keys), pa.string()),
+        ":",
+    )
+    return row_idx, key_str
+
+
+def jaccard_from_signatures(sig_a: np.ndarray, sig_b: np.ndarray) -> np.ndarray:
+    """Estimated Jaccard similarity of aligned signature rows."""
+    return (sig_a == sig_b).mean(axis=1)

@@ -1,0 +1,76 @@
+"""Sparse / dense vector similarity kernels (K5/K6).
+
+Replicates the reference's exact semantics:
+
+- ``sparse_cosine``: the asymmetric sparse cosine of
+  ``…/utils/similarity/VectorSimilarity.java:22-43`` — the dot product is
+  accumulated over v1 ∩ v2 while norm1 is over v1's keys and norm2 over
+  v2's keys (i.e. a true cosine, but computed in that key order; the quirk
+  to preserve is that *missing keys contribute nothing to the dot but fully
+  to the norms*). Zero norms => 0 (the Java version would produce NaN; the
+  callers only feed non-empty vectors).
+- ``zero_kl_divergence``: ``VectorSimilarity.ZeroKLDivergence:87-104``:
+  skip i where p_i == 0; if q_i <= 1e-6 add gamma*p_i (gamma=10), else
+  p_i * log2(p_i/q_i).
+- ``sem_sim_from_kl``: the reference scores semSim = 1/ZeroKL
+  (``SemanticSignatureEL.java:806``). For the *pairwise* graft the
+  divergence can be 0 (identical signatures), so we use the bounded
+  1/(1+ZeroKL) in (0,1]; callers that need strict reference semantics use
+  ``1/kl`` directly.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def sparse_cosine(t1: list[str], w1: np.ndarray, t2: list[str], w2: np.ndarray) -> float:
+    """Cosine of two sparse term->weight vectors given as (terms, weights)."""
+    if len(t1) == 0 or len(t2) == 0:
+        return 0.0
+    m2 = dict(zip(t2, w2.tolist()))
+    dot = 0.0
+    for term, w in zip(t1, w1.tolist()):
+        q = m2.get(term)
+        if q is not None:
+            dot += w * q
+    n1 = float(np.dot(w1, w1))
+    n2 = float(np.dot(w2, w2))
+    if n1 == 0.0 or n2 == 0.0:
+        return 0.0
+    return dot / (np.sqrt(n1) * np.sqrt(n2))
+
+
+def cosine_dense(v1: np.ndarray, v2: np.ndarray) -> float:
+    """Dense cosine (VectorSimilarity.vectorSim(double[],double[]):67-82)."""
+    if v1.shape != v2.shape:
+        return 0.0
+    n1 = float(np.dot(v1, v1))
+    n2 = float(np.dot(v2, v2))
+    if n1 == 0.0 or n2 == 0.0:
+        return 0.0
+    return float(np.dot(v1, v2)) / (np.sqrt(n1) * np.sqrt(n2))
+
+
+def zero_kl_divergence(p: np.ndarray, q: np.ndarray,
+                       gamma: float = 10.0, eps: float = 1e-6) -> float:
+    """ZeroKLDivergence with the reference's constants (gamma=10, eps=1e-6,
+    log base 2). Vectorized."""
+    if p.shape != q.shape:
+        return 0.0
+    nz = p != 0.0
+    if not nz.any():
+        return 0.0
+    pp = p[nz]
+    qq = q[nz]
+    small = qq <= eps
+    div = float(np.sum(pp[small]) * gamma)
+    ok = ~small
+    if ok.any():
+        div += float(np.sum(pp[ok] * (np.log2(pp[ok] / qq[ok]))))
+    return div
+
+
+def sem_sim_from_kl(kl: float | np.ndarray) -> float | np.ndarray:
+    """Bounded semantic similarity in (0,1] from a ZeroKL divergence."""
+    return 1.0 / (1.0 + np.maximum(kl, 0.0))

@@ -1,0 +1,255 @@
+"""Entity relatedness graph: CSR storage + personalized PageRank (K1-K8).
+
+The reference stores the whole-KB graph as a compressed WebGraph
+(``…/graph/DirectedGraph.java:47-134``, ``…/graph/WeightedGraph.java:31-106``)
+and runs a 32-thread pool of one-hot personalized PageRanks
+(``…/graph/algorithms/WeightedPersonalizedPageRank.java:211-266``) with
+alpha=0.85, L1 delta <= 1e-5, max 3 iterations
+(``…/graph/algorithms/PersonalizedPageRank.java:27-29``).
+
+Here the graph is a scipy-free CSR built from a Parquet edge table
+(``src, dst, weight``) and held once per scorer actor (loaded in
+``__init__`` — the actor-pool analog of the reference's singleton). PPR is
+a dense power iteration over the CSR (row-normalized transition matrix),
+restricted to a hub-thresholded subgraph around the seed set when the
+graph is large (K1: ``SubGraphGenerator.java:29-188``, in-degree cutoff
+200/600).
+
+Scale note (100 TB / 10^12 turns): the *entity* graph is a dimension-side
+artifact (millions of nodes, not trillions); a per-worker CSR of int32
+indptr/indices + float32 weights at 10M edges is ~120 MB — broadcast once
+via ``ray.put`` and read zero-copy in every actor, never re-shipped per
+batch. Signatures are computed per *subgraph* (bounded by the hub cutoff)
+so the dense vectors stay small regardless of total graph size.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow.parquet as pq
+
+from wned_ray.functions.vectorsim import sem_sim_from_kl, zero_kl_divergence
+
+
+class CSRGraph:
+    """Undirected weighted graph in CSR form with string node names.
+
+    Mirrors WeightedGraph's (graph, name2id, id2name) triple
+    (``…/graph/WeightedGraph.java:35-37``); symmetrization takes the max
+    weight per unordered pair like SubGraphGenerator.java:194-229.
+    """
+
+    def __init__(self, indptr: np.ndarray, indices: np.ndarray,
+                 weights: np.ndarray, names: np.ndarray):
+        self.indptr = indptr
+        self.indices = indices
+        self.weights = weights
+        self.names = names                      # id -> name
+        self.name2id = {n: i for i, n in enumerate(names.tolist())}
+
+    @property
+    def num_nodes(self) -> int:
+        return len(self.indptr) - 1
+
+    @classmethod
+    def from_edges(cls, src: "list[str] | np.ndarray", dst, weight) -> "CSRGraph":
+        """Build a symmetrized CSR from parallel edge arrays.
+
+        Node ids are assigned in first-seen order over src then dst (the
+        reference assigns ids in read order, DirectedGraph.java:73-84).
+        """
+        src = np.asarray(src, dtype=object)
+        dst = np.asarray(dst, dtype=object)
+        weight = np.asarray(weight, dtype=np.float64)
+        names: list[str] = []
+        name2id: dict[str, int] = {}
+        for name in np.concatenate([src, dst]):
+            if name not in name2id:
+                name2id[name] = len(names)
+                names.append(name)
+        n = len(names)
+        s = np.fromiter((name2id[x] for x in src), np.int64, len(src))
+        d = np.fromiter((name2id[x] for x in dst), np.int64, len(dst))
+        # symmetrize with max-weight per unordered pair (K1 :194-229)
+        lo = np.minimum(s, d)
+        hi = np.maximum(s, d)
+        key = lo * n + hi
+        order = np.argsort(key, kind="stable")
+        key_s, w_s = key[order], weight[order]
+        uniq, first = np.unique(key_s, return_index=True)
+        wmax = np.maximum.reduceat(w_s, first) if len(w_s) else w_s
+        lo_u = (uniq // n).astype(np.int64)
+        hi_u = (uniq % n).astype(np.int64)
+        keep = lo_u != hi_u                    # drop self loops
+        lo_u, hi_u, wmax = lo_u[keep], hi_u[keep], wmax[keep]
+        # build CSR over both directions
+        rows = np.concatenate([lo_u, hi_u])
+        cols = np.concatenate([hi_u, lo_u])
+        ws = np.concatenate([wmax, wmax])
+        order = np.argsort(rows, kind="stable")
+        rows, cols, ws = rows[order], cols[order], ws[order]
+        indptr = np.zeros(n + 1, np.int64)
+        np.cumsum(np.bincount(rows, minlength=n), out=indptr[1:])
+        return cls(indptr, cols.astype(np.int32), ws.astype(np.float32),
+                   np.asarray(names, dtype=object))
+
+    @classmethod
+    def from_parquet(cls, path: str) -> "CSRGraph":
+        t = pq.read_table(path, columns=["src", "dst", "weight"])
+        return cls.from_edges(t["src"].to_pylist(), t["dst"].to_pylist(),
+                              t["weight"].to_numpy(zero_copy_only=False))
+
+    # ---------------------------------------------------------------- queries
+
+    def neighbors(self, node: int) -> np.ndarray:
+        return self.indices[self.indptr[node]: self.indptr[node + 1]]
+
+    def degree(self, node: int) -> int:
+        return int(self.indptr[node + 1] - self.indptr[node])
+
+    def degrees(self) -> np.ndarray:
+        return np.diff(self.indptr)
+
+    # --------------------------------------------------- subgraph / signature
+
+    def subgraph_nodes(self, seeds: np.ndarray, hub_threshold: int = 200,
+                       expand_level: int = 1) -> np.ndarray:
+        """K1 expansion: seeds + neighbors, keeping expansion nodes whose
+        degree >= hub_threshold — unless that would leave a seed isolated,
+        in which case all its neighbors are kept
+        (SubGraphGenerator.java:105-188, fallback :149-151)."""
+        keep = set(seeds.tolist())
+        degs = self.degrees()
+        for _ in range(expand_level):
+            new: set[int] = set()
+            for s in list(keep):
+                nb = self.neighbors(s)
+                hubs = nb[degs[nb] >= hub_threshold]
+                picked = hubs if len(hubs) else nb   # fallback: keep all
+                new.update(picked.tolist())
+            keep |= new
+        return np.fromiter(sorted(keep), np.int64, len(keep))
+
+    def induced_csr(self, nodes: np.ndarray
+                    ) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+        """Induced subgraph as (indptr, indices, weights, node_ids) with
+        local ids 0..len(nodes)-1 (SubGraphGenerator.java:105-120)."""
+        remap = np.full(self.num_nodes, -1, np.int64)
+        remap[nodes] = np.arange(len(nodes))
+        indptr = [0]
+        idx: list[np.ndarray] = []
+        wts: list[np.ndarray] = []
+        for u in nodes:
+            lo, hi = self.indptr[u], self.indptr[u + 1]
+            cols = remap[self.indices[lo:hi]]
+            m = cols >= 0
+            idx.append(cols[m])
+            wts.append(self.weights[lo:hi][m])
+            indptr.append(indptr[-1] + int(m.sum()))
+        return (np.asarray(indptr, np.int64),
+                np.concatenate(idx) if idx else np.zeros(0, np.int64),
+                np.concatenate(wts) if wts else np.zeros(0, np.float32),
+                nodes)
+
+
+def ppr(indptr: np.ndarray, indices: np.ndarray, weights: np.ndarray,
+        restart: np.ndarray, alpha: float = 0.85, max_iter: int = 3,
+        tol: float = 1e-5) -> np.ndarray:
+    """Personalized PageRank by power iteration (K2).
+
+    ``rank = alpha * P^T rank + (1-alpha) * restart`` with row-normalized
+    transition weights; strongly-preferential restart (dangling mass goes to
+    the restart vector, matching WeightedPageRank's stronglyPreferential
+    default). Stops at L1 delta <= tol or max_iter iterations — the
+    reference's exact budget (alpha=0.85, tol=1e-5, max_iter=3).
+    """
+    n = len(indptr) - 1
+    r = restart.astype(np.float64)
+    tot = r.sum()
+    r = r / tot if tot > 0 else np.full(n, 1.0 / max(n, 1))
+    rank = r.copy()
+    # row sums for normalization
+    row_sums = np.zeros(n)
+    np.add.at(row_sums, np.repeat(np.arange(n), np.diff(indptr)), weights.astype(np.float64))
+    rows = np.repeat(np.arange(n), np.diff(indptr))
+    norm_w = weights.astype(np.float64) / np.maximum(row_sums[rows], 1e-300)
+    dangling = row_sums == 0
+    for _ in range(max_iter):
+        spread = np.zeros(n)
+        contrib = rank[rows] * norm_w
+        np.add.at(spread, indices, contrib)
+        dangling_mass = rank[dangling].sum()
+        new = alpha * (spread + dangling_mass * r) + (1 - alpha) * r
+        delta = float(np.abs(new - rank).sum())
+        rank = new
+        if delta <= tol:
+            break
+    return rank
+
+
+class SignatureKernel:
+    """Per-actor semantic-signature cache (K2/K4/K5 fused).
+
+    ``relatedness(name_a, name_b)`` returns the bounded inverse ZeroKL of
+    the two entities' PPR signatures over the (sub)graph spanned by both
+    seed sets — the pairwise recast of
+    ``semSim = 1/ZeroKLDivergence(candSig, docSig)``
+    (``SemanticSignatureEL.java:800-811``). Signatures are memoized per
+    entity id, the analog of the per-document WeightCache
+    (``SemanticSignatureEL.java:376-464``) amortized across batches.
+    """
+
+    def __init__(self, graph: CSRGraph, alpha: float = 0.85, max_iter: int = 3,
+                 tol: float = 1e-5, gamma: float = 10.0, eps: float = 1e-6,
+                 hub_threshold: int = 200, small_graph_limit: int = 50_000):
+        self.g = graph
+        self.alpha, self.max_iter, self.tol = alpha, max_iter, tol
+        self.gamma, self.eps = gamma, eps
+        self.hub_threshold = hub_threshold
+        self._cache: dict[int, np.ndarray] = {}
+        self._global = graph.num_nodes <= small_graph_limit
+        self._rel_cache: dict[tuple[int, int], float] = {}
+
+    def signature(self, node: int) -> np.ndarray:
+        sig = self._cache.get(node)
+        if sig is None:
+            restart = np.zeros(self.g.num_nodes)
+            restart[node] = 1.0
+            sig = ppr(self.g.indptr, self.g.indices, self.g.weights, restart,
+                      self.alpha, self.max_iter, self.tol)
+            self._cache[node] = sig
+        return sig
+
+    def relatedness(self, a: int, b: int) -> float:
+        if a == b:
+            return 1.0
+        key = (a, b) if a < b else (b, a)
+        v = self._rel_cache.get(key)
+        if v is None:
+            kl = zero_kl_divergence(self.signature(key[0]), self.signature(key[1]),
+                                    self.gamma, self.eps)
+            v = float(sem_sim_from_kl(kl))
+            self._rel_cache[key] = v
+        return v
+
+
+def milne_witten(graph: CSRGraph, a: int, b: int) -> float:
+    """Milne-Witten relatedness over neighbor sets (K7,
+    ``RelatednessMeasureWebGraph.java:116-141``):
+    ``1 - (log max(|A|,|B|) - log|A∩B|) / (log N - log min(|A|,|B|))``,
+    clamped to [0,1]; empty intersection or empty side => 0
+    (common==0 => sr=1.0 => relatedness 0, the :129-130 quirk)."""
+    na = graph.neighbors(a)
+    nb = graph.neighbors(b)
+    if len(na) == 0 or len(nb) == 0:
+        return 0.0
+    common = len(np.intersect1d(na, nb, assume_unique=False))
+    if common == 0:
+        return 0.0
+    n = graph.num_nodes
+    hi, lo = max(len(na), len(nb)), min(len(na), len(nb))
+    denom = np.log(n) - np.log(lo)
+    if denom <= 0:
+        return 0.0
+    sr = (np.log(hi) - np.log(common)) / denom
+    return float(min(max(1.0 - sr, 0.0), 1.0))
