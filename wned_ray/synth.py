@@ -1,0 +1,312 @@
+"""Deterministic synthetic transcript corpus (FIXTURES.md §1-5).
+
+Pure function of ``CorpusSpec`` (seed + sizes): generates the
+``input_hint``-shaped transcripts table plus the derived dimension /
+oracle tables mirroring the reference's file formats:
+
+- ``transcripts``  : conv_id, turn_idx, role, text, tool, ts
+  (BASELINE.json input_hint — the "document corpus")
+- ``aliases``      : entity, alias, source, freq
+  (the alias TSV of ``…/kb/KBExtractor.java:119-161``)
+- ``graph_edges``  : src, dst, weight
+  (the aggregated co-occurrence edge TSV of
+  ``…/graph/extraction/WikiGraphExtractor.java:77-84`` + aggregate.py)
+- ``labels``       : id_a, id_b, block_key, is_match, entity_id
+  (gold pairs at shared blocking keys — the recast of the gold XML
+  ``<annotation>`` records, ``SemanticSignatureEL.java:1055-1075``)
+- ``expected_clusters`` : mention_id, cluster_id, entity_id
+  (transitive closure of gold matched pairs; cluster_id = min mention_id)
+
+Entity surface forms are built by the *inverse* of the reference's
+normalizer: canonical "Firstword Secondword" names plus alias variants
+with titles re-attached (M9), corporate suffixes re-attached, an
+abbreviation ("Firstword S.") and a one-char typo within Jaro-Winkler
+~0.93 (``…/cs/MentionExpansion.java:160-192,1128-1150``). Same-entity
+turns therefore share MinHash blocks; cross-entity turns essentially
+never do (first words are unique by construction).
+
+Labels use the SAME blocking function/parameters as the pipeline
+(functions/minhash.py), so "pairwise F1 at shared blocking keys" compares
+identical pair universes. Everything is numpy/pandas vectorized; no Ray —
+callers own any Ray session.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import itertools
+import json
+import os
+from dataclasses import asdict, dataclass
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from wned_ray.config import PipelineConfig
+from wned_ray.functions.minhash import block_keys_for
+from wned_ray.functions.textnorm import normalize_names
+
+_SYL1 = ["var", "quo", "zel", "mor", "tak", "bel", "rin", "dos", "fen", "gul",
+         "hax", "jom", "kip", "lun", "nev", "pol", "qar", "sot", "tur", "wex"]
+_SYL2 = ["anor", "ibex", "udel", "ostra", "enik", "arvo", "ullin", "extra",
+         "ivane", "ormet", "ydra", "eppo"]
+_TITLES = ["Dr.", "Mr.", "Ms.", "Prof."]
+_SUFFIXES = ["Inc", "Ltd", "Corp", "Group"]
+_FILLER = ("please check the latest status and update the record when done "
+           "we should review results before the next sync also consider "
+           "looking into pending items from yesterday there was some follow "
+           "up needed about deployment metrics and logging around rollout "
+           "thanks for taking care of this let me know if anything looks off "
+           "today meanwhile keep an eye on open tickets regarding ingest "
+           "quality checks for downstream consumers running during business "
+           "hours").split()
+_TOPIC_WORDS = ["ledger", "orbit", "kernel", "harvest", "signal", "meadow",
+                "quartz", "voyage", "ember", "lattice", "tundra", "cipher",
+                "anchor", "breeze", "canyon", "dynamo", "fjord", "glacier",
+                "harbor", "island"]
+_ROLES = ["user", "assistant", "tool"]
+_TOOLS = ["", "search", "code", "browser"]
+
+
+@dataclass(frozen=True)
+class CorpusSpec:
+    seed: int = 42
+    n_entities: int = 400
+    n_convs: int = 1250
+    turns_per_conv: int = 16
+    topic_size: int = 8          # entities per topic
+    entities_per_conv: int = 3
+    nil_fraction: float = 0.05   # turns with no entity mention (NIL analog)
+    with_labels: bool = True
+
+    def fingerprint(self) -> str:
+        blob = json.dumps(asdict(self), sort_keys=True)
+        return hashlib.sha256(blob.encode()).hexdigest()[:16]
+
+
+# canonical tiers (FIXTURES.md §7)
+T1 = CorpusSpec(n_entities=60, n_convs=125, turns_per_conv=8)          # ~1k turns
+T2 = CorpusSpec(n_entities=400, n_convs=1250, turns_per_conv=16)       # ~20k turns
+BENCH = CorpusSpec(n_entities=4000, n_convs=31250, turns_per_conv=16,  # ~500k turns
+                   with_labels=False)
+
+
+def _entity_names(n: int, rng: np.random.Generator) -> list[str]:
+    """n unique two-word TitleCase names; first words unique per entity."""
+    first_combos = ["".join(c) for c in itertools.product(_SYL1, _SYL1, _SYL1)]
+    assert n <= len(first_combos)
+    idx = rng.permutation(len(first_combos))[:n]
+    firsts = [first_combos[i].capitalize() for i in idx]
+    seconds = [( _SYL1[int(rng.integers(len(_SYL1)))] +
+                 _SYL2[int(rng.integers(len(_SYL2)))]).capitalize()
+               for _ in range(n)]
+    return [f"{a} {b}" for a, b in zip(firsts, seconds)]
+
+
+def _alias_variants(name: str, rng: np.random.Generator) -> list[tuple[str, str, int]]:
+    """(surface_form, source, freq) variants for one entity (FIXTURES §1)."""
+    first, second = name.split(" ", 1)
+    typo_pos = int(rng.integers(1, len(second) - 1))
+    typo = second[:typo_pos] + second[typo_pos + 1:]          # drop one char
+    return [
+        (name, "name", 40),
+        (f"{first} {second[0]}.", "link", 10),                # abbreviation
+        (f"{_TITLES[int(rng.integers(len(_TITLES)))]} {name}", "link", 5),
+        (f"{name} {_SUFFIXES[int(rng.integers(len(_SUFFIXES)))]}", "link", 5),
+        (f"{first} {typo.capitalize()}", "redirect", 8),      # typo variant
+    ]
+
+
+def generate_corpus(spec: CorpusSpec, out_dir: str,
+                    cfg: PipelineConfig | None = None) -> dict[str, str]:
+    """Write all fixture tables under out_dir; returns {table: path}.
+
+    Deterministic: a fresh ``default_rng(spec.seed)`` drives every draw in
+    a fixed order (the reference's wall-clock seeding at
+    ``SemanticSignatureEL.java:389`` is a documented nondeterminism we fix).
+    """
+    cfg = cfg or PipelineConfig(seed=spec.seed)
+    rng = np.random.default_rng(spec.seed)
+    os.makedirs(out_dir, exist_ok=True)
+
+    names = _entity_names(spec.n_entities, rng)
+    alias_path = os.path.join(out_dir, "aliases.parquet")
+
+    # ---- transcripts
+    n_turns = spec.n_convs * spec.turns_per_conv
+    n_topics = max(1, spec.n_entities // spec.topic_size)
+    conv_idx = np.repeat(np.arange(spec.n_convs), spec.turns_per_conv)
+    turn_idx = np.tile(np.arange(spec.turns_per_conv, dtype=np.int32), spec.n_convs)
+    conv_topic = conv_idx % n_topics
+
+    # entities available to each conversation: entities_per_conv from its topic
+    ent_of_topic = np.arange(spec.n_entities) // spec.topic_size  # entity -> topic
+    topic_members = [np.nonzero(ent_of_topic == t)[0] for t in range(n_topics)]
+    conv_entities = np.empty((spec.n_convs, spec.entities_per_conv), np.int64)
+    for c in range(spec.n_convs):
+        members = topic_members[conv_topic[c] % n_topics]
+        pick = rng.choice(members, size=min(spec.entities_per_conv, len(members)),
+                          replace=False)
+        conv_entities[c] = np.resize(pick, spec.entities_per_conv)
+
+    slot = rng.integers(0, spec.entities_per_conv, size=n_turns)
+    turn_entity = conv_entities[conv_idx, slot]
+    is_nil = rng.random(n_turns) < spec.nil_fraction
+    turn_entity = np.where(is_nil, -1, turn_entity)
+
+    # variant choice per turn (weighted like alias freqs)
+    variant_p = np.array([40, 10, 5, 5, 8], dtype=np.float64)
+    variant_p /= variant_p.sum()
+    variant = rng.choice(len(variant_p), size=n_turns, p=variant_p)
+    # per-entity surface forms drawn with a per-entity rng: the same table
+    # drives both the turn texts and the aliases dim table, so the alias
+    # dictionary and the corpus agree exactly
+    surface_lut = np.array(
+        [[v[0] for v in _alias_variants(n, np.random.default_rng(
+            spec.seed + 7919 * i))] for i, n in enumerate(names)],
+        dtype=object)
+
+    mention = np.where(is_nil, "", surface_lut[np.maximum(turn_entity, 0), variant])
+
+    # filler: prefix/suffix word windows + one topic word (local-context signal)
+    fill = np.array(_FILLER, dtype=object)
+    p_idx = rng.integers(0, len(fill) - 4, size=n_turns)
+    s_idx = rng.integers(0, len(fill) - 4, size=n_turns)
+    topic_word = np.array(_TOPIC_WORDS, dtype=object)[conv_topic % len(_TOPIC_WORDS)]
+    prefix = fill[p_idx] + " " + fill[p_idx + 1] + " " + fill[p_idx + 2]
+    suffix = fill[s_idx] + " " + fill[s_idx + 1] + " about " + topic_word
+    text = np.where(
+        is_nil,
+        prefix + " " + suffix,
+        prefix + " " + mention.astype(object) + " " + suffix,
+    )
+
+    conv_id = pd.array([f"c{c:07d}" for c in conv_idx], dtype="string")
+    role = np.array(_ROLES, dtype=object)[turn_idx % len(_ROLES)]
+    tool = np.array(_TOOLS, dtype=object)[
+        rng.integers(0, len(_TOOLS), size=n_turns)]
+    tool = np.where(role == "tool", tool, "")
+    base_ts = np.datetime64("2026-01-01T00:00:00", "us")
+    ts = base_ts + conv_idx.astype("timedelta64[h]") + (turn_idx * 30).astype("timedelta64[s]")
+
+    transcripts = pa.table({
+        "conv_id": pa.array(conv_id, pa.string()),
+        "turn_idx": pa.array(turn_idx, pa.int32()),
+        "role": pa.array(role, pa.string()),
+        "text": pa.array(text.astype(object), pa.string()),
+        "tool": pa.array(tool.astype(object), pa.string()),
+        "ts": pa.array(ts.astype("datetime64[us]")),
+    })
+    tr_path = os.path.join(out_dir, "transcripts.parquet")
+    pq.write_table(transcripts, tr_path)
+
+    # ---- aliases dim table (normalized alias key, like the reference's
+    # lowercased lookup key CandidateSelectionLucene.java:95)
+    alias_rows2 = []
+    src_by_variant = ["name", "link", "link", "link", "redirect"]
+    freq_by_variant = [40, 10, 5, 5, 8]
+    for i, name in enumerate(names):
+        for v in range(5):
+            alias_rows2.append((name, surface_lut[i, v], src_by_variant[v],
+                                freq_by_variant[v]))
+    alias_df = pd.DataFrame(alias_rows2, columns=["entity", "surface", "source", "freq"])
+    alias_df["alias"] = normalize_names(pa.array(alias_df["surface"].astype(str))).to_pylist()
+    alias_out = (alias_df.groupby(["entity", "alias", "source"], as_index=False)
+                 .agg(freq=("freq", "sum")))[["entity", "alias", "source", "freq"]]
+    pq.write_table(pa.Table.from_pandas(alias_out, preserve_index=False), alias_path)
+
+    # ---- co-occurrence graph (M4/G1 analog: same-conversation entity pairs)
+    ent_name = np.array(names, dtype=object)
+    gdf = pd.DataFrame({"conv": conv_idx, "ent": turn_entity})
+    gdf = gdf[gdf["ent"] >= 0].drop_duplicates()
+    pairs = gdf.merge(gdf, on="conv")
+    pairs = pairs[pairs["ent_x"] < pairs["ent_y"]]
+    agg = pairs.groupby(["ent_x", "ent_y"], as_index=False).size()
+    graph_df = pd.DataFrame({
+        "src": ent_name[agg["ent_x"].to_numpy()],
+        "dst": ent_name[agg["ent_y"].to_numpy()],
+        "weight": agg["size"].astype(np.float32),
+    })
+    graph_path = os.path.join(out_dir, "graph_edges.parquet")
+    pq.write_table(pa.Table.from_pandas(graph_df, preserve_index=False), graph_path)
+
+    paths = {"transcripts": tr_path, "aliases": alias_path,
+             "graph_edges": graph_path}
+
+    # ---- labels + expected clusters (gold, at shared blocking keys)
+    if spec.with_labels:
+        mention_norm = normalize_names(pa.array(mention.astype(object))).to_pylist()
+        row_idx, keys = block_keys_for(mention_norm, cfg.shingle_k, cfg.num_perm,
+                                       cfg.band_rows, cfg.seed)
+        bdf = pd.DataFrame({"row": row_idx, "key": keys.to_pylist()})
+        bdf = bdf.drop_duplicates()                      # one row per (turn, key)
+        sizes = bdf.groupby("key")["row"].transform("size")
+        bdf = bdf[sizes <= cfg.max_block_size]           # hub filter, same as pipeline
+        j = bdf.merge(bdf, on="key")
+        j = j[j["row_x"] < j["row_y"]]
+        j = (j.sort_values(["row_x", "row_y", "key"])
+              .drop_duplicates(["row_x", "row_y"]))  # keep min block_key per pair
+        mid = (pd.Series(conv_id, dtype=object) + ":" +
+               pd.Series(turn_idx).astype(str)).to_numpy(dtype=object)
+        ea = turn_entity[j["row_x"].to_numpy()]
+        eb = turn_entity[j["row_y"].to_numpy()]
+        is_match = (ea == eb) & (ea >= 0)
+        labels = pd.DataFrame({
+            "id_a": mid[j["row_x"].to_numpy()],
+            "id_b": mid[j["row_y"].to_numpy()],
+            "block_key": j["key"].to_numpy(),
+            "is_match": is_match,
+            "entity_id": np.where(is_match, ent_name[np.maximum(ea, 0)], "NIL"),
+        })
+        # canonical id_a < id_b (string order) like WikiGraphExtractor.java:71-72
+        swap = labels["id_a"] > labels["id_b"]
+        labels.loc[swap, ["id_a", "id_b"]] = labels.loc[swap, ["id_b", "id_a"]].to_numpy()
+        labels_path = os.path.join(out_dir, "labels.parquet")
+        pq.write_table(pa.Table.from_pandas(labels, preserve_index=False), labels_path)
+        paths["labels"] = labels_path
+
+        # expected clusters: union-find over matched gold pairs
+        parent: dict[str, str] = {}
+
+        def find(x: str) -> str:
+            while parent.get(x, x) != x:
+                parent[x] = parent.get(parent[x], parent[x])
+                x = parent[x]
+            return x
+
+        for a, b in zip(labels.loc[labels["is_match"], "id_a"],
+                        labels.loc[labels["is_match"], "id_b"]):
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                lo, hi = (ra, rb) if ra < rb else (rb, ra)
+                parent[hi] = lo
+        cluster = np.array([find(m) for m in mid], dtype=object)
+        exp = pd.DataFrame({
+            "mention_id": mid,
+            "cluster_id": cluster,
+            "entity_id": np.where(turn_entity >= 0, ent_name[np.maximum(turn_entity, 0)], "NIL"),
+        })
+        exp_path = os.path.join(out_dir, "expected_clusters.parquet")
+        pq.write_table(pa.Table.from_pandas(exp, preserve_index=False), exp_path)
+        paths["expected_clusters"] = exp_path
+
+    with open(os.path.join(out_dir, "_SPEC.json"), "w") as f:
+        json.dump({"spec": asdict(spec), "fingerprint": spec.fingerprint(),
+                   "tables": sorted(paths)}, f, indent=2)
+    return paths
+
+
+def ensure_corpus(spec: CorpusSpec, base_dir: str = "/tmp/wned_ray_fixtures"
+                  ) -> dict[str, str]:
+    """Cached corpus keyed by spec fingerprint; regenerates when absent."""
+    out_dir = os.path.join(base_dir, spec.fingerprint())
+    manifest = os.path.join(out_dir, "_SPEC.json")
+    expected = ["transcripts", "aliases", "graph_edges"] + (
+        ["labels", "expected_clusters"] if spec.with_labels else [])
+    if os.path.exists(manifest):
+        paths = {t: os.path.join(out_dir, f"{t}.parquet") for t in expected}
+        if all(os.path.exists(p) for p in paths.values()):
+            return paths
+    return generate_corpus(spec, out_dir)
