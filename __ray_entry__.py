@@ -1,44 +1,542 @@
-"""Driver contract for the graft builder (Ray Data target).
+"""Driver contract for the wned_ray engine.
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+``entry()`` runs the flagship record-linkage pipeline on the t1 synthetic
+transcript corpus (the BASELINE.json ``input_hint`` shape). ``queries()``
+exposes one callable per implemented operator/pipeline from SURVEY.md §2;
+SQL-expressible ones have a DuckDB oracle in ``oracle_sql()`` (same
+column names both sides); the ER/near-dup/ANN pipelines that are not
+ANSI-SQL-expressible are rows-only checks.
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Ray is initialised by the driver BEFORE this module is imported — nothing
+here calls ``ray.init()`` / ``ray.shutdown()``.
 """
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 from typing import Any
 
+import numpy as np
+
+_ROUND = 6  # float columns rounded identically in Ray results and oracle SQL
+
+
+# --------------------------------------------------------------- helpers
+
+def _rd():
+    import ray.data as rd
+
+    return rd
+
+
+def _corpus_for(sf_dir: str):
+    """Map the driver's sf_dir to a synthetic transcript corpus tier."""
+    from wned_ray.synth import T1, T2, ensure_corpus
+
+    sf = os.path.basename(os.path.normpath(sf_dir or ""))
+    spec = T1 if sf.endswith("0.001") else T2
+    return ensure_corpus(spec)
+
+
+def _linkage(sf_dir: str):
+    import pyarrow.parquet as pq
+    import ray
+
+    from wned_ray.config import PipelineConfig
+    from wned_ray.pipelines.link import run_linkage
+
+    corpus = _corpus_for(sf_dir)
+    cfg = PipelineConfig()
+    out = run_linkage(corpus["transcripts"], corpus["aliases"],
+                      corpus["graph_edges"], cfg)
+    return corpus, cfg, out
+
+
+# ----------------------------------------------------------------- entry
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship: full blocking + scoring + clustering on the t1 corpus."""
+    from wned_ray.synth import T1, ensure_corpus
+    from wned_ray.config import PipelineConfig
+    from wned_ray.pipelines.link import run_linkage
+
+    corpus = ensure_corpus(T1)
+    cfg = PipelineConfig()
+    out = run_linkage(corpus["transcripts"], corpus["aliases"],
+                      corpus["graph_edges"], cfg)
+    return out["clusters"]
+
+
+# --------------------------------------------------------------- queries
+
+def _q_normalize_text(sf_dir: str):
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    ds = _rd().read_parquet(f"{sf_dir}/documents.parquet",
+                            columns=["doc_id", "text"])
+
+    def norm(batch: pa.Table) -> pa.Table:
+        x = pc.utf8_lower(batch["text"])
+        x = pc.replace_substring_regex(x, r"\s+", " ")
+        x = pc.utf8_trim_whitespace(x)
+        return pa.table({"doc_id": batch["doc_id"], "norm_text": x})
+
+    return ds.map_batches(norm, batch_format="pyarrow")
+
+
+def _q_filter_events(sf_dir: str):
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    ds = _rd().read_parquet(f"{sf_dir}/events.parquet",
+                            columns=["event_id", "user_id", "event_type", "value"])
+
+    def f(batch: pa.Table) -> pa.Table:
+        mask = pc.and_(pc.equal(batch["event_type"], "click"),
+                       pc.greater(batch["value"], 10.0))
+        return batch.filter(mask)
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+def _q_edge_aggregate(sf_dir: str):
+    from ray.data.aggregate import Count
+
+    ds = _rd().read_parquet(f"{sf_dir}/events.parquet",
+                            columns=["user_id", "event_type"])
+    return (ds.groupby(["user_id", "event_type"])
+            .aggregate(Count(alias_name="weight")))
+
+
+def _q_alias_prior(sf_dir: str):
+    import pandas as pd
+    import pyarrow as pa
+
+    from ray.data.aggregate import Count
+
+    ds = _rd().read_parquet(f"{sf_dir}/lineitem.parquet",
+                            columns=["l_returnflag", "l_linestatus"])
+    freq = (ds.groupby(["l_returnflag", "l_linestatus"])
+            .aggregate(Count(alias_name="freq")))
+
+    # normalize per alias (= l_linestatus): freq / sum(freq) — G2 semantics;
+    # the alias-marginal is tiny, so broadcast it into a vectorized divide.
+    # prior exposed as integer micro-units so the value hash is float-proof.
+    fdf = freq.to_pandas()
+    tot = fdf.groupby("l_linestatus")["freq"].transform("sum")
+    fdf["prior_micro"] = (fdf["freq"] / tot * 1_000_000).round().astype("int64")
+    fdf = fdf.rename(columns={"l_returnflag": "entity", "l_linestatus": "alias"})
+    return pa.Table.from_pandas(
+        fdf[["entity", "alias", "freq", "prior_micro"]], preserve_index=False)
+
+
+def _q_topk_parts(sf_dir: str):
+    ds = _rd().read_parquet(f"{sf_dir}/part.parquet",
+                            columns=["p_partkey", "p_name", "p_retailprice"])
+    return ds.sort(["p_retailprice", "p_partkey"], descending=[True, False]).limit(20)
+
+
+def _q_join_orders_customers(sf_dir: str):
+    import pandas as pd
+    import pyarrow as pa
+    import ray
+
+    from ray.data.aggregate import Count, Sum
+
+    # broadcast small dim side (customer), probe in map_batches — J1 pattern
+    import pyarrow.parquet as pq
+
+    cust = pq.read_table(f"{sf_dir}/customer.parquet",
+                         columns=["c_custkey", "c_mktsegment"])
+    ref = ray.put(dict(zip(cust["c_custkey"].to_pylist(),
+                           cust["c_mktsegment"].to_pylist())))
+
+    class Probe:
+        def __init__(self):
+            self.lut = ray.get(ref)
+
+        def __call__(self, batch: pd.DataFrame) -> pa.Table:
+            seg = batch["o_custkey"].map(self.lut)
+            return pa.table({
+                "c_mktsegment": pa.array(seg.astype(object), pa.string()),
+                "o_totalprice": pa.array(batch["o_totalprice"].to_numpy()),
+            })
+
+    orders = _rd().read_parquet(f"{sf_dir}/orders.parquet",
+                                columns=["o_custkey", "o_totalprice"])
+    joined = orders.map_batches(Probe, batch_format="pandas", concurrency=2)
+    out = (joined.groupby("c_mktsegment")
+           .aggregate(Count(alias_name="n_orders"),
+                      Sum("o_totalprice", alias_name="total_price")))
+
+    def r(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        # whole-dollar int64 so summation-order ULP noise can't break the hash
+        usd = pc.cast(pc.round(batch["total_price"]), pa.int64())
+        return (batch.drop(["total_price"])
+                .append_column("total_price_usd", usd))
+
+    return out.map_batches(r, batch_format="pyarrow")
+
+
+def _q_customers_without_orders(sf_dir: str):
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    # anti-join against customers holding a high-value order (the plain
+    # "no orders at all" set is empty at every sf — every customer orders)
+    t = pq.read_table(f"{sf_dir}/orders.parquet",
+                      columns=["o_custkey", "o_totalprice"])
+    import pyarrow.compute as _pc
+
+    big = t.filter(_pc.greater(t["o_totalprice"], 300_000.0))
+    key_set = pa.array(sorted(set(big["o_custkey"].to_pylist())))
+    ds = _rd().read_parquet(f"{sf_dir}/customer.parquet",
+                            columns=["c_custkey", "c_name"])
+
+    def anti(batch: pa.Table) -> pa.Table:   # broadcast anti-join (J7)
+        return batch.filter(
+            pc.invert(pc.is_in(batch["c_custkey"], value_set=key_set)))
+
+    return ds.map_batches(anti, batch_format="pyarrow")
+
+
+def _q_distinct_sources(sf_dir: str):
+    ds = _rd().read_parquet(f"{sf_dir}/documents.parquet", columns=["source"])
+    return ds.groupby("source").count().select_columns(["source"])
+
+
+def _q_exact_dedup_docs(sf_dir: str):
+    from ray.data.aggregate import Count, Min
+
+    ds = _rd().read_parquet(f"{sf_dir}/documents.parquet",
+                            columns=["doc_id", "text"])
+    return (ds.groupby("text")
+            .aggregate(Min("doc_id", alias_name="keep_id"),
+                       Count(alias_name="n_dups")))
+
+
+def _q_token_count(sf_dir: str):
+    from wned_ray.pipelines.datawork import token_count
+
+    ds = _rd().read_parquet(f"{sf_dir}/documents.parquet",
+                            columns=["doc_id", "text"])
+    return token_count(ds).select_columns(["doc_id", "n_tokens"])
+
+
+def _q_doc_quality(sf_dir: str):
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from wned_ray.pipelines.datawork import quality_scores
+
+    ds = _rd().read_parquet(f"{sf_dir}/documents.parquet",
+                            columns=["doc_id", "text"])
+    q = quality_scores(ds).select_columns(
+        ["doc_id", "n_chars", "n_tokens", "punct_ratio", "upper_ratio"])
+
+    def r(batch: pa.Table) -> pa.Table:
+        return (batch
+                .set_column(batch.schema.get_field_index("punct_ratio"),
+                            "punct_ratio",
+                            pc.round(batch["punct_ratio"], ndigits=_ROUND))
+                .set_column(batch.schema.get_field_index("upper_ratio"),
+                            "upper_ratio",
+                            pc.round(batch["upper_ratio"], ndigits=_ROUND)))
+
+    return q.map_batches(r, batch_format="pyarrow")
+
+
+def _q_cooccur_pairs(sf_dir: str):
+    """M4 analog: distinct event_type pairs per user, counted corpus-wide."""
+    import pyarrow as pa
+
+    from ray.data.aggregate import Count
+
+    ds = _rd().read_parquet(f"{sf_dir}/events.parquet",
+                            columns=["user_id", "event_type"])
+    distinct = ds.groupby(["user_id", "event_type"]).count().select_columns(
+        ["user_id", "event_type"])
+    left = distinct.rename_columns({"event_type": "type_a"})
+    right = distinct.rename_columns({"event_type": "type_b"})
+    joined = left.join(right, join_type="inner", num_partitions=8,
+                       on=("user_id",))
+
+    def canon(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return batch.filter(pc.less(batch["type_a"], batch["type_b"]))
+
+    pairs = joined.map_batches(canon, batch_format="pyarrow")
+    return (pairs.groupby(["type_a", "type_b"])
+            .aggregate(Count(alias_name="weight")))
+
+
+def _q_grouped_norm(sf_dir: str):
+    """G9 analog: per event_type share of total value (sum-normalized)."""
+    import pandas as pd
+    import pyarrow as pa
+
+    from ray.data.aggregate import Sum
+
+    ds = _rd().read_parquet(f"{sf_dir}/events.parquet",
+                            columns=["event_type", "value"])
+    s = ds.groupby("event_type").aggregate(Sum("value", alias_name="sum_value"))
+    df = s.to_pandas()
+    df["share_micro"] = (df["sum_value"] / df["sum_value"].sum()
+                         * 1_000_000).round().astype("int64")
+    df["sum_value_int"] = df["sum_value"].round().astype("int64")
+    return pa.Table.from_pandas(df[["event_type", "sum_value_int",
+                                    "share_micro"]], preserve_index=False)
+
+
+def _q_knn(sf_dir: str):
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from wned_ray.pipelines.datawork import knn_search
+
+    ds = _rd().read_parquet(f"{sf_dir}/embeddings.parquet")
+    head = pq.read_table(f"{sf_dir}/embeddings.parquet").slice(0, 3)
+    q_ids = np.asarray(head["vec_id"].to_pylist())
+    qm = np.asarray(head["embedding"].to_pylist(), dtype=np.float64)
+    out = knn_search(ds, q_ids, qm, k=5).to_pandas()
+    # 4-decimal integer units: dot-product accumulation-order noise (~1e-15)
+    # cannot flip a 1e-4 bucket, so the value hash is reproducible vs SQL
+    out["cos_e4"] = (out["cos"] * 10_000).round().astype("int64")
+    out = out[["query_id", "vec_id", "cos_e4"]].sort_values(
+        ["query_id", "vec_id"]).reset_index(drop=True)
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+# ------------------------- ER pipeline queries (rows-only, non-SQL) ------
+
+def _q_er_blocking(sf_dir: str):
+    _, _, out = _linkage(sf_dir)
+    return out["blocking"].select_columns(
+        ["norm_mention", "n_mentions", "block_key", "band_idx"])
+
+
+def _q_er_pairs(sf_dir: str):
+    _, _, out = _linkage(sf_dir)
+    return out["pairs"].select_columns(["id_a", "id_b", "block_key"])
+
+
+def _q_er_scores(sf_dir: str):
+    _, _, out = _linkage(sf_dir)
+    return out["scores"]
+
+
+def _q_er_clusters(sf_dir: str):
+    _, _, out = _linkage(sf_dir)
+    return out["clusters"]
+
+
+def _q_er_metrics(sf_dir: str):
+    import pandas as pd
+
+    from wned_ray.stages.evaluate import pairwise_metrics
+
+    corpus, cfg, out = _linkage(sf_dir)
+    labels = _rd().read_parquet(corpus["labels"])
+    m = pairwise_metrics(labels, out["clusters"])
+    return pd.DataFrame([m])
+
+
+def _q_er_resolve(sf_dir: str):
+    import pyarrow.parquet as pq
+    import ray
+
+    from wned_ray.config import PipelineConfig
+    from wned_ray.stages.normalize import prepare
+    from wned_ray.stages.resolve import resolve_conversations
+
+    corpus = _corpus_for(sf_dir)
+    cfg = PipelineConfig()
+    prepared = prepare(_rd().read_parquet(corpus["transcripts"]), cfg)
+    alias_ref = ray.put(pq.read_table(corpus["aliases"]))
+    graph_ref = ray.put(pq.read_table(corpus["graph_edges"]))
+    return resolve_conversations(prepared, alias_ref, graph_ref, cfg)
+
+
+def _q_minhash_dedup(sf_dir: str):
+    from wned_ray.pipelines.datawork import minhash_candidates, verify_jaccard
+
+    ds = _rd().read_parquet(f"{sf_dir}/documents.parquet",
+                            columns=["doc_id", "text"])
+    cands = minhash_candidates(ds, id_col="doc_id", num_partitions=8)
+    return verify_jaccard(cands, ds, id_col="doc_id", threshold=0.9,
+                          num_partitions=8).select_columns(["id_a", "id_b"])
+
+
+def _q_simhash(sf_dir: str):
+    from wned_ray.pipelines.datawork import simhash
+
+    ds = _rd().read_parquet(f"{sf_dir}/documents.parquet",
+                            columns=["doc_id", "text"])
+    return simhash(ds, id_col="doc_id")
+
+
+def _q_fingerprint(sf_dir: str):
+    from wned_ray.pipelines.datawork import fingerprint
+
+    ds = _rd().read_parquet(f"{sf_dir}/documents.parquet",
+                            columns=["doc_id", "text"])
+    return fingerprint(ds, id_col="doc_id")
+
+
+def _q_lang_id(sf_dir: str):
+    from wned_ray.pipelines.datawork import lang_id
+
+    ds = _rd().read_parquet(f"{sf_dir}/documents.parquet",
+                            columns=["doc_id", "text", "lang"])
+    return lang_id(ds).select_columns(["doc_id", "lang", "lang_pred"])
+
+
+def _q_embedding_near_dup(sf_dir: str):
+    from wned_ray.pipelines.datawork import embedding_near_dup
+
+    ds = _rd().read_parquet(f"{sf_dir}/embeddings.parquet")
+    return embedding_near_dup(ds, threshold=0.99)
+
+
+def _q_media_features(sf_dir: str):
+    """Multimodal plumbing: documents' bytes as opaque payloads through the
+    actor-pool decode stub."""
+    import pyarrow as pa
+
+    from wned_ray.pipelines.datawork import decode_media
+
+    ds = _rd().read_parquet(f"{sf_dir}/documents.parquet",
+                            columns=["doc_id", "text"])
+
+    def to_payload(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return pa.table({
+            "media_id": batch["doc_id"],
+            "payload": pc.cast(batch["text"], pa.binary()),
+            "kind": pa.array(["text"] * batch.num_rows),
+        })
+
+    media = ds.map_batches(to_payload, batch_format="pyarrow")
+    out = decode_media(media, feature_dim=8)
+    return out.select_columns(["media_id", "kind", "feature_dim"])
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
-
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        # relational / operator coverage (SQL-checked)
+        "normalize_text": _q_normalize_text,
+        "filter_events": _q_filter_events,
+        "edge_aggregate": _q_edge_aggregate,
+        "alias_prior": _q_alias_prior,
+        "topk_parts": _q_topk_parts,
+        "join_orders_customers": _q_join_orders_customers,
+        "customers_without_orders": _q_customers_without_orders,
+        "distinct_sources": _q_distinct_sources,
+        "exact_dedup_docs": _q_exact_dedup_docs,
+        "token_count_docs": _q_token_count,
+        "doc_quality": _q_doc_quality,
+        "cooccur_pairs": _q_cooccur_pairs,
+        "grouped_norm": _q_grouped_norm,
+        "knn_embeddings": _q_knn,
+        # ER pipeline (rows-only checks; er_metrics row carries the F1)
+        "er_blocking": _q_er_blocking,
+        "er_pairs": _q_er_pairs,
+        "er_scores": _q_er_scores,
+        "er_clusters": _q_er_clusters,
+        "er_metrics": _q_er_metrics,
+        "er_resolve": _q_er_resolve,
+        # training-data ops (rows-only)
+        "minhash_dedup_docs": _q_minhash_dedup,
+        "simhash_docs": _q_simhash,
+        "fingerprint_docs": _q_fingerprint,
+        "lang_id_docs": _q_lang_id,
+        "embedding_near_dup": _q_embedding_near_dup,
+        "media_features": _q_media_features,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "normalize_text": (
+            "SELECT doc_id, lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))"
+            " AS norm_text FROM documents"
+        ),
+        "filter_events": (
+            "SELECT event_id, user_id, event_type, value FROM events "
+            "WHERE event_type = 'click' AND value > 10.0"
+        ),
+        "edge_aggregate": (
+            "SELECT user_id, event_type, count(*) AS weight FROM events "
+            "GROUP BY user_id, event_type"
+        ),
+        "alias_prior": (
+            "SELECT l_returnflag AS entity, l_linestatus AS alias, "
+            "count(*) AS freq, "
+            "CAST(round(count(*) * 1000000.0 / sum(count(*)) OVER (PARTITION BY l_linestatus)) AS BIGINT) AS prior_micro "
+            "FROM lineitem GROUP BY l_returnflag, l_linestatus"
+        ),
+        "topk_parts": (
+            "SELECT p_partkey, p_name, p_retailprice FROM part "
+            "ORDER BY p_retailprice DESC, p_partkey LIMIT 20"
+        ),
+        "join_orders_customers": (
+            "SELECT c_mktsegment, count(*) AS n_orders, "
+            "CAST(round(sum(o_totalprice)) AS BIGINT) AS total_price_usd "
+            "FROM orders JOIN customer ON o_custkey = c_custkey "
+            "GROUP BY c_mktsegment"
+        ),
+        "customers_without_orders": (
+            "SELECT c_custkey, c_name FROM customer "
+            "WHERE c_custkey NOT IN (SELECT o_custkey FROM orders "
+            "WHERE o_totalprice > 300000.0)"
+        ),
+        "distinct_sources": "SELECT DISTINCT source FROM documents",
+        "exact_dedup_docs": (
+            "SELECT text, min(doc_id) AS keep_id, count(*) AS n_dups "
+            "FROM documents GROUP BY text"
+        ),
+        "token_count_docs": (
+            "SELECT doc_id, length(regexp_extract_all(text, '\\S+')) AS n_tokens "
+            "FROM documents"
+        ),
+        "doc_quality": (
+            "SELECT doc_id, length(text) AS n_chars, "
+            "length(regexp_extract_all(trim(text), '\\s+')) + 1 AS n_tokens, "
+            f"round(length(regexp_extract_all(text, '[.,;:!?]')) * 1.0 / greatest(length(text), 1), {_ROUND}) AS punct_ratio, "
+            f"round(length(regexp_extract_all(text, '[A-Z]')) * 1.0 / greatest(length(text), 1), {_ROUND}) AS upper_ratio "
+            "FROM documents"
+        ),
+        "cooccur_pairs": (
+            "WITH d AS (SELECT DISTINCT user_id, event_type FROM events) "
+            "SELECT a.event_type AS type_a, b.event_type AS type_b, "
+            "count(*) AS weight "
+            "FROM d a JOIN d b ON a.user_id = b.user_id AND a.event_type < b.event_type "
+            "GROUP BY type_a, type_b"
+        ),
+        "grouped_norm": (
+            "SELECT event_type, "
+            "CAST(round(sum(value)) AS BIGINT) AS sum_value_int, "
+            "CAST(round(sum(value) * 1000000.0 / (SELECT sum(value) FROM events)) AS BIGINT) AS share_micro "
+            "FROM events GROUP BY event_type"
+        ),
+        "knn_embeddings": (
+            "WITH q AS (SELECT vec_id, embedding FROM embeddings "
+            "ORDER BY vec_id LIMIT 3) "
+            "SELECT q.vec_id AS query_id, e.vec_id AS vec_id, "
+            "CAST(round(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), "
+            "CAST(e.embedding AS DOUBLE[])) * 10000) AS BIGINT) AS cos_e4 "
+            "FROM q, embeddings e "
+            "QUALIFY row_number() OVER (PARTITION BY q.vec_id "
+            "ORDER BY list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), "
+            "CAST(e.embedding AS DOUBLE[])) DESC, e.vec_id) <= 5 "
+            "ORDER BY query_id, vec_id"
+        ),
+    }

@@ -1,0 +1,148 @@
+"""Benchmark harness. Prints ONE JSON line.
+
+Headline: the full record-linkage pipeline (prepare -> block -> pairs ->
+score -> cluster) over the 500k-turn synthetic transcript corpus
+(sf0.1; smaller tiers at smaller sf), measured as wall seconds and
+turns/sec. Side queries cover the other operator families over
+``$GRAFT_SF_DIR`` tables.
+
+Usage:
+    python bench.py                 # one run at $RAY_GRAFT_CPUS (default 32)
+    python bench.py --scaling       # fresh processes at 8 and 32 CPUs on the
+                                    # same input; reports scaling efficiency
+                                    # (the in-sandbox stand-in for N vs 4N
+                                    # nodes, BASELINE.md scaling target)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+
+def _corpus_spec(sf_dir: str):
+    from wned_ray.synth import BENCH, T1, T2
+
+    base = os.path.basename(os.path.normpath(sf_dir))
+    if base.endswith("0.001"):
+        return T1
+    if base.endswith("0.01"):
+        return T2
+    return BENCH
+
+
+def run_bench(sf_dir: str, num_cpus: int) -> dict:
+    import ray
+
+    ray.init(address="local", num_cpus=num_cpus, include_dashboard=False,
+             ignore_reinit_error=True, logging_level="ERROR",
+             log_to_driver=False)   # keep stdout to exactly ONE JSON line
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+    import ray.data as rd
+
+    from wned_ray.config import PipelineConfig
+    from wned_ray.pipelines.link import run_linkage
+    from wned_ray.pipelines.datawork import (exact_dedup, knn_search,
+                                             minhash_candidates)
+    from wned_ray.synth import ensure_corpus
+
+    spec = _corpus_spec(sf_dir)
+    corpus = ensure_corpus(spec)          # generation cached — not timed
+    n_turns = spec.n_convs * spec.turns_per_conv
+
+    # warm the OS page cache so we measure compute + shuffle, not cold disk
+    rd.read_parquet(corpus["transcripts"]).count()
+
+    queries: dict[str, float] = {}
+    cfg = PipelineConfig()
+
+    t0 = time.time()
+    out = run_linkage(corpus["transcripts"], corpus["aliases"],
+                      corpus["graph_edges"], cfg)
+    n_clusters = out["clusters"].count()
+    t_link = time.time() - t0
+    queries["er_linkage"] = round(t_link, 3)
+
+    t0 = time.time()
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text"])
+    exact_dedup(docs, id_col="doc_id").count()
+    queries["exact_dedup_docs"] = round(time.time() - t0, 3)
+
+    t0 = time.time()
+    minhash_candidates(docs, id_col="doc_id",
+                       num_partitions=max(2, num_cpus // 2)).count()
+    queries["minhash_candidates_docs"] = round(time.time() - t0, 3)
+
+    t0 = time.time()
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    head = pq.read_table(f"{sf_dir}/embeddings.parquet").slice(0, 8)
+    q_ids = np.asarray(head["vec_id"].to_pylist())
+    qm = np.asarray(head["embedding"].to_pylist(), dtype=np.float64)
+    embs = rd.read_parquet(f"{sf_dir}/embeddings.parquet")
+    knn_search(embs, q_ids, qm, k=10).count()
+    queries["knn_embeddings"] = round(time.time() - t0, 3)
+
+    t0 = time.time()
+    from ray.data.aggregate import Count
+
+    (rd.read_parquet(f"{sf_dir}/events.parquet",
+                     columns=["user_id", "event_type"])
+     .groupby(["user_id", "event_type"]).aggregate(Count(alias_name="w"))
+     .count())
+    queries["edge_aggregate_events"] = round(time.time() - t0, 3)
+
+    ray.shutdown()
+    return {
+        "metric": "er_linkage_wall_sec",
+        "value": round(t_link, 3),
+        "unit": "sec",
+        "queries": queries,
+        "sf": os.path.basename(os.path.normpath(sf_dir)),
+        "num_cpus": num_cpus,
+        "turns": n_turns,
+        "turns_per_sec": round(n_turns / t_link, 1),
+        "clusters": n_clusters,
+    }
+
+
+def _subprocess_run(ncpu: int, sf_dir: str) -> dict:
+    env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), GRAFT_SF_DIR=sf_dir)
+    out = subprocess.run([sys.executable, os.path.abspath(__file__)], env=env,
+                         capture_output=True, text=True, check=True,
+                         cwd=os.path.dirname(os.path.abspath(__file__)))
+    return json.loads(out.stdout.strip().splitlines()[-1])
+
+
+def main() -> None:
+    sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    if "--scaling" in sys.argv:
+        lo, hi = 8, 32
+        r_lo = _subprocess_run(lo, sf_dir)
+        r_hi = _subprocess_run(hi, sf_dir)
+        eff = (r_lo["value"] / r_hi["value"]) / (hi / lo)
+        print(json.dumps({
+            "metric": "scaling_efficiency",
+            "value": round(eff, 3),
+            "unit": "ratio",
+            "sec_lo": r_lo["value"], "sec_hi": r_hi["value"],
+            "cpus_lo": lo, "cpus_hi": hi,
+            "turns_per_sec_lo": r_lo["turns_per_sec"],
+            "turns_per_sec_hi": r_hi["turns_per_sec"],
+            "sf": r_lo["sf"],
+        }))
+        return
+    ncpu = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+    print(json.dumps(run_bench(sf_dir, ncpu)))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,90 @@
+"""End-to-end linkage on the t1 corpus: invariant, F1, resume (SURVEY §5)."""
+
+import os
+import shutil
+
+import pyarrow.parquet as pq
+import pytest
+
+from wned_ray.config import PipelineConfig
+from wned_ray.pipelines.link import run_linkage
+from wned_ray.stages.evaluate import pairwise_metrics
+
+
+@pytest.fixture(scope="module")
+def linked(ray_session, t1_corpus):
+    cfg = PipelineConfig()
+    out = run_linkage(t1_corpus["transcripts"], t1_corpus["aliases"],
+                      t1_corpus["graph_edges"], cfg)
+    return t1_corpus, cfg, out
+
+
+def test_per_row_invariant(linked):
+    """Per-turn text equality under stable (conv_id, turn_idx) ordering."""
+    corpus, cfg, out = linked
+    df = (out["prepared"]
+          .select_columns(["conv_id", "turn_idx", "text"]).to_pandas()
+          .sort_values(["conv_id", "turn_idx"]).reset_index(drop=True))
+    src = (pq.read_table(corpus["transcripts"]).to_pandas()
+           .sort_values(["conv_id", "turn_idx"]).reset_index(drop=True))
+    assert (df["text"] == src["text"]).all()
+    assert (df["conv_id"] == src["conv_id"]).all()
+    assert (df["turn_idx"] == src["turn_idx"]).all()
+
+
+def test_pairs_canonical_and_unique(linked):
+    _, _, out = linked
+    pdf = out["pairs"].select_columns(["id_a", "id_b"]).to_pandas()
+    assert (pdf["id_a"] < pdf["id_b"]).all()
+    assert not pdf.duplicated(["id_a", "id_b"]).any()
+
+
+def test_scores_have_all_features(linked):
+    _, _, out = linked
+    sdf = out["scores"].limit(50).to_pandas()
+    for col in ["prior", "local", "sem_sim", "name_sim", "score", "matched"]:
+        assert col in sdf.columns
+    assert ((sdf["name_sim"] >= 0) & (sdf["name_sim"] <= 1)).all()
+    assert ((sdf["prior"] >= 0) & (sdf["prior"] <= 1.0 + 1e-9)).all()
+
+
+def test_pairwise_f1_vs_labels(linked):
+    """The BASELINE.json correctness gate: pairwise F1 >= 0.99."""
+    corpus, cfg, out = linked
+    import ray.data as rd
+
+    labels = rd.read_parquet(corpus["labels"])
+    m = pairwise_metrics(labels, out["clusters"])
+    assert m["micro_f1"] >= 0.99, m
+    assert m["micro_precision"] >= 0.99, m
+    assert m["micro_recall"] >= 0.99, m
+
+
+def test_clusters_match_expected(linked):
+    corpus, cfg, out = linked
+    got = out["clusters"].to_pandas().sort_values("mention_id").reset_index(drop=True)
+    want = (pq.read_table(corpus["expected_clusters"]).to_pandas()
+            [["mention_id", "cluster_id"]]
+            .sort_values("mention_id").reset_index(drop=True))
+    merged = got.merge(want, on="mention_id", suffixes=("_got", "_want"))
+    agree = (merged["cluster_id_got"] == merged["cluster_id_want"]).mean()
+    assert agree >= 0.99, agree
+
+
+def test_resume_from_checkpoint(ray_session, t1_corpus, tmp_path):
+    """Kill-and-rerun: second run resumes from manifests and produces
+    byte-identical clusters (north_rule resumability)."""
+    ckpt = str(tmp_path / "ckpt")
+    cfg = PipelineConfig(checkpoint_dir=ckpt)
+    out1 = run_linkage(t1_corpus["transcripts"], t1_corpus["aliases"],
+                       t1_corpus["graph_edges"], cfg)
+    c1 = out1["clusters"].to_pandas().sort_values("mention_id").reset_index(drop=True)
+    # simulate a crash after the scores stage: delete the clusters checkpoint
+    shutil.rmtree(os.path.join(ckpt, "clusters"))
+    out2 = run_linkage(t1_corpus["transcripts"], t1_corpus["aliases"],
+                       t1_corpus["graph_edges"], cfg)
+    c2 = out2["clusters"].to_pandas().sort_values("mention_id").reset_index(drop=True)
+    assert c1.equals(c2)
+    # manifests exist for every checkpointed stage
+    for stage in ["blocking", "pairs", "scores", "clusters"]:
+        assert os.path.exists(os.path.join(ckpt, stage, "_MANIFEST.json")), stage

@@ -66,13 +66,21 @@ class PipelineConfig:
 
     # --- feature fusion (K10) + match decision (K12 analog) ---
     rank_scheme: str = "LINEAR"
-    prior_weight: float = 0.08   # el.config:22  priorWeight
-    local_weight: float = 0.10   # el.config:23  localWeight
+    # NOTE on defaults: the reference's el.config ships priorWeight=0.08 /
+    # localWeight=0.10, which weights semSim 0.82 — right for ranking
+    # candidates of ONE mention (semantic context picks among same-name
+    # entities) but wrong for the pairwise match decision, where a high
+    # semantic relatedness between two DIFFERENT same-topic entities must
+    # not outvote disagreeing name/prior evidence. The pairwise defaults
+    # below weight prior/name evidence up; the reference's ranking weights
+    # remain available via PipelineConfig(prior_weight=0.08, ...).
+    prior_weight: float = 0.45   # (reference ranking default: 0.08, el.config:22)
+    local_weight: float = 0.10   # (el.config:23)
     name_weight: float = 0.45    # pairwise-graft extra feature weight: the
                                  # fused score is
                                  #   (1-name_weight)*fuse(prior,local,sem) +
                                  #   name_weight*name_sim
-    match_threshold: float = 0.50  # pairs scoring below are non-matches (NIL)
+    match_threshold: float = 0.75  # pairs scoring below are non-matches (NIL)
 
     # --- scoring actor pool ---
     score_batch_size: int = 4096

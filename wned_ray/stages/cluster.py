@@ -1,0 +1,154 @@
+"""Transitive clustering: connected components over matched pairs
+(Stage 5, SURVEY §7) — the global recast of the reference's per-document
+greedy resolution loop (K11, ``SemanticSignatureEL.java:576-723``).
+
+Two execution paths, selected by edge count (``mode="auto"``):
+
+- ``driver``: union-find with path compression on the driver. Matched
+  pairs are a tiny fraction of the input (blocking + threshold prune
+  ~everything), so up to ``cfg.cc_driver_max_pairs`` edges this is
+  exact, fast, and deterministic.
+- ``distributed``: iterative min-label propagation expressed purely in
+  Ray Data — per round, each node's label becomes the min of its own and
+  its neighbors' labels. The neighbor-label lookup is a hash-partitioned
+  ``Dataset.join`` of the (static, symmetrized) edge list against the
+  current label table; a round ends with ``groupby(node).min(label)``.
+  Labels only ever decrease, so convergence is detected by comparing a
+  per-round aggregate hash-sum of labels (monotone => equal sum <=> no
+  change). O(diameter) rounds, bounded by ``cfg.cc_max_rounds``.
+
+Cluster representative = lexicographic min mention_id of the component
+(deterministic — replaces the reference's HashMap-iteration-order
+tie-breaks, SURVEY §7 hard-part 4). Mentions with no matched edge become
+singleton clusters (the NIL analog, K12).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from wned_ray.config import PipelineConfig
+
+
+def _union_find_driver(edges: pd.DataFrame) -> pd.DataFrame:
+    """Exact CC on the driver: edges (id_a, id_b) -> (mention_id, cluster_id)."""
+    parent: dict[str, str] = {}
+
+    def find(x: str) -> str:
+        root = x
+        while parent.get(root, root) != root:
+            root = parent[root]
+        while parent.get(x, x) != root:           # path compression
+            parent[x], x = root, parent[x]
+        return root
+
+    for a, b in zip(edges["id_a"].to_numpy(), edges["id_b"].to_numpy()):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            lo, hi = (ra, rb) if ra < rb else (rb, ra)
+            parent[hi] = lo
+    nodes = pd.unique(pd.concat([edges["id_a"], edges["id_b"]], ignore_index=True))
+    return pd.DataFrame({
+        "mention_id": nodes,
+        "cluster_id": [find(x) for x in nodes],
+    })
+
+
+def _label_hash_sum(labels_ds) -> int:
+    def h(batch: pa.Table) -> pa.Table:
+        import zlib
+
+        # zlib.crc32 is process-independent (Python's hash() is salted per
+        # process and would make cross-round comparison meaningless)
+        arr = batch["cluster_id"].to_pylist()
+        s = sum(zlib.crc32(x.encode()) for x in arr)
+        return pa.table({"s": pa.array([s], pa.int64())})
+
+    parts = labels_ds.map_batches(h, batch_format="pyarrow")
+    return int(parts.sum("s"))
+
+
+def _distributed_cc(matched_ds, cfg: PipelineConfig,
+                    num_partitions: int | None = None):
+    """Min-label propagation in pure Ray Data (labels stay distributed)."""
+    import ray
+    import ray.data as rd
+    from ray.data.aggregate import Min
+
+    if num_partitions is None:
+        num_partitions = max(2, int(ray.cluster_resources().get("CPU", 4)) // 2)
+
+    # symmetric static edge list
+    fwd = matched_ds.select_columns(["id_a", "id_b"]).rename_columns(
+        {"id_a": "node", "id_b": "nbr"})
+    rev = matched_ds.select_columns(["id_a", "id_b"]).rename_columns(
+        {"id_b": "node", "id_a": "nbr"})
+    edges = fwd.union(rev).materialize()     # static, reused every round
+
+    # init: label(node) = min(node, min nbr)  (round 0 of propagation)
+    labels = edges.groupby("node").aggregate(Min("nbr", alias_name="cluster_id"))
+
+    def self_min(batch: pa.Table) -> pa.Table:
+        cl = pc.min_element_wise(batch["node"], batch["cluster_id"])
+        return pa.table({"node": batch["node"], "cluster_id": cl})
+
+    labels = labels.map_batches(self_min, batch_format="pyarrow").materialize()
+    prev_sum = _label_hash_sum(labels)
+
+    for _ in range(cfg.cc_max_rounds):
+        # nbr's label: join edges (keyed by nbr) against labels (keyed by node)
+        nbr_lab = edges.join(labels, join_type="inner",
+                             num_partitions=num_partitions,
+                             on=("nbr",), right_on=("node",))
+        # nbr_lab columns: node, nbr, cluster_id(label of nbr)
+        prop = nbr_lab.select_columns(["node", "cluster_id"])
+        combined = prop.union(labels)
+        labels = (combined.groupby("node")
+                  .aggregate(Min("cluster_id", alias_name="cluster_id"))
+                  .materialize())
+        cur = _label_hash_sum(labels)
+        if cur == prev_sum:
+            break
+        prev_sum = cur
+    return labels.rename_columns({"node": "mention_id"})
+
+
+def connected_components(matched_ds, cfg: PipelineConfig, mode: str = "auto"):
+    """matched-pairs Dataset (id_a, id_b) -> Dataset (mention_id, cluster_id)
+    for every mention that appears in at least one matched pair."""
+    import ray.data as rd
+
+    if mode == "auto":
+        n = matched_ds.count()
+        mode = "driver" if n <= cfg.cc_driver_max_pairs else "distributed"
+    if mode == "driver":
+        edges = matched_ds.select_columns(["id_a", "id_b"]).to_pandas()
+        out = _union_find_driver(edges)
+        table = pa.table({
+            "mention_id": pa.array(out["mention_id"].tolist(), pa.string()),
+            "cluster_id": pa.array(out["cluster_id"].tolist(), pa.string()),
+        })
+        return rd.from_arrow(table)
+    return _distributed_cc(matched_ds, cfg)
+
+
+def assign_clusters(prepared_ds, matched_ds, cfg: PipelineConfig,
+                    mode: str = "auto"):
+    """All mentions -> (mention_id, cluster_id); unmatched mentions become
+    singletons (cluster_id = own mention_id)."""
+    from ray.data.aggregate import Min
+
+    comp = connected_components(matched_ds, cfg, mode=mode)
+    singles = prepared_ds.select_columns(["mention_id"]).map_batches(
+        lambda b: pa.table({"mention_id": b["mention_id"],
+                            "cluster_id": b["mention_id"]}),
+        batch_format="pyarrow")
+    if comp.count() == 0:
+        union = singles
+    else:
+        union = singles.union(comp)
+    return union.groupby("mention_id").aggregate(
+        Min("cluster_id", alias_name="cluster_id"))

@@ -1,0 +1,80 @@
+"""Pairwise evaluation vs gold labels (Stage 6; G6 semantics).
+
+The reference reports micro and macro precision/recall/F1 against gold
+annotations (``…/experiment/Evaluation.java:57-161``: micro = corpus-level
+counts, macro = average of per-document scores). Recast pairwise:
+
+- universe = the labeled pairs at shared blocking keys (FIXTURES §2);
+- prediction for a labeled pair = "in the same predicted cluster"
+  (cluster-level evaluation — transitivity can connect a pair the scorer
+  missed directly, exactly like the reference's iterative feedback);
+- micro P/R/F1 over all labeled pairs; macro averages per block_key
+  (the per-document analog).
+
+Implemented as a broadcast join: cluster assignments for the label
+columns are looked up via two hash joins, then a tiny aggregate. The
+labels table is an evaluation fixture (small); everything stays in Ray
+Data until the final scalar reduction.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import pyarrow as pa
+
+
+def pairwise_metrics(labels_ds, clusters_ds, num_partitions: int = 8
+                     ) -> dict[str, float]:
+    """labels (id_a,id_b,block_key,is_match) x clusters (mention_id,
+    cluster_id) -> micro/macro P/R/F1 dict."""
+    la = labels_ds.join(
+        clusters_ds.rename_columns({"mention_id": "id_a",
+                                    "cluster_id": "cluster_a"}),
+        join_type="inner", num_partitions=num_partitions, on=("id_a",))
+    lab = la.join(
+        clusters_ds.rename_columns({"mention_id": "id_b",
+                                    "cluster_id": "cluster_b"}),
+        join_type="inner", num_partitions=num_partitions, on=("id_b",))
+
+    def tally(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        pred = df["cluster_a"] == df["cluster_b"]
+        gold = df["is_match"].astype(bool)
+        g = pd.DataFrame({
+            "block_key": df["block_key"],
+            "tp": (pred & gold).astype("int64"),
+            "fp": (pred & ~gold).astype("int64"),
+            "fn": (~pred & gold).astype("int64"),
+            "tn": (~pred & ~gold).astype("int64"),
+        }).groupby("block_key", as_index=False).sum()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    from ray.data.aggregate import Sum
+
+    per_block = (lab.map_batches(tally, batch_format="pyarrow")
+                 .groupby("block_key")
+                 .aggregate(Sum("tp", alias_name="tp"),
+                            Sum("fp", alias_name="fp"),
+                            Sum("fn", alias_name="fn"),
+                            Sum("tn", alias_name="tn")))
+    pb = per_block.to_pandas()          # one row per block key — small
+    tp, fp, fn = pb["tp"].sum(), pb["fp"].sum(), pb["fn"].sum()
+    micro_p = tp / (tp + fp) if tp + fp else 1.0
+    micro_r = tp / (tp + fn) if tp + fn else 1.0
+    micro_f1 = (2 * micro_p * micro_r / (micro_p + micro_r)
+                if micro_p + micro_r else 0.0)
+
+    bp = pb["tp"] / (pb["tp"] + pb["fp"]).replace(0, 1)
+    br = pb["tp"] / (pb["tp"] + pb["fn"]).replace(0, 1)
+    denom = (bp + br).replace(0, 1)
+    bf1 = 2 * bp * br / denom
+    return {
+        "micro_precision": float(micro_p),
+        "micro_recall": float(micro_r),
+        "micro_f1": float(micro_f1),
+        "macro_precision": float(bp.mean()) if len(pb) else 1.0,
+        "macro_recall": float(br.mean()) if len(pb) else 1.0,
+        "macro_f1": float(bf1.mean()) if len(pb) else 1.0,
+        "tp": int(tp), "fp": int(fp), "fn": int(fn), "tn": int(pb["tn"].sum()),
+        "labeled_pairs": int(len(pb) and pb[["tp", "fp", "fn", "tn"]].to_numpy().sum()),
+    }

@@ -1,0 +1,134 @@
+"""Per-conversation iterative greedy entity resolution (K11).
+
+The reference resolves mentions *within one document* sequentially:
+seed with unambiguous mentions, process the rest in ascending ambiguity
+order, feed each decision back into the document's restart vector, and
+remove losing candidates (``SemanticSignatureEL.java:576-723``:
+``getUnambiguousEntities:208-259``, ``sortMentionByAmbiguity:901-922``
+via the descending ``Rank.compareTo`` inversion ``…/utils/Rank.java:
+27-36``, ``disambiguateMention:825-845``).
+
+That loop is order-dependent — safe only within one group task (SURVEY
+§7 hard-part 1) — so it runs inside ``groupby("conv_id").map_groups``:
+embarrassingly parallel across conversations, sequential within one.
+The output assigns each mention an entity_id (or "NIL"), the
+document-level analog of the pairwise pipeline's clusters.
+
+State (alias candidates + graph kernel) is loaded once per actor via a
+callable-class ``map_groups`` UDF with broadcast refs.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from wned_ray.config import PipelineConfig
+from wned_ray.stages.scoring import build_alias_candidates
+from wned_ray.state.graph import CSRGraph, SignatureKernel
+
+
+class ConversationResolver:
+    """map_groups UDF: one conversation in, one (mention_id, entity_id,
+    n_candidates) frame out."""
+
+    def __init__(self, alias_ref, graph_ref, cfg: PipelineConfig):
+        import ray
+
+        alias_table = ray.get(alias_ref) if not isinstance(alias_ref, pa.Table) else alias_ref
+        graph_table = (ray.get(graph_ref)
+                       if graph_ref is not None and not isinstance(graph_ref, pa.Table)
+                       else graph_ref)
+        self.cfg = cfg
+        self.cand = build_alias_candidates(alias_table, cfg)
+        if graph_table is not None and graph_table.num_rows > 0:
+            self.graph = CSRGraph.from_edges(
+                graph_table["src"].to_pylist(), graph_table["dst"].to_pylist(),
+                graph_table["weight"].to_numpy(zero_copy_only=False))
+            self.kernel = SignatureKernel(
+                self.graph, cfg.ppr_alpha, cfg.ppr_max_iter, cfg.ppr_tol,
+                cfg.kl_gamma, cfg.kl_eps, cfg.hub_degree_threshold)
+        else:
+            self.graph, self.kernel = None, None
+
+    def _sem(self, ent: str, seeds: dict[str, float]) -> float:
+        """Relatedness of candidate ent to the current seed set — the
+        document-signature analog (K4): mean relatedness to seeds."""
+        if self.kernel is None or not seeds:
+            return 0.0
+        ie = self.graph.name2id.get(ent)
+        if ie is None:
+            return 0.0
+        vals = []
+        for s, w in seeds.items():
+            js = self.graph.name2id.get(s)
+            if js is not None:
+                vals.append(w * self.kernel.relatedness(ie, js))
+        return float(np.mean(vals)) if vals else 0.0
+
+    def __call__(self, g: pd.DataFrame) -> pd.DataFrame:
+        cfg = self.cfg
+        g = g.sort_values("turn_idx")
+        rows = list(zip(g["mention_id"], g["norm_mention"]))
+        cand_of = {mid: list(self.cand.get(norm, [])) for mid, norm in rows}
+
+        # seeds: unambiguous mentions (single candidate) — K11 seed step
+        seeds: dict[str, float] = {}
+        for mid, _ in rows:
+            c = cand_of[mid]
+            if len(c) == 1:
+                seeds[c[0][0]] = seeds.get(c[0][0], 0.0) + c[0][1]
+
+        resolved: dict[str, str] = {}
+        # ascending ambiguity order, mention order as tie-break (G4)
+        order = sorted(rows, key=lambda r: (len(cand_of[r[0]]), r[0]))
+        for mid, _norm in order:
+            cands = cand_of[mid]
+            if not cands:
+                resolved[mid] = "NIL"
+                continue
+            if len(cands) == 1:
+                resolved[mid] = cands[0][0]
+                continue
+            # score = prior fused with seed-relatedness (LINEAR over the
+            # available features; local ctx is a pair feature, absent here)
+            best, best_score = None, -1.0
+            for ent, prior in cands:
+                sem = self._sem(ent, seeds)
+                s = cfg.prior_weight * prior + (1 - cfg.prior_weight) * sem
+                if s > best_score or (s == best_score and (best is None or ent < best)):
+                    best, best_score = ent, s
+            resolved[mid] = best
+            # feed back: winner joins the seed set; losers are dropped for
+            # this mention (disambiguateMention:825-845)
+            seeds[best] = seeds.get(best, 0.0) + 1.0
+
+        return pa.table({
+            "mention_id": pa.array([m for m, _ in rows], pa.string()),
+            "entity_id": pa.array([resolved[m] for m, _ in rows], pa.string()),
+            "n_candidates": pa.array([len(cand_of[m]) for m, _ in rows],
+                                     pa.int32()),
+        })
+
+
+def resolve_conversations(prepared_ds, alias_ref, graph_ref,
+                          cfg: PipelineConfig, concurrency: int = 4):
+    """prepared Dataset -> (mention_id, entity_id, n_candidates).
+
+    The resolver is a callable class: the alias dict + graph kernel load
+    once per actor (fn_constructor_kwargs), never per group."""
+    import ray
+
+    cluster_cpus = int(ray.cluster_resources().get("CPU", 2))
+    concurrency = max(1, min(concurrency, cluster_cpus - 1))
+    return (prepared_ds
+            .select_columns(["conv_id", "turn_idx", "mention_id", "norm_mention"])
+            .groupby("conv_id")
+            .map_groups(ConversationResolver,
+                        fn_constructor_kwargs={"alias_ref": alias_ref,
+                                               "graph_ref": graph_ref,
+                                               "cfg": cfg},
+                        batch_format="pandas",
+                        concurrency=concurrency,
+                        num_cpus=1))

@@ -1,0 +1,108 @@
+"""Per-stage Parquet checkpoints with lineage manifests (north_rule).
+
+The reference has no checkpointing — a crash at document 999/1000 loses
+everything (SURVEY §4). Here every stage can write its output as a
+partitioned Parquet directory plus a ``_MANIFEST.json`` recording
+(stage name, lineage fingerprint, row count, file count, metrics).
+A rerun with the same fingerprint skips the stage and streams the
+checkpointed Parquet instead; a fingerprint mismatch (changed config or
+upstream) recomputes.
+
+Writes are atomic: data lands in ``<dir>.tmp`` and is renamed into place
+before the manifest is written, so a killed run never leaves a
+half-complete checkpoint that a resume would trust. Outputs are
+directories of part files (one per block), never one giant file — a
+resumed run re-reads them in parallel.
+"""
+
+from __future__ import annotations
+
+import glob
+import hashlib
+import json
+import os
+import shutil
+import time
+from typing import Any, Callable
+
+
+MANIFEST_NAME = "_MANIFEST.json"
+
+
+def lineage_fingerprint(*parts: str) -> str:
+    """Combine stage name / config fingerprint / upstream fingerprints."""
+    h = hashlib.sha256()
+    for p in parts:
+        h.update(str(p).encode())
+        h.update(b"\x00")
+    return h.hexdigest()[:16]
+
+
+def manifest_path(ckpt_dir: str, stage: str) -> str:
+    return os.path.join(ckpt_dir, stage, MANIFEST_NAME)
+
+
+def is_complete(ckpt_dir: str | None, stage: str, fingerprint: str) -> bool:
+    if not ckpt_dir:
+        return False
+    mp = manifest_path(ckpt_dir, stage)
+    if not os.path.exists(mp):
+        return False
+    try:
+        with open(mp) as f:
+            m = json.load(f)
+    except (OSError, json.JSONDecodeError):
+        return False
+    return bool(m.get("complete")) and m.get("fingerprint") == fingerprint
+
+
+def read_manifest(ckpt_dir: str, stage: str) -> dict[str, Any] | None:
+    mp = manifest_path(ckpt_dir, stage)
+    if not os.path.exists(mp):
+        return None
+    with open(mp) as f:
+        return json.load(f)
+
+
+def checkpoint_dataset(ds_factory: Callable[[], "Any"], *, stage: str,
+                       ckpt_dir: str | None, fingerprint: str,
+                       metrics: dict[str, Any] | None = None) -> "Any":
+    """Materialize ``ds_factory()`` to a per-stage Parquet checkpoint and
+    return a Dataset streaming from it; skip recompute when a complete
+    manifest with the same lineage fingerprint exists.
+
+    With ``ckpt_dir=None`` the factory's Dataset is returned untouched
+    (fully streaming, no checkpoint).
+    """
+    import ray.data as rd
+
+    if not ckpt_dir:
+        return ds_factory()
+    out_dir = os.path.join(ckpt_dir, stage)
+    if is_complete(ckpt_dir, stage, fingerprint):
+        return rd.read_parquet(out_dir)
+
+    tmp_dir = out_dir + ".tmp"
+    shutil.rmtree(tmp_dir, ignore_errors=True)
+    shutil.rmtree(out_dir, ignore_errors=True)
+    os.makedirs(tmp_dir, exist_ok=True)
+    ds = ds_factory()
+    ds.write_parquet(tmp_dir)
+    os.rename(tmp_dir, out_dir)
+
+    files = sorted(glob.glob(os.path.join(out_dir, "*.parquet")))
+    import pyarrow.parquet as pq
+
+    rows = sum(pq.read_metadata(f).num_rows for f in files)
+    man = {
+        "stage": stage,
+        "fingerprint": fingerprint,
+        "complete": True,
+        "row_count": rows,
+        "num_files": len(files),
+        "written_at": time.strftime("%Y-%m-%dT%H:%M:%S"),
+        "metrics": metrics or {},
+    }
+    with open(manifest_path(ckpt_dir, stage), "w") as f:
+        json.dump(man, f, indent=2)
+    return rd.read_parquet(out_dir)

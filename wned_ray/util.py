@@ -1,0 +1,16 @@
+"""Small shared helpers."""
+
+from __future__ import annotations
+
+
+def safe_concurrency(requested: int, reserve: int = 1) -> int:
+    """Cap an actor pool's size at cluster_cpus - reserve.
+
+    A pool that reserves every CPU starves the upstream read/shuffle tasks
+    and deadlocks the streaming executor (observed: a 4-actor pool on a
+    4-CPU cluster left the ReadParquet task permanently backpressured).
+    """
+    import ray
+
+    cpus = int(ray.cluster_resources().get("CPU", 2)) if ray.is_initialized() else 2
+    return max(1, min(requested, cpus - reserve))
