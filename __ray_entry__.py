@@ -39,9 +39,19 @@ def _corpus_for(sf_dir: str):
     return ensure_corpus(spec)
 
 
+_LINKAGE_CACHE: dict[str, tuple] = {}
+
+
 def _linkage(sf_dir: str):
-    import pyarrow.parquet as pq
-    import ray
+    """Run (or reuse) the flagship pipeline for this sf_dir.
+
+    The driver calls each ``er_*`` query independently; the pipeline's
+    persisted stage Datasets are reusable within the Ray session, so one
+    run serves all six ER queries instead of six full re-executions.
+    """
+    cached = _LINKAGE_CACHE.get(sf_dir)
+    if cached is not None:
+        return cached
 
     from wned_ray.config import PipelineConfig
     from wned_ray.pipelines.link import run_linkage
@@ -50,6 +60,7 @@ def _linkage(sf_dir: str):
     cfg = PipelineConfig()
     out = run_linkage(corpus["transcripts"], corpus["aliases"],
                       corpus["graph_edges"], cfg)
+    _LINKAGE_CACHE[sf_dir] = (corpus, cfg, out)
     return corpus, cfg, out
 
 

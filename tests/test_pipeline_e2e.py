@@ -86,5 +86,5 @@ def test_resume_from_checkpoint(ray_session, t1_corpus, tmp_path):
     c2 = out2["clusters"].to_pandas().sort_values("mention_id").reset_index(drop=True)
     assert c1.equals(c2)
     # manifests exist for every checkpointed stage
-    for stage in ["blocking", "pairs", "scores", "clusters"]:
+    for stage in ["blocking", "scores", "clusters"]:
         assert os.path.exists(os.path.join(ckpt, stage, "_MANIFEST.json")), stage

@@ -84,7 +84,7 @@ class PipelineConfig:
 
     # --- scoring actor pool ---
     score_batch_size: int = 4096
-    score_concurrency: int = 4
+    score_concurrency: int | None = None  # None => auto: cluster CPUs - 2
 
     # --- connected components ---
     cc_max_rounds: int = 12

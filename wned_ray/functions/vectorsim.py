@@ -41,6 +41,56 @@ def sparse_cosine(t1: list[str], w1: np.ndarray, t2: list[str], w2: np.ndarray) 
     return dot / (np.sqrt(n1) * np.sqrt(n2))
 
 
+def sparse_cosine_batch(ctx_a: np.ndarray, ctx_b: np.ndarray) -> np.ndarray:
+    """Vectorized ``sparse_cosine`` over pairs of space-joined term bags.
+
+    Exact same values as per-pair ``sparse_cosine(Counter(a.split()),
+    Counter(b.split()))`` but computed batch-wide with pandas C kernels:
+    unique ctx strings are tokenized once, term counts built by factorized
+    groupby, pair dots by a hash merge on (pair, term) — no per-pair
+    Python. This is the hot mention-pair kernel (K6) of the stateless
+    finalize stage; norms are full per-side norms, dot over the
+    intersection (``VectorSimilarity.java:22-43``).
+    """
+    import pandas as pd
+
+    n = len(ctx_a)
+    if n == 0:
+        return np.zeros(0)
+    all_ctx = np.concatenate([ctx_a, ctx_b])
+    codes, uniques = pd.factorize(pd.Series(all_ctx, dtype=object))
+    ia, ib = codes[:n], codes[n:]
+
+    # token counts per unique ctx: explode -> factorize terms -> group count
+    tok = pd.Series(uniques, dtype=object).str.split()
+    lens = tok.str.len().to_numpy()
+    row = np.repeat(np.arange(len(uniques)), lens)
+    terms = np.concatenate([t for t in tok if t] or [np.array([], object)])
+    tcodes, _ = pd.factorize(pd.Series(terms, dtype=object))
+    cnt = (pd.DataFrame({"row": row, "t": tcodes})
+           .groupby(["row", "t"], sort=False).size().reset_index(name="c"))
+    norms = np.zeros(len(uniques))
+    sq = cnt["c"].to_numpy(np.float64) ** 2
+    np.add.at(norms, cnt["row"].to_numpy(), sq)
+    norms = np.sqrt(norms)
+
+    # per-pair dot: hash-merge side A and side B term rows on (pair, term)
+    dfa = (pd.DataFrame({"u": ia, "pair": np.arange(n)})
+           .merge(cnt.rename(columns={"row": "u", "c": "ca"}), on="u"))
+    dfb = (pd.DataFrame({"u": ib, "pair": np.arange(n)})
+           .merge(cnt.rename(columns={"row": "u", "c": "cb"}), on="u"))
+    dots = np.zeros(n)
+    merged = dfa.merge(dfb, on=["pair", "t"])
+    if len(merged):
+        prod = merged["ca"].to_numpy(np.float64) * merged["cb"].to_numpy(np.float64)
+        np.add.at(dots, merged["pair"].to_numpy(), prod)
+    denom = norms[ia] * norms[ib]
+    out = np.zeros(n)
+    nzmask = denom > 0
+    out[nzmask] = dots[nzmask] / denom[nzmask]
+    return out
+
+
 def cosine_dense(v1: np.ndarray, v2: np.ndarray) -> float:
     """Dense cosine (VectorSimilarity.vectorSim(double[],double[]):67-82)."""
     if v1.shape != v2.shape:

@@ -6,9 +6,12 @@ read_parquet(transcripts)
   → [checkpoint]       (per-stage Parquet + lineage manifest; also enables
                         the two-pass hot-key scan without recompute)
   → hot-key scan       (pre-aggregated count → broadcast hot-key set)
-  → gen_pairs          (hash-partitioned self-join shuffle + cross-band dedup)
-  → score              (PairScorer actor pool; alias dict + CSR graph via
-                        ray.put broadcast, loaded once per actor)
+  → gen_pairs          (hash-partitioned self-join shuffle + cross-band dedup;
+                        norm-level features scored on the DISTINCT-norm pair
+                        set by the NormPairScorer actor pool — alias dict +
+                        CSR graph via ray.put broadcast, loaded once per
+                        actor — and carried through the expand joins)
+  → finalize_scores    (stateless vectorized local-context cosine + fusion)
   → [checkpoint]
   → assign_clusters    (connected components + singleton completion)
   → [checkpoint]
@@ -25,7 +28,7 @@ from wned_ray.stages.blocking import hot_block_keys, norm_blocks
 from wned_ray.stages.cluster import assign_clusters
 from wned_ray.stages.normalize import prepare
 from wned_ray.stages.pairs import gen_pairs
-from wned_ray.stages.scoring import score_pairs
+from wned_ray.stages.scoring import finalize_scores
 from wned_ray.state.checkpoint import checkpoint_dataset, lineage_fingerprint
 
 
@@ -71,17 +74,26 @@ def run_linkage(transcripts_path: str, aliases_path: str,
 
     hot = hot_block_keys(blocking, cfg)
 
-    pairs = persist(
-        lambda: gen_pairs(prepared, blocking, hot, cfg,
-                          num_partitions=num_partitions),
-        "pairs")
-
     # broadcast dim tables once (zero-copy object-store reads per actor)
     alias_ref = ray.put(pq.read_table(aliases_path))
     graph_ref = ray.put(pq.read_table(graph_path)) if graph_path else None
 
+    # Pair expansion and scoring run FUSED: gen_pairs scores the norm-level
+    # features (prior/sem/name/lev) on the tiny DISTINCT-norm pair set, the
+    # expand joins carry them to mention pairs, and finalize_scores (local
+    # context cosine + fusion) chains as map_batches directly on the join
+    # output — the wide intermediate (ctx strings per pair) streams through
+    # task memory and is never materialized to the object store. Only the
+    # slim scored table persists.
     scores = persist(
-        lambda: score_pairs(pairs, alias_ref, graph_ref, cfg), "scores")
+        lambda: finalize_scores(
+            gen_pairs(prepared, blocking, hot, cfg,
+                      num_partitions=num_partitions,
+                      alias_ref=alias_ref, graph_ref=graph_ref),
+            cfg),
+        "scores")
+
+    pairs = scores.select_columns(["id_a", "id_b", "block_key"])
 
     matched = scores.filter(expr="matched")
 

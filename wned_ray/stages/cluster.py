@@ -34,27 +34,38 @@ from wned_ray.config import PipelineConfig
 
 
 def _union_find_driver(edges: pd.DataFrame) -> pd.DataFrame:
-    """Exact CC on the driver: edges (id_a, id_b) -> (mention_id, cluster_id)."""
-    parent: dict[str, str] = {}
+    """Exact CC on the driver: edges (id_a, id_b) -> (mention_id, cluster_id).
 
-    def find(x: str) -> str:
-        root = x
-        while parent.get(root, root) != root:
-            root = parent[root]
-        while parent.get(x, x) != root:           # path compression
-            parent[x], x = root, parent[x]
-        return root
-
-    for a, b in zip(edges["id_a"].to_numpy(), edges["id_b"].to_numpy()):
-        ra, rb = find(a), find(b)
-        if ra != rb:
-            lo, hi = (ra, rb) if ra < rb else (rb, ra)
-            parent[hi] = lo
-    nodes = pd.unique(pd.concat([edges["id_a"], edges["id_b"]], ignore_index=True))
-    return pd.DataFrame({
-        "mention_id": nodes,
-        "cluster_id": [find(x) for x in nodes],
-    })
+    Vectorized: string ids factorized to ints, then label propagation with
+    pointer jumping over the edge arrays (scatter-min + label[label]
+    compression — O(E·log D) numpy ops, no per-edge Python). Representative
+    = lexicographic min mention_id per component (deterministic tie-break,
+    SURVEY §7 hard-part 4).
+    """
+    codes, nodes = pd.factorize(
+        pd.concat([edges["id_a"], edges["id_b"]], ignore_index=True))
+    n = len(nodes)
+    m = len(edges)
+    if n == 0:
+        return pd.DataFrame({"mention_id": [], "cluster_id": []})
+    a = codes[:m]
+    b = codes[m:]
+    label = np.arange(n, dtype=np.int64)
+    while True:
+        before = label.copy()
+        mn = np.minimum(label[a], label[b])
+        np.minimum.at(label, a, mn)
+        np.minimum.at(label, b, mn)
+        while True:                      # pointer jumping to fixpoint
+            nl = label[label]
+            if np.array_equal(nl, label):
+                break
+            label = nl
+        if np.array_equal(before, label):
+            break
+    node_arr = np.asarray(nodes, dtype=object)
+    rep = pd.Series(node_arr).groupby(label).transform("min")
+    return pd.DataFrame({"mention_id": node_arr, "cluster_id": rep.to_numpy()})
 
 
 def _label_hash_sum(labels_ds) -> int:
@@ -122,8 +133,9 @@ def connected_components(matched_ds, cfg: PipelineConfig, mode: str = "auto"):
     import ray.data as rd
 
     if mode == "auto":
-        n = matched_ds.count()
-        mode = "driver" if n <= cfg.cc_driver_max_pairs else "distributed"
+        matched_ds = matched_ds.select_columns(["id_a", "id_b"]).materialize()
+        mode = ("driver" if matched_ds.count() <= cfg.cc_driver_max_pairs
+                else "distributed")
     if mode == "driver":
         edges = matched_ds.select_columns(["id_a", "id_b"]).to_pandas()
         out = _union_find_driver(edges)

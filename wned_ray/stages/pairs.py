@@ -77,8 +77,9 @@ def _norm_pair_filter(hot_sorted: np.ndarray, bands: int):
                 + [f"mb{b}_b" for b in range(bands)]
                 + ["n_mentions", "n_mentions_b"])
         drop = [c for c in drop if c in batch.column_names]
+        cols = ["norm_a", "norm_b", "block_key"]
         if batch.num_rows == 0:
-            return batch.drop(drop)
+            return batch.drop(drop).select(cols)
         order_ok = pc.less(batch["norm_a"], batch["norm_b"]).to_numpy(
             zero_copy_only=False)
         A = _band_matrix(batch, bands, "")
@@ -92,7 +93,7 @@ def _norm_pair_filter(hot_sorted: np.ndarray, bands: int):
         first = eq.argmax(axis=1)
         band_idx = batch["band_idx"].to_numpy(zero_copy_only=False)
         keep = order_ok & has & (first == band_idx)
-        return batch.drop(drop).filter(pa.array(keep))
+        return batch.drop(drop).filter(pa.array(keep)).select(cols)
 
     return fn
 
@@ -142,7 +143,14 @@ def norm_pairs(norm_blocks_ds, hot_keys: set[str], cfg: PipelineConfig,
 def expand_pairs(mentions_ds, norm_pairs_ds, cfg: PipelineConfig,
                  num_partitions: int = 16):
     """(norm_a, norm_b) pairs x mention table -> canonical mention pairs
-    (id_a, id_b, norm_a, norm_b, ctx_a, ctx_b, block_key)."""
+    (id_a, id_b, norm_a, norm_b, ctx_a, ctx_b, block_key, *extras).
+
+    Any additional columns on ``norm_pairs_ds`` (e.g. the norm-level
+    feature columns from ``score_norm_pairs``) ride through the joins
+    unchanged — they are functions of the unordered norm pair, so the
+    id-canonicalizing swap below does not touch them."""
+    extras = [c for c in norm_pairs_ds.schema().names
+              if c not in ("norm_a", "norm_b", "block_key")]
     ma = mentions_ds.rename_columns({
         "mention_id": "id_a", "norm_mention": "norm_a", "ctx": "ctx_a"})
     mb = mentions_ds.rename_columns({
@@ -166,23 +174,36 @@ def expand_pairs(mentions_ds, norm_pairs_ds, cfg: PipelineConfig,
         rev = batch.filter(pc.and_(pc.greater(ida, idb),
                                    pc.not_equal(batch["norm_a"],
                                                 batch["norm_b"])))
-        swapped = pa.table({
-            "id_a": rev["id_b"], "id_b": rev["id_a"],
-            "norm_a": rev["norm_b"], "norm_b": rev["norm_a"],
-            "ctx_a": rev["ctx_b"], "ctx_b": rev["ctx_a"],
-            "block_key": rev["block_key"],
-        })
+        swapped = pa.table(dict(
+            {
+                "id_a": rev["id_b"], "id_b": rev["id_a"],
+                "norm_a": rev["norm_b"], "norm_b": rev["norm_a"],
+                "ctx_a": rev["ctx_b"], "ctx_b": rev["ctx_a"],
+                "block_key": rev["block_key"],
+            },
+            **{c: rev[c] for c in extras},
+        ))
         cols = ["id_a", "id_b", "norm_a", "norm_b", "ctx_a", "ctx_b",
-                "block_key"]
+                "block_key"] + extras
         return pa.concat_tables([b.select(cols), swapped.select(cols)])
 
     return j2.map_batches(canonical, batch_format="pyarrow")
 
 
 def gen_pairs(prepared_ds, norm_blocks_ds, hot_keys: set[str],
-              cfg: PipelineConfig, num_partitions: int = 16):
+              cfg: PipelineConfig, num_partitions: int = 16,
+              alias_ref=None, graph_ref=None):
     """prepared + norm blocking -> canonical, unique candidate mention
-    pairs (the composition used by pipelines/link.py)."""
+    pairs (the composition used by pipelines/link.py).
+
+    With ``alias_ref``/``graph_ref`` given, the norm-level features
+    (prior/sem_sim/name_sim/lev_sim) are scored on the DISTINCT norm
+    pairs BEFORE expansion — |distinct surface pairs| actor work instead
+    of |mention pairs| — and ride the expand joins as payload columns."""
     mentions = prepared_ds.select_columns(["mention_id", "norm_mention", "ctx"])
     np_ds = norm_pairs(norm_blocks_ds, hot_keys, cfg, num_partitions)
+    if alias_ref is not None:
+        from wned_ray.stages.scoring import score_norm_pairs
+
+        np_ds = score_norm_pairs(np_ds, alias_ref, graph_ref, cfg)
     return expand_pairs(mentions, np_ds, cfg, num_partitions)
