@@ -150,17 +150,48 @@ def connected_components(matched_ds, cfg: PipelineConfig, mode: str = "auto"):
 def assign_clusters(prepared_ds, matched_ds, cfg: PipelineConfig,
                     mode: str = "auto"):
     """All mentions -> (mention_id, cluster_id); unmatched mentions become
-    singletons (cluster_id = own mention_id)."""
+    singletons (cluster_id = own mention_id).
+
+    Driver-mode fast path: the component map is already driver-resident,
+    so it is broadcast (``ray.put``) and applied with one stateless
+    ``map_batches`` over the mention table — no shuffle. The distributed
+    path keeps the union + groupby-min (scale shape: labels never leave
+    the cluster)."""
+    import ray
+    import ray.data as rd
     from ray.data.aggregate import Min
+
+    if mode == "auto":
+        matched_ds = matched_ds.select_columns(["id_a", "id_b"]).materialize()
+        mode = ("driver" if matched_ds.count() <= cfg.cc_driver_max_pairs
+                else "distributed")
+
+    if mode == "driver":
+        out = _union_find_driver(
+            matched_ds.select_columns(["id_a", "id_b"]).to_pandas())
+        lut_ref = ray.put(dict(zip(out["mention_id"], out["cluster_id"])))
+
+        class Assign:
+            def __init__(self):
+                self.lut = ray.get(lut_ref)
+
+            def __call__(self, batch: pa.Table) -> pa.Table:
+                mids = pd.Series(batch["mention_id"].to_pylist(), dtype=object)
+                cl = mids.map(self.lut).fillna(mids)
+                return pa.table({
+                    "mention_id": batch["mention_id"],
+                    "cluster_id": pa.array(cl.to_numpy(dtype=object),
+                                           pa.string()),
+                })
+
+        return prepared_ds.select_columns(["mention_id"]).map_batches(
+            Assign, batch_format="pyarrow", concurrency=(1, 8))
 
     comp = connected_components(matched_ds, cfg, mode=mode)
     singles = prepared_ds.select_columns(["mention_id"]).map_batches(
         lambda b: pa.table({"mention_id": b["mention_id"],
                             "cluster_id": b["mention_id"]}),
         batch_format="pyarrow")
-    if comp.count() == 0:
-        union = singles
-    else:
-        union = singles.union(comp)
+    union = singles.union(comp)
     return union.groupby("mention_id").aggregate(
         Min("cluster_id", alias_name="cluster_id"))
