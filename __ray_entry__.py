@@ -262,6 +262,183 @@ def _q_doc_quality(sf_dir: str):
     return q.map_batches(r, batch_format="pyarrow")
 
 
+def _q_idf_terms(sf_dir: str):
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from wned_ray.pipelines.datawork import idf_table
+
+    ds = _rd().read_parquet(f"{sf_dir}/documents.parquet",
+                            columns=["doc_id", "text"])
+    t = idf_table(ds)
+
+    def r(batch: pa.Table) -> pa.Table:
+        micro = pc.cast(pc.round(pc.multiply(batch["idf"], 1_000_000.0)),
+                        pa.int64())
+        return pa.table({"term": batch["term"], "df": batch["df"],
+                         "idf_micro": micro})
+
+    return t.map_batches(r, batch_format="pyarrow")
+
+
+def _q_tfidf_top_terms(sf_dir: str):
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray
+
+    from wned_ray.pipelines.datawork import idf_table, tfidf_top_terms
+
+    ds = _rd().read_parquet(f"{sf_dir}/documents.parquet",
+                            columns=["doc_id", "text"])
+    idf = pa.Table.from_pandas(idf_table(ds).to_pandas(),
+                               preserve_index=False)
+    top = tfidf_top_terms(ds, ray.put(idf), k=5)
+
+    def r(batch: pa.Table) -> pa.Table:
+        micro = pc.cast(pc.round(pc.multiply(batch["tfidf"], 1_000_000.0)),
+                        pa.int64())
+        return pa.table({"doc_id": batch["doc_id"], "term": batch["term"],
+                         "tf": pc.cast(batch["tf"], pa.int64()),
+                         "tfidf_micro": micro})
+
+    return top.map_batches(r, batch_format="pyarrow")
+
+
+def _q_abbrev_tokens(sf_dir: str):
+    """M12 analog: distinct abbreviation-shaped tokens per document
+    (single word, 2-10 chars, >=2 uppercase letters)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    ds = _rd().read_parquet(f"{sf_dir}/documents.parquet",
+                            columns=["doc_id", "text"])
+
+    def ab(batch: pa.Table) -> pa.Table:
+        toks = pc.split_pattern_regex(batch["text"], r"\s+")
+        flat = pc.list_flatten(toks)
+        parents = pc.list_parent_indices(toks)
+        ln = pc.utf8_length(flat)
+        n_upper = pc.count_substring_regex(flat, "[A-Z]")
+        keep = pc.and_(pc.and_(pc.greater_equal(ln, 2), pc.less_equal(ln, 10)),
+                       pc.greater_equal(n_upper, 2))
+        t = pa.table({"doc_id": batch["doc_id"].take(parents.filter(keep)),
+                      "token": flat.filter(keep)})
+        return t.group_by(["doc_id", "token"]).aggregate([])
+
+    return (ds.map_batches(ab, batch_format="pyarrow")
+            .groupby(["doc_id", "token"]).count()
+            .select_columns(["doc_id", "token"]))
+
+
+def _q_per_user_top_event(sf_dir: str):
+    """G3/G4 analog: per-group top-1 by value (deterministic tie-break)."""
+    import pandas as pd
+
+    ds = _rd().read_parquet(f"{sf_dir}/events.parquet",
+                            columns=["event_id", "user_id", "value"])
+
+    def head1(g: pd.DataFrame) -> pd.DataFrame:
+        return g.sort_values(["value", "event_id"],
+                             ascending=[False, True]).head(1)
+
+    out = ds.groupby("user_id").map_groups(head1, batch_format="pandas")
+
+    def r(batch):
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        return pa.table({
+            "user_id": batch["user_id"],
+            "event_id": batch["event_id"],
+            "value_e4": pc.cast(pc.round(pc.multiply(batch["value"], 10_000.0)),
+                                pa.int64()),
+        })
+
+    return out.map_batches(r, batch_format="pyarrow")
+
+
+def _q_lineitem_pricing_summary(sf_dir: str):
+    """TPC-H Q1-style multi-aggregate (sum/avg/count per flag+status)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from ray.data.aggregate import Count, Sum
+
+    ds = _rd().read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_returnflag", "l_linestatus", "l_quantity",
+                 "l_extendedprice", "l_discount"])
+
+    def pre(batch: pa.Table) -> pa.Table:
+        disc = pc.multiply(batch["l_extendedprice"],
+                           pc.subtract(pa.scalar(1.0), batch["l_discount"]))
+        return batch.append_column("disc_price", disc)
+
+    agg = (ds.map_batches(pre, batch_format="pyarrow")
+           .groupby(["l_returnflag", "l_linestatus"])
+           .aggregate(Sum("l_quantity", alias_name="sum_qty"),
+                      Sum("l_extendedprice", alias_name="sum_base"),
+                      Sum("disc_price", alias_name="sum_disc"),
+                      Count(alias_name="n_rows")))
+
+    def r(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "l_returnflag": batch["l_returnflag"],
+            "l_linestatus": batch["l_linestatus"],
+            "sum_qty": pc.cast(pc.round(batch["sum_qty"]), pa.int64()),
+            "sum_base_usd": pc.cast(pc.round(batch["sum_base"]), pa.int64()),
+            "sum_disc_usd": pc.cast(pc.round(batch["sum_disc"]), pa.int64()),
+            "n_rows": batch["n_rows"],
+        })
+
+    return agg.map_batches(r, batch_format="pyarrow")
+
+
+def _q_events_daily(sf_dir: str):
+    """Content-window aggregate analog: per-day, per-type counts + sums."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from ray.data.aggregate import Count, Sum
+
+    ds = _rd().read_parquet(f"{sf_dir}/events.parquet",
+                            columns=["ts", "event_type", "value"])
+
+    def day(batch: pa.Table) -> pa.Table:
+        d = pc.cast(pc.floor_temporal(batch["ts"], unit="day"), pa.date32())
+        return pa.table({"day": pc.cast(d, pa.string()),
+                         "event_type": batch["event_type"],
+                         "value": batch["value"]})
+
+    agg = (ds.map_batches(day, batch_format="pyarrow")
+           .groupby(["day", "event_type"])
+           .aggregate(Count(alias_name="n_events"),
+                      Sum("value", alias_name="sum_value")))
+
+    def r(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "day": batch["day"], "event_type": batch["event_type"],
+            "n_events": batch["n_events"],
+            "sum_value_e2": pc.cast(
+                pc.round(pc.multiply(batch["sum_value"], 100.0)), pa.int64()),
+        })
+
+    return agg.map_batches(r, batch_format="pyarrow")
+
+
+def _q_union_region_nation(sf_dir: str):
+    import pyarrow as pa
+
+    r = _rd().read_parquet(f"{sf_dir}/region.parquet", columns=["r_name"])
+    n = _rd().read_parquet(f"{sf_dir}/nation.parquet", columns=["n_name"])
+
+    def rn(b: pa.Table) -> pa.Table:
+        return pa.table({"name": b[b.column_names[0]]})
+
+    return (r.map_batches(rn, batch_format="pyarrow")
+            .union(n.map_batches(rn, batch_format="pyarrow")))
+
+
 def _q_cooccur_pairs(sf_dir: str):
     """M4 analog: distinct event_type pairs per user, counted corpus-wide."""
     import pyarrow as pa
@@ -409,6 +586,21 @@ def _q_lang_id(sf_dir: str):
     return lang_id(ds).select_columns(["doc_id", "lang", "lang_pred"])
 
 
+def _q_ann_lsh(sf_dir: str):
+    """LSH-bucketed ANN (scale path next to brute-force knn_embeddings);
+    rows-only check — approximate by construction."""
+    import pyarrow.parquet as pq
+
+    from wned_ray.pipelines.datawork import ann_lsh
+
+    ds = _rd().read_parquet(f"{sf_dir}/embeddings.parquet")
+    head = pq.read_table(f"{sf_dir}/embeddings.parquet").slice(0, 3)
+    q_ids = np.asarray(head["vec_id"].to_pylist())
+    qm = np.asarray(head["embedding"].to_pylist(), dtype=np.float64)
+    return ann_lsh(ds, q_ids, qm, k=5).select_columns(
+        ["query_id", "vec_id"])
+
+
 def _q_embedding_near_dup(sf_dir: str):
     from wned_ray.pipelines.datawork import embedding_near_dup
 
@@ -457,6 +649,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cooccur_pairs": _q_cooccur_pairs,
         "grouped_norm": _q_grouped_norm,
         "knn_embeddings": _q_knn,
+        "idf_terms": _q_idf_terms,
+        "tfidf_top_terms": _q_tfidf_top_terms,
+        "abbrev_tokens": _q_abbrev_tokens,
+        "per_user_top_event": _q_per_user_top_event,
+        "lineitem_pricing_summary": _q_lineitem_pricing_summary,
+        "events_daily": _q_events_daily,
+        "union_region_nation": _q_union_region_nation,
         # ER pipeline (rows-only checks; er_metrics row carries the F1)
         "er_blocking": _q_er_blocking,
         "er_pairs": _q_er_pairs,
@@ -465,6 +664,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "er_metrics": _q_er_metrics,
         "er_resolve": _q_er_resolve,
         # training-data ops (rows-only)
+        "ann_lsh_embeddings": _q_ann_lsh,
         "minhash_dedup_docs": _q_minhash_dedup,
         "simhash_docs": _q_simhash,
         "fingerprint_docs": _q_fingerprint,
@@ -537,6 +737,63 @@ def oracle_sql() -> dict[str, str]:
             "CAST(round(sum(value)) AS BIGINT) AS sum_value_int, "
             "CAST(round(sum(value) * 1000000.0 / (SELECT sum(value) FROM events)) AS BIGINT) AS share_micro "
             "FROM events GROUP BY event_type"
+        ),
+        "idf_terms": (
+            "WITH tok AS (SELECT DISTINCT doc_id, "
+            "unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term "
+            "FROM documents), "
+            "n AS (SELECT count(*) AS n_docs FROM documents) "
+            "SELECT term, count(*) AS df, "
+            "CAST(round(ln(n_docs * 1.0 / count(*)) * 1000000) AS BIGINT) "
+            "AS idf_micro FROM tok, n GROUP BY term, n_docs"
+        ),
+        "tfidf_top_terms": (
+            "WITH tok AS (SELECT doc_id, "
+            "unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term "
+            "FROM documents), "
+            "tf AS (SELECT doc_id, term, count(*) AS tf FROM tok "
+            "GROUP BY doc_id, term), "
+            "df AS (SELECT term, count(DISTINCT doc_id) AS df FROM tok "
+            "GROUP BY term), "
+            "n AS (SELECT count(*) AS n_docs FROM documents) "
+            "SELECT tf.doc_id, tf.term, tf.tf, "
+            "CAST(round(tf.tf * ln(n_docs * 1.0 / df.df) * 1000000) AS BIGINT)"
+            " AS tfidf_micro "
+            "FROM tf JOIN df ON tf.term = df.term, n "
+            "QUALIFY row_number() OVER (PARTITION BY tf.doc_id "
+            "ORDER BY tf.tf * ln(n_docs * 1.0 / df.df) DESC, tf.term) <= 5"
+        ),
+        "abbrev_tokens": (
+            "SELECT DISTINCT doc_id, "
+            "unnest(regexp_extract_all(text, '\\S+')) AS token "
+            "FROM documents "
+            "QUALIFY length(token) BETWEEN 2 AND 10 "
+            "AND length(regexp_replace(token, '[^A-Z]', '', 'g')) >= 2"
+        ),
+        "per_user_top_event": (
+            "SELECT user_id, event_id, "
+            "CAST(round(value * 10000) AS BIGINT) AS value_e4 FROM events "
+            "QUALIFY row_number() OVER (PARTITION BY user_id "
+            "ORDER BY value DESC, event_id) = 1"
+        ),
+        "lineitem_pricing_summary": (
+            "SELECT l_returnflag, l_linestatus, "
+            "CAST(round(sum(l_quantity)) AS BIGINT) AS sum_qty, "
+            "CAST(round(sum(l_extendedprice)) AS BIGINT) AS sum_base_usd, "
+            "CAST(round(sum(l_extendedprice * (1.0 - l_discount))) AS BIGINT)"
+            " AS sum_disc_usd, "
+            "count(*) AS n_rows "
+            "FROM lineitem GROUP BY l_returnflag, l_linestatus"
+        ),
+        "events_daily": (
+            "SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS day, event_type, "
+            "count(*) AS n_events, "
+            "CAST(round(sum(value) * 100) AS BIGINT) AS sum_value_e2 "
+            "FROM events GROUP BY day, event_type"
+        ),
+        "union_region_nation": (
+            "SELECT r_name AS name FROM region "
+            "UNION ALL SELECT n_name AS name FROM nation"
         ),
         "knn_embeddings": (
             "WITH q AS (SELECT vec_id, embedding FROM embeddings "

@@ -246,3 +246,41 @@ def lcs_length_scalar(s: str, t: str) -> int:
                 best = max(best, cur[j])
         prev = cur
     return best
+
+
+# ----------------------------------------------------- abbreviations (M12-M14)
+
+_ABBREV_MIN, _ABBREV_MAX = 2, 10
+
+
+def is_abbreviation(token: str) -> bool:
+    """Abbreviation predicate of ``…/cs/MentionExpansion.java:126-158``:
+    a single word, 2-10 chars, with at least 2 uppercase letters."""
+    if " " in token:
+        return False
+    if not (_ABBREV_MIN <= len(token) <= _ABBREV_MAX):
+        return False
+    return sum(1 for c in token if c.isupper()) >= 2
+
+
+def extract_abbrev(full_name: str) -> str:
+    """Initials of a multi-word name (``MentionExpansion.extractAbbrev``,
+    ``…/cs/MentionExpansion.java:1128-1140``): first letter of every
+    whitespace-separated word, uppercased."""
+    return "".join(w[0].upper() for w in full_name.split() if w)
+
+
+def abbrev_sim(abbrev: str, full_name: str) -> float:
+    """Letter-sorted edit-distance similarity with a length penalty
+    (``MentionExpansion.abbrevSimImpl/abbrevSim``,
+    ``…/cs/MentionExpansion.java:1142-1183``): compare the candidate
+    abbreviation against the name's initials, both letter-sorted and
+    uppercased (order-insensitive), normalized by the longer length and
+    scaled by the shorter/longer length ratio so dropped words penalize."""
+    a = "".join(sorted(abbrev.replace(".", "").upper()))
+    b = "".join(sorted(extract_abbrev(full_name)))
+    if not a or not b:
+        return 0.0
+    d = levenshtein_scalar(a, b)
+    longer = max(len(a), len(b))
+    return (1.0 - d / longer) * (min(len(a), len(b)) / longer)

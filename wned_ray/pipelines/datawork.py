@@ -242,6 +242,146 @@ def embedding_near_dup(ds, threshold: float = 0.95, concurrency: int = 4,
                           concurrency=safe_concurrency(concurrency))
 
 
+# ----------------------------------------------------------- TF-IDF (A2/S7)
+
+def _tokenize_lower(batch_col: pa.ChunkedArray | pa.Array):
+    """Lowercase [a-z0-9]+ tokens per row -> (flat tokens, parent indices)."""
+    low = pc.utf8_lower(batch_col)
+    toks = pc.split_pattern_regex(low, r"[^a-z0-9]+")
+    flat = pc.list_flatten(toks)
+    parents = pc.list_parent_indices(toks)
+    keep = pc.not_equal(flat, "")
+    return flat.filter(keep), parents.filter(keep)
+
+
+def idf_table(ds, id_col: str = "doc_id", text_col: str = "text"):
+    """Corpus IDF dim table (term, df, idf) — the offline recast of the
+    reference's Lucene tf-idf index build (``…/common/indexing/
+    WikipediaIndex.java:77-135``): distinct (doc, term) -> groupby(term)
+    count -> idf = ln(N/df). The groupby shuffle replaces the index
+    writer; N comes from a cheap count."""
+    from ray.data.aggregate import Count
+
+    n_docs = ds.count()
+
+    def doc_terms(batch: pa.Table) -> pa.Table:
+        flat, parents = _tokenize_lower(batch[text_col])
+        t = pa.table({
+            "doc": batch[id_col].take(parents),
+            "term": flat,
+        })
+        # distinct within the row group (cuts shuffle volume; global
+        # distinct falls out of the groupby below being over (doc, term))
+        return t.group_by(["doc", "term"]).aggregate([])
+
+    dt = ds.map_batches(doc_terms, batch_format="pyarrow")
+    df_counts = (dt.groupby(["doc", "term"]).count()
+                 .select_columns(["term"])
+                 .groupby("term").aggregate(Count(alias_name="df")))
+
+    def add_idf(batch: pa.Table) -> pa.Table:
+        dfv = batch["df"].to_numpy(zero_copy_only=False).astype(np.float64)
+        return batch.append_column("idf", pa.array(np.log(n_docs / dfv)))
+
+    return df_counts.map_batches(add_idf, batch_format="pyarrow")
+
+
+def tfidf_top_terms(ds, idf_ref, id_col: str = "doc_id",
+                    text_col: str = "text", k: int = 5):
+    """Per-document top-k terms by tf·idf (``TFIDF3x.DocTFIDFVector``
+    analog, ``…/common/indexing/TFIDF3x.java:197-228``).
+
+    ``idf_ref`` is a ``ray.put`` ref of the IDF table (term -> idf) —
+    broadcast once, dict-probed per batch (J1 broadcast-join pattern;
+    the IDF table is vocabulary-sized, a dim table even at corpus scale).
+    Output: (doc_id, term, tf, tfidf) rows, top-k per doc by
+    (tfidf desc, term asc) — deterministic tie-break."""
+    import ray
+
+    class TopTerms:
+        def __init__(self):
+            t = ray.get(idf_ref) if not isinstance(idf_ref, pa.Table) else idf_ref
+            self.idf = dict(zip(t["term"].to_pylist(),
+                                t["idf"].to_numpy(zero_copy_only=False)))
+
+        def __call__(self, batch: pa.Table) -> pd.DataFrame:
+            flat, parents = _tokenize_lower(batch[text_col])
+            doc = batch[id_col].take(parents).to_numpy(zero_copy_only=False)
+            terms = flat.to_pylist()
+            tf = (pd.DataFrame({"doc_id": doc, "term": terms})
+                  .groupby(["doc_id", "term"], sort=False)
+                  .size().reset_index(name="tf"))
+            idf = tf["term"].map(self.idf).fillna(0.0).to_numpy()
+            tf["tfidf"] = tf["tf"].to_numpy(np.float64) * idf
+            tf = tf.sort_values(["doc_id", "tfidf", "term"],
+                                ascending=[True, False, True])
+            return tf.groupby("doc_id", sort=False).head(k).reset_index(drop=True)
+
+    return ds.map_batches(TopTerms, batch_format="pyarrow", concurrency=(1, 8))
+
+
+# ------------------------------------------------- LSH-bucketed ANN (scale path)
+
+def ann_lsh(ds, query_ids: np.ndarray, query_matrix: np.ndarray, k: int,
+            n_planes: int = 12, seed: int = 42,
+            concurrency: int = 4, batch_size: int = 2048):
+    """Approximate top-k cosine neighbors via random-hyperplane LSH.
+
+    The scale path next to brute-force ``knn_search``: each row/query gets
+    a sign-bit bucket per hyperplane set; a row is reranked against a
+    query ONLY if their buckets agree in >= (n_planes - 2) bits (multi-
+    probe by Hamming radius 2 — cheap popcount against the broadcast
+    query buckets instead of n_tables replicas). Exact cosine rerank on
+    the surviving candidates; global top-k by groupby(query).
+    """
+    import ray
+
+    rng = np.random.default_rng(seed)
+    dim = query_matrix.shape[1]
+    planes = rng.standard_normal((dim, n_planes))
+    qn = query_matrix / np.maximum(
+        np.linalg.norm(query_matrix, axis=1, keepdims=True), 1e-12)
+    weights = (1 << np.arange(n_planes, dtype=np.uint64))
+    q_buckets = ((qn @ planes) > 0).astype(np.uint64) @ weights
+    ref = ray.put((query_ids, qn, q_buckets, planes))
+
+    class Probe:
+        def __init__(self):
+            self.q_ids, self.qm, self.qb, self.planes = ray.get(ref)
+
+        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+            emb = np.stack(batch["embedding"].to_numpy()).astype(np.float64)
+            emb /= np.maximum(np.linalg.norm(emb, axis=1, keepdims=True), 1e-12)
+            rb = ((emb @ self.planes) > 0).astype(np.uint64) @ weights
+            # Hamming distance row-bucket vs every query bucket (queries are
+            # few — the broadcast side); popcount via bit tricks
+            x = rb[:, None] ^ self.qb[None, :]
+            ham = np.zeros(x.shape, np.int64)
+            while x.any():
+                ham += (x & 1).astype(np.int64)
+                x >>= 1
+            ii, jj = np.nonzero(ham <= 2)
+            if len(ii) == 0:
+                return pd.DataFrame({"vec_id": [], "query_id": [], "cos": []})
+            cos = np.einsum("ij,ij->i", emb[ii], self.qm[jj])
+            return pd.DataFrame({
+                "vec_id": batch["vec_id"].to_numpy()[ii],
+                "query_id": self.q_ids[jj],
+                "cos": cos,
+            })
+
+    from wned_ray.util import safe_concurrency
+
+    cands = ds.map_batches(Probe, batch_format="pandas",
+                           batch_size=batch_size,
+                           concurrency=safe_concurrency(concurrency))
+
+    def head_k(g: pd.DataFrame) -> pd.DataFrame:
+        return g.sort_values(["cos", "vec_id"], ascending=[False, True]).head(k)
+
+    return cands.groupby("query_id").map_groups(head_k, batch_format="pandas")
+
+
 # ------------------------------------------------------------- text analysis
 
 _EN_STOP = ["the", "and", "of", "to", "a", "in", "is", "it", "that", "for"]

@@ -21,6 +21,8 @@ The driver owns the Ray session; nothing here calls ray.init().
 
 from __future__ import annotations
 
+import os
+
 import pyarrow.parquet as pq
 
 from wned_ray.config import PipelineConfig
@@ -46,10 +48,22 @@ def run_linkage(transcripts_path: str, aliases_path: str,
     import ray.data as rd
 
     if num_partitions is None:
-        # shuffle partitions sized to the cluster: enough for parallelism,
-        # not so many that hash-shuffle aggregator actors oversubscribe a
-        # small cluster (at multi-node scale pass an explicit larger value)
-        num_partitions = max(2, int(ray.cluster_resources().get("CPU", 4)))
+        # Shuffle partitions are sized to the DATA, not the cluster: every
+        # Dataset.join spawns num_partitions aggregator actors, so tying
+        # this to CPU count makes a 32-CPU run pay 4x the actor-spawn +
+        # coordination overhead of an 8-CPU run on identical input (it
+        # measurably INVERTED scaling on the 500k-turn bench). ~64 MB of
+        # input per partition, floor 8; multi-node jobs on much larger
+        # input get proportionally more partitions from the same rule.
+        try:
+            input_bytes = os.path.getsize(transcripts_path)
+        except OSError:
+            input_bytes = 0
+        cluster_cpus = int(ray.cluster_resources().get("CPU", 4))
+        # capped at cluster CPUs: each partition is an aggregator actor,
+        # and a pool larger than the cluster deadlocks a tiny session
+        num_partitions = max(2, min(cluster_cpus,
+                                    max(8, input_bytes // (64 << 20))))
 
     ckpt = cfg.checkpoint_dir
     base_fp = lineage_fingerprint(cfg.fingerprint(), transcripts_path,

@@ -15,9 +15,11 @@ The Ray-Data-native recast of the reference's two alias tiers:
   LSH join runs over |distinct surfaces| rows, not |mentions|.
 
 ``norm_blocks`` output schema: one row per (distinct norm, band):
-``(norm_mention, n_mentions, block_key, band_idx, mb0..mb{bands-1})``
-where ``mb*`` are the mixed (band, hash) keys used for the
-first-collision-band dedup in stages/pairs.py.
+``(norm_mention, n_mentions, block_key, band_idx)`` — deliberately slim,
+since the blocking table is both a checkpointed stage and the (doubled)
+payload of the pair-generation self-join; cross-band pair dedup happens
+downstream as a cheap groupby-min over the collided pairs
+(stages/pairs.py), not by shipping per-norm band vectors.
 
 Skew discipline (north_rule): a block's weight is the SUM of member
 mention counts (identical to the mention-level block size); keys over
@@ -38,19 +40,15 @@ from wned_ray.functions.minhash import block_keys_with_bands
 
 def _explode_norms(batch: pa.Table, cfg: PipelineConfig) -> pa.Table:
     norm = batch["norm_mention"].to_pylist()
-    row_idx, keys, band_idx, mixed = block_keys_with_bands(
+    row_idx, keys, band_idx, _ = block_keys_with_bands(
         norm, cfg.shingle_k, cfg.num_perm, cfg.band_rows, cfg.seed)
     take = pa.array(row_idx, pa.int64())
-    mixed_rows = mixed[row_idx]
-    cols = {
+    return pa.table({
         "norm_mention": batch["norm_mention"].take(take),
         "n_mentions": batch["n_mentions"].take(take),
         "block_key": keys,
         "band_idx": pa.array(band_idx, pa.int32()),
-    }
-    for b in range(cfg.num_bands):
-        cols[f"mb{b}"] = pa.array(mixed_rows[:, b], pa.uint64())
-    return pa.table(cols)
+    })
 
 
 def norm_blocks(prepared_ds, cfg: PipelineConfig):

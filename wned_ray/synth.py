@@ -67,6 +67,12 @@ _TOPIC_WORDS = ["ledger", "orbit", "kernel", "harvest", "signal", "meadow",
                 "anchor", "breeze", "canyon", "dynamo", "fjord", "glacier",
                 "harbor", "island"]
 _ROLES = ["user", "assistant", "tool"]
+# transcripts are written in small row groups so ray.data.read_parquet can
+# split the file into many blocks — one giant row group caps every
+# downstream stage at single-task parallelism (a parquet row group is the
+# minimum read-split unit). _FORMAT versions the on-disk fixture cache.
+_ROW_GROUP = 16_384
+_FORMAT = 2
 _TOOLS = ["", "search", "code", "browser"]
 
 
@@ -200,7 +206,7 @@ def generate_corpus(spec: CorpusSpec, out_dir: str,
         "ts": pa.array(ts.astype("datetime64[us]")),
     })
     tr_path = os.path.join(out_dir, "transcripts.parquet")
-    pq.write_table(transcripts, tr_path)
+    pq.write_table(transcripts, tr_path, row_group_size=_ROW_GROUP)
 
     # ---- aliases dim table (normalized alias key, like the reference's
     # lowercased lookup key CandidateSelectionLucene.java:95)
@@ -294,7 +300,7 @@ def generate_corpus(spec: CorpusSpec, out_dir: str,
 
     with open(os.path.join(out_dir, "_SPEC.json"), "w") as f:
         json.dump({"spec": asdict(spec), "fingerprint": spec.fingerprint(),
-                   "tables": sorted(paths)}, f, indent=2)
+                   "format": _FORMAT, "tables": sorted(paths)}, f, indent=2)
     return paths
 
 
@@ -306,7 +312,10 @@ def ensure_corpus(spec: CorpusSpec, base_dir: str = "/tmp/wned_ray_fixtures"
     expected = ["transcripts", "aliases", "graph_edges"] + (
         ["labels", "expected_clusters"] if spec.with_labels else [])
     if os.path.exists(manifest):
+        with open(manifest) as f:
+            meta = json.load(f)
         paths = {t: os.path.join(out_dir, f"{t}.parquet") for t in expected}
-        if all(os.path.exists(p) for p in paths.values()):
+        if (meta.get("format") == _FORMAT
+                and all(os.path.exists(p) for p in paths.values())):
             return paths
     return generate_corpus(spec, out_dir)
