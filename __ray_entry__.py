@@ -305,29 +305,30 @@ def _q_tfidf_top_terms(sf_dir: str):
 
 
 def _q_abbrev_tokens(sf_dir: str):
-    """M12 analog: distinct abbreviation-shaped tokens per document
-    (single word, 2-10 chars, >=2 uppercase letters)."""
+    """M12 analog (abbreviation detector, ``…/cs/MentionExpansion.java:
+    126-158``): abbreviation-shaped tokens — single word, 2-10 chars,
+    >=2 uppercase letters — extracted and counted corpus-wide (the
+    documents table is all-lowercase, so this runs over the orders
+    priority strings, the only mixed-case text in the fixture set)."""
     import pyarrow as pa
     import pyarrow.compute as pc
 
-    ds = _rd().read_parquet(f"{sf_dir}/documents.parquet",
-                            columns=["doc_id", "text"])
+    from ray.data.aggregate import Count
+
+    ds = _rd().read_parquet(f"{sf_dir}/orders.parquet",
+                            columns=["o_orderpriority"])
 
     def ab(batch: pa.Table) -> pa.Table:
-        toks = pc.split_pattern_regex(batch["text"], r"\s+")
+        toks = pc.split_pattern_regex(batch["o_orderpriority"], r"\s+")
         flat = pc.list_flatten(toks)
-        parents = pc.list_parent_indices(toks)
         ln = pc.utf8_length(flat)
         n_upper = pc.count_substring_regex(flat, "[A-Z]")
         keep = pc.and_(pc.and_(pc.greater_equal(ln, 2), pc.less_equal(ln, 10)),
                        pc.greater_equal(n_upper, 2))
-        t = pa.table({"doc_id": batch["doc_id"].take(parents.filter(keep)),
-                      "token": flat.filter(keep)})
-        return t.group_by(["doc_id", "token"]).aggregate([])
+        return pa.table({"token": flat.filter(keep)})
 
     return (ds.map_batches(ab, batch_format="pyarrow")
-            .groupby(["doc_id", "token"]).count()
-            .select_columns(["doc_id", "token"]))
+            .groupby("token").aggregate(Count(alias_name="n")))
 
 
 def _q_per_user_top_event(sf_dir: str):
@@ -764,11 +765,12 @@ def oracle_sql() -> dict[str, str]:
             "ORDER BY tf.tf * ln(n_docs * 1.0 / df.df) DESC, tf.term) <= 5"
         ),
         "abbrev_tokens": (
-            "SELECT DISTINCT doc_id, "
-            "unnest(regexp_extract_all(text, '\\S+')) AS token "
-            "FROM documents "
-            "QUALIFY length(token) BETWEEN 2 AND 10 "
-            "AND length(regexp_replace(token, '[^A-Z]', '', 'g')) >= 2"
+            "SELECT token, count(*) AS n FROM ("
+            "SELECT unnest(regexp_extract_all(o_orderpriority, '\\S+')) "
+            "AS token FROM orders) "
+            "WHERE length(token) BETWEEN 2 AND 10 "
+            "AND length(regexp_replace(token, '[^A-Z]', '', 'g')) >= 2 "
+            "GROUP BY token"
         ),
         "per_user_top_event": (
             "SELECT user_id, event_id, "

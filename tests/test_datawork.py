@@ -131,3 +131,53 @@ def test_multimodal_stub_plumbing(ray_session):
     stub = MultimodalDecodeStub(fake=False)
     with pytest.raises(NotImplementedError):
         stub.decode_payload(b"\x89PNG")
+
+
+def test_idf_and_tfidf_top_terms(ray_session):
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray
+    import ray.data as rd
+
+    from wned_ray.pipelines.datawork import idf_table, tfidf_top_terms
+
+    docs = pd.DataFrame({
+        "doc_id": [1, 2, 3],
+        "text": ["apple banana apple", "banana cherry", "apple Cherry cherry"],
+    })
+    ds = rd.from_pandas(docs)
+    idf = idf_table(ds).to_pandas().set_index("term")
+    # df: apple 2, banana 2, cherry 2 -> idf = ln(3/2)
+    assert set(idf.index) == {"apple", "banana", "cherry"}
+    assert np.allclose(idf["idf"], np.log(3 / 2))
+
+    idf_tbl = pa.Table.from_pandas(idf.reset_index(), preserve_index=False)
+    top = tfidf_top_terms(ds, ray.put(idf_tbl), k=1).to_pandas()
+    top = top.sort_values("doc_id").reset_index(drop=True)
+    assert list(top["term"]) == ["apple", "banana", "cherry"]
+    assert list(top["tf"]) == [2, 1, 2]
+
+
+def test_ann_lsh_matches_bruteforce_on_clusters(ray_session):
+    import numpy as np
+    import ray.data as rd
+
+    from wned_ray.pipelines.datawork import ann_lsh, knn_search
+
+    rng = np.random.default_rng(7)
+    centers = rng.standard_normal((4, 16)) * 5
+    vecs = np.concatenate([c + 0.05 * rng.standard_normal((50, 16))
+                           for c in centers])
+    ids = np.arange(len(vecs))
+    ds = rd.from_items([{"vec_id": int(i), "embedding": v.tolist()}
+                        for i, v in zip(ids, vecs)])
+    q_ids = np.array([0, 50, 100])
+    qm = vecs[q_ids]
+    exact = knn_search(ds, q_ids, qm, k=5).to_pandas()
+    approx = ann_lsh(ds, q_ids, qm, k=5).to_pandas()
+    # on tightly clustered data the LSH buckets keep the true neighbors
+    e = exact.groupby("query_id")["vec_id"].apply(set)
+    a = approx.groupby("query_id")["vec_id"].apply(set)
+    recalls = [len(e[q] & a.get(q, set())) / len(e[q]) for q in q_ids]
+    assert np.mean(recalls) >= 0.8, recalls

@@ -93,3 +93,27 @@ def test_random_fuzz_levenshtein_and_jw():
     for i in range(100):
         assert lev[i] == strsim.levenshtein_scalar(a[i], b[i]), (a[i], b[i])
         assert jw[i] == pytest.approx(strsim.jaro_winkler_scalar(a[i], b[i]), abs=1e-12), (a[i], b[i])
+
+
+def test_abbreviation_predicate():
+    from wned_ray.functions.strsim import is_abbreviation
+
+    assert is_abbreviation("IBM")
+    assert is_abbreviation("U.S.")
+    assert not is_abbreviation("Ibm")          # only one uppercase
+    assert not is_abbreviation("I")            # too short
+    assert not is_abbreviation("ABCDEFGHIJK")  # too long (11)
+    assert not is_abbreviation("two words")    # not a single word
+
+
+def test_abbrev_sim_orders():
+    from wned_ray.functions.strsim import abbrev_sim, extract_abbrev
+
+    assert extract_abbrev("International Business Machines") == "IBM"
+    exact = abbrev_sim("IBM", "International Business Machines")
+    scrambled = abbrev_sim("BMI", "International Business Machines")
+    wrong = abbrev_sim("IBM", "Apple Computer Inc")
+    assert exact == 1.0
+    assert scrambled == 1.0      # letter-sorted comparison is order-free
+    assert wrong < exact
+    assert abbrev_sim("", "Whatever Name") == 0.0
