@@ -24,8 +24,14 @@ import time
 
 
 def _corpus_spec(sf_dir: str):
-    from wned_ray.synth import BENCH, T1, T2
+    from wned_ray.synth import BENCH, SCALE, T1, T2
 
+    if os.environ.get("GRAFT_SCALING_TIER"):
+        # --scaling runs on the ~8M-turn SCALE corpus: large enough that
+        # the data path dominates fixed costs (actor spawn, driver CC,
+        # stage barriers), so the 8-vs-32-CPU ratio measures scaling of
+        # the distributed pipeline rather than constant overhead
+        return SCALE
     base = os.path.basename(os.path.normpath(sf_dir))
     if base.endswith("0.001"):
         return T1
@@ -68,6 +74,17 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
     n_clusters = out["clusters"].count()
     t_link = time.time() - t0
     queries["er_linkage"] = round(t_link, 3)
+
+    if os.environ.get("GRAFT_SCALING_TIER"):
+        ray.shutdown()
+        return {
+            "metric": "er_linkage_wall_sec", "value": round(t_link, 3),
+            "unit": "sec", "queries": queries,
+            "sf": os.path.basename(os.path.normpath(sf_dir)),
+            "num_cpus": num_cpus, "turns": n_turns,
+            "turns_per_sec": round(n_turns / t_link, 1),
+            "clusters": n_clusters,
+        }
 
     t0 = time.time()
     docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
@@ -114,8 +131,10 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
     }
 
 
-def _subprocess_run(ncpu: int, sf_dir: str) -> dict:
+def _subprocess_run(ncpu: int, sf_dir: str, scaling: bool = False) -> dict:
     env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), GRAFT_SF_DIR=sf_dir)
+    if scaling:
+        env["GRAFT_SCALING_TIER"] = "1"
     out = subprocess.run([sys.executable, os.path.abspath(__file__)], env=env,
                          capture_output=True, text=True, check=True,
                          cwd=os.path.dirname(os.path.abspath(__file__)))
@@ -126,8 +145,8 @@ def main() -> None:
     sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
     if "--scaling" in sys.argv:
         lo, hi = 8, 32
-        r_lo = _subprocess_run(lo, sf_dir)
-        r_hi = _subprocess_run(hi, sf_dir)
+        r_lo = _subprocess_run(lo, sf_dir, scaling=True)
+        r_hi = _subprocess_run(hi, sf_dir, scaling=True)
         eff = (r_lo["value"] / r_hi["value"]) / (hi / lo)
         print(json.dumps({
             "metric": "scaling_efficiency",
@@ -137,6 +156,7 @@ def main() -> None:
             "cpus_lo": lo, "cpus_hi": hi,
             "turns_per_sec_lo": r_lo["turns_per_sec"],
             "turns_per_sec_hi": r_hi["turns_per_sec"],
+            "turns": r_lo["turns"],
             "sf": r_lo["sf"],
         }))
         return

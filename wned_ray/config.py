@@ -82,13 +82,20 @@ class PipelineConfig:
                                  #   name_weight*name_sim
     match_threshold: float = 0.75  # pairs scoring below are non-matches (NIL)
 
+    # --- pair expansion ---
+    pair_mode: str = "star"      # "star": representative<->member pairs
+                                 # (linear in mentions; same transitive
+                                 # clusters); "all": exhaustive
+                                 # within-block all-pairs (quadratic)
+
     # --- scoring actor pool ---
     score_batch_size: int = 4096
     score_concurrency: int | None = None  # None => auto: cluster CPUs - 2
 
     # --- connected components ---
     cc_max_rounds: int = 12
-    cc_driver_max_pairs: int = 5_000_000  # fast-path union-find cutoff
+    cc_driver_max_pairs: int = 20_000_000  # driver union-find cutoff, applied
+                                          # AFTER distributed edge contraction
 
     # --- checkpointing ---
     checkpoint_dir: str | None = None
@@ -96,6 +103,8 @@ class PipelineConfig:
     def __post_init__(self) -> None:
         if self.rank_scheme not in RANK_SCHEMES:
             raise ValueError(f"rank_scheme must be one of {RANK_SCHEMES}")
+        if self.pair_mode not in ("star", "all"):
+            raise ValueError("pair_mode must be 'star' or 'all'")
         if self.num_perm % self.band_rows != 0:
             raise ValueError("num_perm must be divisible by band_rows")
         if not (0.0 < self.ppr_alpha < 1.0):

@@ -60,10 +60,15 @@ def run_linkage(transcripts_path: str, aliases_path: str,
         except OSError:
             input_bytes = 0
         cluster_cpus = int(ray.cluster_resources().get("CPU", 4))
-        # capped at cluster CPUs: each partition is an aggregator actor,
-        # and a pool larger than the cluster deadlocks a tiny session
+        # ~8 MB of compressed transcript input per partition: the shuffled
+        # volume (blocking rows, expanded pairs with context payloads) is
+        # an order of magnitude larger than the input, so 64 MB/partition
+        # left the heaviest joins running through a handful of aggregator
+        # actors. Capped at cluster CPUs: each partition is an aggregator
+        # actor, and a pool larger than the cluster deadlocks a tiny
+        # session; floor 8 keeps small inputs from serializing the join.
         num_partitions = max(2, min(cluster_cpus,
-                                    max(8, input_bytes // (64 << 20))))
+                                    max(8, input_bytes // (8 << 20))))
 
     ckpt = cfg.checkpoint_dir
     base_fp = lineage_fingerprint(cfg.fingerprint(), transcripts_path,

@@ -46,19 +46,26 @@ def _explode_norms(batch: pa.Table, cfg: PipelineConfig) -> pa.Table:
     return pa.table({
         "norm_mention": batch["norm_mention"].take(take),
         "n_mentions": batch["n_mentions"].take(take),
+        "rep_id": batch["rep_id"].take(take),
         "block_key": keys,
         "band_idx": pa.array(band_idx, pa.int32()),
     })
 
 
 def norm_blocks(prepared_ds, cfg: PipelineConfig):
-    """prepared Dataset -> exploded blocking rows over DISTINCT norms."""
-    from ray.data.aggregate import Count
+    """prepared Dataset -> exploded blocking rows over DISTINCT norms.
+
+    One groupby yields both the distinct norms and, per norm, the mention
+    count (hot-key weights) and the lexicographic min mention id — the
+    deterministic REPRESENTATIVE used by star-mode pair expansion
+    (stages/pairs.py); no extra shuffle."""
+    from ray.data.aggregate import Count, Min
 
     norms = (prepared_ds
-             .select_columns(["norm_mention"])
+             .select_columns(["norm_mention", "mention_id"])
              .groupby("norm_mention")
-             .aggregate(Count(alias_name="n_mentions")))
+             .aggregate(Count(alias_name="n_mentions"),
+                        Min("mention_id", alias_name="rep_id")))
     return norms.map_batches(lambda b: _explode_norms(b, cfg),
                              batch_format="pyarrow")
 

@@ -68,6 +68,35 @@ def _union_find_driver(edges: pd.DataFrame) -> pd.DataFrame:
     return pd.DataFrame({"mention_id": node_arr, "cluster_id": rep.to_numpy()})
 
 
+def contract_edges(matched_ds, batch_size: int = 1 << 18):
+    """Distributed edge contraction: per batch, replace the edge set with
+    its local spanning forest (star edges node -> local min root).
+
+    The union of per-batch spanning forests has exactly the same connected
+    components as the full edge list, but the exact tier's within-surface
+    m^2 cliques collapse to m-1 star edges — and the scored-pair batches
+    are surface-clustered (they come out of the norm_b-partitioned expand
+    join), so the compression is real. This is the map-side combine that
+    makes the driver union-find viable at large scale; the distributed
+    label-propagation path remains the fallback above the cutoff."""
+    def forest(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "id_a": batch["id_a"].to_pylist(),
+            "id_b": batch["id_b"].to_pylist(),
+        })
+        out = _union_find_driver(df)          # local, vectorized
+        m = out["mention_id"] != out["cluster_id"]
+        return pa.table({
+            "id_a": pa.array(out.loc[m, "cluster_id"].to_numpy(dtype=object),
+                             pa.string()),
+            "id_b": pa.array(out.loc[m, "mention_id"].to_numpy(dtype=object),
+                             pa.string()),
+        })
+
+    return matched_ds.select_columns(["id_a", "id_b"]).map_batches(
+        forest, batch_format="pyarrow", batch_size=batch_size)
+
+
 def _label_hash_sum(labels_ds) -> int:
     def h(batch: pa.Table) -> pa.Table:
         import zlib
@@ -129,13 +158,20 @@ def _distributed_cc(matched_ds, cfg: PipelineConfig,
 
 def connected_components(matched_ds, cfg: PipelineConfig, mode: str = "auto"):
     """matched-pairs Dataset (id_a, id_b) -> Dataset (mention_id, cluster_id)
-    for every mention that appears in at least one matched pair."""
+    for every mention that appears in at least one matched pair.
+
+    The edge list is first CONTRACTED (per-batch spanning forests — same
+    components, far fewer edges); the driver/distributed decision is made
+    on the contracted size."""
     import ray.data as rd
 
-    if mode == "auto":
-        matched_ds = matched_ds.select_columns(["id_a", "id_b"]).materialize()
-        mode = ("driver" if matched_ds.count() <= cfg.cc_driver_max_pairs
-                else "distributed")
+    if mode in ("auto", "driver"):
+        contracted = contract_edges(matched_ds).materialize()
+        if mode == "auto":
+            mode = ("driver"
+                    if contracted.count() <= cfg.cc_driver_max_pairs
+                    else "distributed")
+        matched_ds = contracted
     if mode == "driver":
         edges = matched_ds.select_columns(["id_a", "id_b"]).to_pandas()
         out = _union_find_driver(edges)
@@ -161,27 +197,40 @@ def assign_clusters(prepared_ds, matched_ds, cfg: PipelineConfig,
     import ray.data as rd
     from ray.data.aggregate import Min
 
-    if mode == "auto":
-        matched_ds = matched_ds.select_columns(["id_a", "id_b"]).materialize()
-        mode = ("driver" if matched_ds.count() <= cfg.cc_driver_max_pairs
-                else "distributed")
+    if mode in ("auto", "driver"):
+        matched_ds = contract_edges(matched_ds).materialize()
+        if mode == "auto":
+            mode = ("driver"
+                    if matched_ds.count() <= cfg.cc_driver_max_pairs
+                    else "distributed")
 
     if mode == "driver":
         out = _union_find_driver(
             matched_ds.select_columns(["id_a", "id_b"]).to_pandas())
-        lut_ref = ray.put(dict(zip(out["mention_id"], out["cluster_id"])))
+        # broadcast LUT as two SORTED parallel arrays: numpy searchsorted
+        # lookup per batch, and array (de)serialization is far cheaper
+        # than a multi-million-entry dict
+        order = np.argsort(out["mention_id"].to_numpy(dtype=object))
+        keys = out["mention_id"].to_numpy(dtype=object)[order]
+        vals = out["cluster_id"].to_numpy(dtype=object)[order]
+        lut_ref = ray.put((keys, vals))
 
         class Assign:
             def __init__(self):
-                self.lut = ray.get(lut_ref)
+                self.keys, self.vals = ray.get(lut_ref)
 
             def __call__(self, batch: pa.Table) -> pa.Table:
-                mids = pd.Series(batch["mention_id"].to_pylist(), dtype=object)
-                cl = mids.map(self.lut).fillna(mids)
+                mids = np.asarray(batch["mention_id"].to_pylist(),
+                                  dtype=object)
+                cl = mids.copy()                      # default: singleton
+                if len(self.keys):
+                    pos = np.searchsorted(self.keys, mids)
+                    np.clip(pos, 0, len(self.keys) - 1, out=pos)
+                    hit = self.keys[pos] == mids
+                    cl[hit] = self.vals[pos[hit]]
                 return pa.table({
                     "mention_id": batch["mention_id"],
-                    "cluster_id": pa.array(cl.to_numpy(dtype=object),
-                                           pa.string()),
+                    "cluster_id": pa.array(cl, pa.string()),
                 })
 
         return prepared_ds.select_columns(["mention_id"]).map_batches(

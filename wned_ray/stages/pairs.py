@@ -33,6 +33,7 @@ bounded by cap^2.
 
 from __future__ import annotations
 
+import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
@@ -40,53 +41,71 @@ from wned_ray.config import PipelineConfig
 
 
 def _drop_hot(hot_keys: set[str]):
-    hot_arr = pa.array(sorted(hot_keys))
+    """Anti-join filter against the broadcast hot-key set.
+
+    The hot set can reach ~1e6 keys (every block of a heavy surface is
+    hot), so it is shipped ONCE via ``ray.put`` and read zero-copy per
+    task — capturing the array in the closure would re-serialize it with
+    every task submission."""
+    import ray
+
+    hot_ref = ray.put(pa.array(sorted(hot_keys)))
 
     def fn(batch: pa.Table) -> pa.Table:
+        hot_arr = ray.get(hot_ref)          # local zero-copy plasma read
         return batch.filter(
             pc.invert(pc.is_in(batch["block_key"], value_set=hot_arr)))
 
     return fn
 
 
+NP_COLS = ["norm_a", "norm_b", "rep_a", "rep_b", "block_key"]
+
+
 def norm_pairs(norm_blocks_ds, hot_keys: set[str], cfg: PipelineConfig,
                num_partitions: int = 16):
-    """Distinct-norm blocking rows -> Dataset (norm_a, norm_b, block_key)
-    of candidate DISTINCT-surface pairs, plus the exact tier's self pairs
-    (norm_a == norm_b for every surviving norm with >= 2 mentions)."""
+    """Distinct-norm blocking rows -> Dataset (norm_a, norm_b, rep_a,
+    rep_b, block_key) of candidate DISTINCT-surface pairs, plus the exact
+    tier's self pairs (norm_a == norm_b for every surviving norm with
+    >= 2 mentions). ``rep_*`` are the per-norm representative mention ids
+    (min mention_id, assigned in the blocking groupby)."""
     from ray.data.aggregate import Min
 
     if hot_keys:
         norm_blocks_ds = norm_blocks_ds.map_batches(
             _drop_hot(hot_keys), batch_format="pyarrow")
     slim = norm_blocks_ds.select_columns(
-        ["norm_mention", "n_mentions", "block_key"]).materialize()
+        ["norm_mention", "n_mentions", "rep_id", "block_key"]).materialize()
 
-    left = (slim.select_columns(["norm_mention", "block_key"])
-            .rename_columns({"norm_mention": "norm_a"}))
-    right = (slim.select_columns(["norm_mention", "block_key"])
-             .rename_columns({"norm_mention": "norm_b"}))
+    left = (slim.select_columns(["norm_mention", "rep_id", "block_key"])
+            .rename_columns({"norm_mention": "norm_a", "rep_id": "rep_a"}))
+    right = (slim.select_columns(["norm_mention", "rep_id", "block_key"])
+             .rename_columns({"norm_mention": "norm_b", "rep_id": "rep_b"}))
     joined = left.join(right, join_type="inner",
                        num_partitions=num_partitions, on=("block_key",))
 
     def canon(batch: pa.Table) -> pa.Table:
         keep = pc.less(batch["norm_a"], batch["norm_b"])
-        return batch.filter(keep).select(["norm_a", "norm_b", "block_key"])
+        return batch.filter(keep).select(NP_COLS)
 
     fuzzy = (joined.map_batches(canon, batch_format="pyarrow")
              .groupby(["norm_a", "norm_b"])
-             .aggregate(Min("block_key", alias_name="block_key")))
+             .aggregate(Min("rep_a", alias_name="rep_a"),
+                        Min("rep_b", alias_name="rep_b"),
+                        Min("block_key", alias_name="block_key")))
 
     # exact tier: each surviving multi-mention norm pairs with itself once
     # (min non-hot block key as the deterministic representative)
     exact_src = (slim
                  .filter(expr="n_mentions > 1")
                  .groupby("norm_mention")
-                 .aggregate(Min("block_key", alias_name="block_key")))
+                 .aggregate(Min("rep_id", alias_name="rep_id"),
+                            Min("block_key", alias_name="block_key")))
 
     def to_self(batch: pa.Table) -> pa.Table:
         return pa.table({
             "norm_a": batch["norm_mention"], "norm_b": batch["norm_mention"],
+            "rep_a": batch["rep_id"], "rep_b": batch["rep_id"],
             "block_key": batch["block_key"],
         })
 
@@ -103,6 +122,10 @@ def expand_pairs(mentions_ds, norm_pairs_ds, cfg: PipelineConfig,
     feature columns from ``score_norm_pairs``) ride through the joins
     unchanged — they are functions of the unordered norm pair, so the
     id-canonicalizing swap below does not touch them."""
+    rep_cols = [c for c in ("rep_a", "rep_b")
+                if c in norm_pairs_ds.schema().names]
+    if rep_cols:                         # all-pairs mode ignores reps
+        norm_pairs_ds = norm_pairs_ds.drop_columns(rep_cols)
     extras = [c for c in norm_pairs_ds.schema().names
               if c not in ("norm_a", "norm_b", "block_key")]
     ma = mentions_ds.rename_columns({
@@ -144,6 +167,110 @@ def expand_pairs(mentions_ds, norm_pairs_ds, cfg: PipelineConfig,
     return j2.map_batches(canonical, batch_format="pyarrow")
 
 
+def expand_pairs_star(mentions_ds, norm_pairs_ds, cfg: PipelineConfig,
+                      num_partitions: int = 16):
+    """Star-mode expansion: one pair per (representative, member) within a
+    surface and one pair per (representative_a, representative_b) across
+    surfaces — instead of all-pairs.
+
+    Connected components are IDENTICAL to all-pairs expansion whenever the
+    match decision is uniform within a surface group, which it is up to
+    the small local-context term: prior, semantic and name similarity are
+    functions of the norm pair alone, so every within-surface pair shares
+    the same base score. All-pairs emits m(m-1)/2 rows per surface —
+    quadratic in mentions-per-surface and the dominant cost at corpus
+    scale; star emits m-1. The reference itself never scores
+    surface-identical mention pairs — identical surfaces share one
+    candidate map entry (``CandidateSelectionLucene.java:90-212``).
+    ``cfg.pair_mode='all'`` keeps the exhaustive expansion.
+
+    The representative-context dim (one row per distinct surface in any
+    pair) is broadcast as sorted parallel arrays — vocabulary-sized, so
+    within broadcast range at the design point; at extreme surface
+    cardinality shard it or use pair_mode='all', which attaches contexts
+    purely via hash joins. The only mention-scale hash join left is the
+    exact tier's member attach.
+    """
+    import ray
+
+    feats = [c for c in norm_pairs_ds.schema().names if c not in NP_COLS]
+
+    exact = norm_pairs_ds.filter(expr="norm_a == norm_b")
+    fuzzy = norm_pairs_ds.filter(expr="norm_a != norm_b")
+
+    rep_ids = norm_pairs_ds.select_columns(["rep_a"]).union(
+        norm_pairs_ds.select_columns(["rep_b"])
+        .rename_columns({"rep_b": "rep_a"}))
+    reps = rep_ids.groupby("rep_a").count().select_columns(["rep_a"])
+    reps_ctx_df = reps.join(
+        mentions_ds.select_columns(["mention_id", "ctx"])
+        .rename_columns({"mention_id": "rep_a", "ctx": "rep_ctx"}),
+        join_type="inner", num_partitions=num_partitions,
+        on=("rep_a",)).to_pandas()
+    order = np.argsort(reps_ctx_df["rep_a"].to_numpy(dtype=object))
+    rep_keys = reps_ctx_df["rep_a"].to_numpy(dtype=object)[order]
+    rep_ctxs = reps_ctx_df["rep_ctx"].to_numpy(dtype=object)[order]
+    lut_ref = ray.put((rep_keys, rep_ctxs))
+
+    def _lookup(keys, ctxs, ids):
+        out = np.full(len(ids), "", dtype=object)
+        if len(keys) and len(ids):
+            pos = np.searchsorted(keys, ids)
+            np.clip(pos, 0, len(keys) - 1, out=pos)
+            hit = keys[pos] == ids
+            out[hit] = ctxs[pos[hit]]
+        return out
+
+    out_cols = ["id_a", "id_b", "norm_a", "norm_b", "ctx_a", "ctx_b",
+                "block_key"] + feats
+
+    # ---- fuzzy tier: rep_a <-> rep_b, both contexts from the broadcast
+    def fuzzy_emit(batch: pa.Table) -> pa.Table:
+        keys, ctxs = ray.get(lut_ref)
+        ra = np.asarray(batch["rep_a"].to_pylist(), dtype=object)
+        rb = np.asarray(batch["rep_b"].to_pylist(), dtype=object)
+        swap = ra > rb
+        ida = np.where(swap, rb, ra)
+        idb = np.where(swap, ra, rb)
+        na = np.asarray(batch["norm_a"].to_pylist(), dtype=object)
+        nb = np.asarray(batch["norm_b"].to_pylist(), dtype=object)
+        return pa.table(dict(
+            {"id_a": pa.array(ida, pa.string()),
+             "id_b": pa.array(idb, pa.string()),
+             "norm_a": pa.array(np.where(swap, nb, na), pa.string()),
+             "norm_b": pa.array(np.where(swap, na, nb), pa.string()),
+             "ctx_a": pa.array(_lookup(keys, ctxs, ida), pa.string()),
+             "ctx_b": pa.array(_lookup(keys, ctxs, idb), pa.string()),
+             "block_key": batch["block_key"]},
+            **{c: batch[c] for c in feats})).select(out_cols)
+
+    fuzzy_pairs = fuzzy.map_batches(fuzzy_emit, batch_format="pyarrow")
+
+    # ---- exact tier: rep <-> every other member of the surface; the
+    # member attach is star mode's single mention-scale hash join
+    e1 = exact.join(
+        mentions_ds.rename_columns({"norm_mention": "norm_a",
+                                    "mention_id": "id_b",
+                                    "ctx": "ctx_b"}),
+        join_type="inner", num_partitions=num_partitions, on=("norm_a",))
+
+    def exact_emit(batch: pa.Table) -> pa.Table:
+        keys, ctxs = ray.get(lut_ref)
+        keep = pc.not_equal(batch["id_b"], batch["rep_a"])
+        b = batch.filter(keep)
+        reps_arr = np.asarray(b["rep_a"].to_pylist(), dtype=object)
+        return pa.table(dict(
+            {"id_a": b["rep_a"], "id_b": b["id_b"],
+             "norm_a": b["norm_a"], "norm_b": b["norm_a"],
+             "ctx_a": pa.array(_lookup(keys, ctxs, reps_arr), pa.string()),
+             "ctx_b": b["ctx_b"],
+             "block_key": b["block_key"]},
+            **{c: b[c] for c in feats})).select(out_cols)
+
+    exact_pairs = e1.map_batches(exact_emit, batch_format="pyarrow")
+    return fuzzy_pairs.union(exact_pairs)
+
+
 def gen_pairs(prepared_ds, norm_blocks_ds, hot_keys: set[str],
               cfg: PipelineConfig, num_partitions: int = 16,
               alias_ref=None, graph_ref=None):
@@ -160,4 +287,9 @@ def gen_pairs(prepared_ds, norm_blocks_ds, hot_keys: set[str],
         from wned_ray.stages.scoring import score_norm_pairs
 
         np_ds = score_norm_pairs(np_ds, alias_ref, graph_ref, cfg)
+    if cfg.pair_mode == "star":
+        # norm-pair set is consumed by several star-expansion branches;
+        # pin it (it is |distinct surface pairs|-sized, small)
+        np_ds = np_ds.materialize()
+        return expand_pairs_star(mentions, np_ds, cfg, num_partitions)
     return expand_pairs(mentions, np_ds, cfg, num_partitions)

@@ -93,7 +93,15 @@ def checkpoint_dataset(ds_factory: Callable[[], "Any"], *, stage: str,
     files = sorted(glob.glob(os.path.join(out_dir, "*.parquet")))
     import pyarrow.parquet as pq
 
-    rows = sum(pq.read_metadata(f).num_rows for f in files)
+    partitions = []
+    for f in files:
+        md = pq.read_metadata(f)
+        partitions.append({
+            "file": os.path.basename(f),
+            "rows": md.num_rows,
+            "bytes": os.path.getsize(f),
+        })
+    rows = sum(p["rows"] for p in partitions)
     man = {
         "stage": stage,
         "fingerprint": fingerprint,
@@ -101,6 +109,7 @@ def checkpoint_dataset(ds_factory: Callable[[], "Any"], *, stage: str,
         "row_count": rows,
         "num_files": len(files),
         "written_at": time.strftime("%Y-%m-%dT%H:%M:%S"),
+        "partitions": partitions,       # per-partition lineage + metrics
         "metrics": metrics or {},
     }
     with open(manifest_path(ckpt_dir, stage), "w") as f:

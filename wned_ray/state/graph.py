@@ -207,18 +207,66 @@ class SignatureKernel:
         self.gamma, self.eps = gamma, eps
         self.hub_threshold = hub_threshold
         self._cache: dict[int, np.ndarray] = {}
+        # small graphs: dense full-graph signatures, memoized per entity.
+        # Large graphs: per-PAIR joint-subgraph signatures (K1 discipline —
+        # the reference also never runs PPR on the whole KB; it extracts a
+        # hub-thresholded subgraph first, SubGraphGenerator.java:105-188).
+        # A dense cache at 1e5+ nodes would cost nodes^2 floats.
         self._global = graph.num_nodes <= small_graph_limit
         self._rel_cache: dict[tuple[int, int], float] = {}
+        if self._global:
+            # graph-static PPR normalization, computed ONCE (recomputing
+            # rows/row-sums per call made each signature O(edges) slower)
+            n = graph.num_nodes
+            rows = np.repeat(np.arange(n), np.diff(graph.indptr))
+            row_sums = np.zeros(n)
+            np.add.at(row_sums, rows, graph.weights.astype(np.float64))
+            self._rows = rows
+            self._norm_w = (graph.weights.astype(np.float64)
+                            / np.maximum(row_sums[rows], 1e-300))
+            self._dangling = row_sums == 0
+
+    def _ppr_global(self, node: int) -> np.ndarray:
+        n = self.g.num_nodes
+        r = np.zeros(n)
+        r[node] = 1.0
+        rank = r.copy()
+        for _ in range(self.max_iter):
+            spread = np.zeros(n)
+            np.add.at(spread, self.g.indices, rank[self._rows] * self._norm_w)
+            dangling_mass = rank[self._dangling].sum()
+            new = self.alpha * (spread + dangling_mass * r) + (1 - self.alpha) * r
+            delta = float(np.abs(new - rank).sum())
+            rank = new
+            if delta <= self.tol:
+                break
+        return rank
 
     def signature(self, node: int) -> np.ndarray:
         sig = self._cache.get(node)
         if sig is None:
-            restart = np.zeros(self.g.num_nodes)
-            restart[node] = 1.0
-            sig = ppr(self.g.indptr, self.g.indices, self.g.weights, restart,
-                      self.alpha, self.max_iter, self.tol)
+            sig = self._ppr_global(node)
             self._cache[node] = sig
         return sig
+
+    def _relatedness_subgraph(self, a: int, b: int) -> float:
+        """Joint-subgraph signatures for large graphs: expand around both
+        seeds with the hub threshold (K1), run both 1-hot PPRs on the
+        induced CSR (small dense vectors on a shared support), ZeroKL."""
+        nodes = self.g.subgraph_nodes(np.array([a, b], np.int64),
+                                      self.hub_threshold)
+        indptr, indices, weights, node_ids = self.g.induced_csr(nodes)
+        pos = {int(x): i for i, x in enumerate(node_ids)}
+        ra = np.zeros(len(nodes))
+        rb = np.zeros(len(nodes))
+        ra[pos[a]] = 1.0
+        rb[pos[b]] = 1.0
+        sa = ppr(indptr, indices, weights, ra, self.alpha, self.max_iter,
+                 self.tol)
+        sb = ppr(indptr, indices, weights, rb, self.alpha, self.max_iter,
+                 self.tol)
+        kl = zero_kl_divergence(sa, sb, self.gamma, self.eps)
+        return float(sem_sim_from_kl(kl))
 
     def relatedness(self, a: int, b: int) -> float:
         if a == b:
@@ -226,9 +274,13 @@ class SignatureKernel:
         key = (a, b) if a < b else (b, a)
         v = self._rel_cache.get(key)
         if v is None:
-            kl = zero_kl_divergence(self.signature(key[0]), self.signature(key[1]),
-                                    self.gamma, self.eps)
-            v = float(sem_sim_from_kl(kl))
+            if self._global:
+                kl = zero_kl_divergence(self.signature(key[0]),
+                                        self.signature(key[1]),
+                                        self.gamma, self.eps)
+                v = float(sem_sim_from_kl(kl))
+            else:
+                v = self._relatedness_subgraph(key[0], key[1])
             self._rel_cache[key] = v
         return v
 

@@ -72,7 +72,7 @@ _ROLES = ["user", "assistant", "tool"]
 # downstream stage at single-task parallelism (a parquet row group is the
 # minimum read-split unit). _FORMAT versions the on-disk fixture cache.
 _ROW_GROUP = 16_384
-_FORMAT = 2
+_FORMAT = 3
 _TOOLS = ["", "search", "code", "browser"]
 
 
@@ -97,11 +97,25 @@ T1 = CorpusSpec(n_entities=60, n_convs=125, turns_per_conv=8)          # ~1k tur
 T2 = CorpusSpec(n_entities=400, n_convs=1250, turns_per_conv=16)       # ~20k turns
 BENCH = CorpusSpec(n_entities=4000, n_convs=31250, turns_per_conv=16,  # ~500k turns
                    with_labels=False)
+# SCALE: the scaling-efficiency corpus (~8M turns). Large enough that
+# parallel compute dominates the pipeline's fixed costs (actor spawn,
+# driver-side CC, stage barriers), so the 8-vs-32-CPU comparison measures
+# scaling of the DATA path, the in-sandbox stand-in for N vs 4N nodes.
+# Entities scale 16x with the 16x turns so per-surface mention counts —
+# and therefore the exact-tier pair count per surface, which grows
+# QUADRATICALLY in mentions-per-surface — keep the same shape as BENCH.
+SCALE = CorpusSpec(n_entities=64000, n_convs=500_000, turns_per_conv=16,
+                   with_labels=False)
 
 
 def _entity_names(n: int, rng: np.random.Generator) -> list[str]:
     """n unique two-word TitleCase names; first words unique per entity."""
     first_combos = ["".join(c) for c in itertools.product(_SYL1, _SYL1, _SYL1)]
+    if n > len(first_combos):       # large tiers: extend to 4-syllable words
+        first_combos += ["".join(c) for c in
+                         itertools.islice(itertools.product(
+                             _SYL1, _SYL1, _SYL1, _SYL1),
+                             n - len(first_combos))]
     assert n <= len(first_combos)
     idx = rng.permutation(len(first_combos))[:n]
     firsts = [first_combos[i].capitalize() for i in idx]
@@ -148,14 +162,25 @@ def generate_corpus(spec: CorpusSpec, out_dir: str,
     conv_topic = conv_idx % n_topics
 
     # entities available to each conversation: entities_per_conv from its topic
+    # vectorized: per conversation, entities_per_conv distinct members of
+    # its topic via argsort of a random matrix (no per-conv Python — the
+    # SCALE tier has 5e5 conversations)
     ent_of_topic = np.arange(spec.n_entities) // spec.topic_size  # entity -> topic
-    topic_members = [np.nonzero(ent_of_topic == t)[0] for t in range(n_topics)]
-    conv_entities = np.empty((spec.n_convs, spec.entities_per_conv), np.int64)
-    for c in range(spec.n_convs):
-        members = topic_members[conv_topic[c] % n_topics]
-        pick = rng.choice(members, size=min(spec.entities_per_conv, len(members)),
-                          replace=False)
-        conv_entities[c] = np.resize(pick, spec.entities_per_conv)
+    members_of = np.full((n_topics, spec.topic_size), -1, np.int64)
+    for t in range(n_topics):
+        m = np.nonzero(ent_of_topic == t)[0]
+        members_of[t, :len(m)] = np.resize(m, min(len(m), spec.topic_size))
+        if len(m) < spec.topic_size:
+            members_of[t, len(m):] = np.resize(m, spec.topic_size - len(m))
+    kpick = min(spec.entities_per_conv, spec.topic_size)
+    order = np.argsort(rng.random((spec.n_convs, spec.topic_size)), axis=1)
+    picks = order[:, :kpick]
+    topic_of_conv = np.arange(spec.n_convs) % n_topics
+    conv_entities = members_of[topic_of_conv[:, None], picks]
+    if kpick < spec.entities_per_conv:
+        reps = np.tile(conv_entities,
+                       (spec.entities_per_conv + kpick - 1) // kpick)
+        conv_entities = reps[:, :spec.entities_per_conv]
 
     slot = rng.integers(0, spec.entities_per_conv, size=n_turns)
     turn_entity = conv_entities[conv_idx, slot]
