@@ -144,7 +144,12 @@ def _subprocess_run(ncpu: int, sf_dir: str, scaling: bool = False) -> dict:
 def main() -> None:
     sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
     if "--scaling" in sys.argv:
-        lo, hi = 8, 32
+        # default N=8 vs 4N=32; override with GRAFT_SCALE_CPUS="2,8" etc.
+        # (on one box, high CPU counts saturate shared memory bandwidth /
+        # object-store throughput that a real multi-node cluster scales
+        # with node count — the lower pair isolates CPU scaling)
+        pair = os.environ.get("GRAFT_SCALE_CPUS", "8,32").split(",")
+        lo, hi = int(pair[0]), int(pair[1])
         r_lo = _subprocess_run(lo, sf_dir, scaling=True)
         r_hi = _subprocess_run(hi, sf_dir, scaling=True)
         eff = (r_lo["value"] / r_hi["value"]) / (hi / lo)

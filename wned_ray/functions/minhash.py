@@ -137,16 +137,12 @@ def block_keys_for(texts: "np.ndarray | list[str]", k: int, num_perm: int,
     row_idx = np.repeat(np.arange(n, dtype=np.int64), bands)
     band_idx = np.tile(np.arange(bands, dtype=np.int64), n)
     keys = bk.reshape(-1)
-    # block key string "band:hash" — string keys groupby cleanly across blocks
-    import pyarrow.compute as pc
+    # numeric mixed (band, hash) block key: uint64 keys shuffle/sort/hash
+    # far cheaper than the equivalent "band:hash" strings at corpus scale
     import pyarrow as pa
 
-    key_str = pc.binary_join_element_wise(
-        pc.cast(pa.array(band_idx), pa.string()),
-        pc.cast(pa.array(keys), pa.string()),
-        ":",
-    )
-    return row_idx, key_str
+    key_arr = pa.array(mix_band(band_idx.astype(np.uint64), keys), pa.uint64())
+    return row_idx, key_arr
 
 
 def jaccard_from_signatures(sig_a: np.ndarray, sig_b: np.ndarray) -> np.ndarray:
@@ -166,10 +162,10 @@ def block_keys_with_bands(texts, k: int, num_perm: int, band_rows: int,
                           seed: int):
     """Exploded blocking arrays plus per-row band metadata.
 
-    Returns (row_idx int64[n*bands], key_str StringArray, band_idx
+    Returns (row_idx int64[n*bands], key uint64 Array, band_idx
     int64[n*bands], mixed uint64[n, bands]) where ``mixed[i]`` is the full
     mixed-band-key vector of text i (identical for every exploded row of i).
-    The key strings are byte-identical to ``block_keys_for``'s.
+    Keys are numerically identical to ``block_keys_for``'s.
     """
     grams, offsets = shingle_gram_hashes(texts, k)
     sig = minhash_signatures(grams, offsets, num_perm, seed)
@@ -178,13 +174,8 @@ def block_keys_with_bands(texts, k: int, num_perm: int, band_rows: int,
     row_idx = np.repeat(np.arange(n, dtype=np.int64), bands)
     band_idx = np.tile(np.arange(bands, dtype=np.int64), n)
     keys = bk.reshape(-1)
-    import pyarrow.compute as pc
     import pyarrow as pa
 
-    key_str = pc.binary_join_element_wise(
-        pc.cast(pa.array(band_idx), pa.string()),
-        pc.cast(pa.array(keys), pa.string()),
-        ":",
-    )
+    key_arr = pa.array(mix_band(band_idx.astype(np.uint64), keys), pa.uint64())
     mixed = mix_band(np.arange(bands, dtype=np.uint64)[None, :], bk)
-    return row_idx, key_str, band_idx, mixed
+    return row_idx, key_arr, band_idx, mixed

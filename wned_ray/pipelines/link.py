@@ -85,8 +85,15 @@ def run_linkage(transcripts_path: str, aliases_path: str,
                 fingerprint=lineage_fingerprint(base_fp, stage))
         return factory().materialize()
 
+    # explicit read split: Ray's default sizes read tasks for ~128MB
+    # output blocks, which fuses the read+prepare map into a handful of
+    # tasks and caps the first stage's parallelism regardless of CPUs
+    read_blocks = max(4 * num_partitions, 64)
     prepared = persist(
-        lambda: prepare(rd.read_parquet(transcripts_path), cfg), "prepared")
+        lambda: prepare(rd.read_parquet(transcripts_path,
+                                        override_num_blocks=read_blocks),
+                        cfg),
+        "prepared")
 
     # blocking runs over DISTINCT normalized surfaces (see stages/blocking.py)
     blocking = persist(lambda: norm_blocks(prepared, cfg), "blocking")

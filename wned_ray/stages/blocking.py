@@ -70,7 +70,7 @@ def norm_blocks(prepared_ds, cfg: PipelineConfig):
                              batch_format="pyarrow")
 
 
-def hot_block_keys(norm_blocks_ds, cfg: PipelineConfig) -> set[str]:
+def hot_block_keys(norm_blocks_ds, cfg: PipelineConfig) -> set[int]:
     """Block keys whose total MENTION weight exceeds the cap.
 
     Weight = sum of n_mentions over the block's member norms — identical

@@ -207,34 +207,41 @@ def assign_clusters(prepared_ds, matched_ds, cfg: PipelineConfig,
     if mode == "driver":
         out = _union_find_driver(
             matched_ds.select_columns(["id_a", "id_b"]).to_pandas())
-        # broadcast LUT as two SORTED parallel arrays: numpy searchsorted
-        # lookup per batch, and array (de)serialization is far cheaper
-        # than a multi-million-entry dict
-        order = np.argsort(out["mention_id"].to_numpy(dtype=object))
-        keys = out["mention_id"].to_numpy(dtype=object)[order]
-        vals = out["cluster_id"].to_numpy(dtype=object)[order]
-        lut_ref = ray.put((keys, vals))
+        # broadcast LUT as two SORTED fixed-width-unicode arrays: numpy
+        # searchsorted on '<U' dtype runs C-level memcmp (object-dtype
+        # searchsorted does per-element Python string comparison — tens of
+        # seconds at millions of keys), and array (de)serialization is far
+        # cheaper than a multi-million-entry dict
+        keys_u = np.asarray(out["mention_id"].tolist(), dtype=str)
+        vals_u = np.asarray(out["cluster_id"].tolist(), dtype=str)
+        kw = max(keys_u.dtype.itemsize, vals_u.dtype.itemsize) // 4
+        order = np.argsort(keys_u)
+        lut_ref = ray.put((keys_u[order], vals_u[order], kw))
 
         class Assign:
             def __init__(self):
-                self.keys, self.vals = ray.get(lut_ref)
+                self.keys, self.vals, self.kw = ray.get(lut_ref)
 
             def __call__(self, batch: pa.Table) -> pa.Table:
-                mids = np.asarray(batch["mention_id"].to_pylist(),
-                                  dtype=object)
-                cl = mids.copy()                      # default: singleton
+                raw = batch["mention_id"]
+                out_ids = np.asarray(raw.to_pylist(), dtype=object)
                 if len(self.keys):
+                    mids = out_ids.astype(f"U{self.kw}")
                     pos = np.searchsorted(self.keys, mids)
                     np.clip(pos, 0, len(self.keys) - 1, out=pos)
                     hit = self.keys[pos] == mids
-                    cl[hit] = self.vals[pos[hit]]
+                    # ids longer than the LUT width truncate in `mids`;
+                    # a true match can never exceed the LUT's own width
+                    lens = pc.utf8_length(raw).to_numpy(zero_copy_only=False)
+                    hit &= lens <= self.kw
+                    out_ids[hit] = self.vals[pos[hit]]
                 return pa.table({
-                    "mention_id": batch["mention_id"],
-                    "cluster_id": pa.array(cl, pa.string()),
+                    "mention_id": raw,
+                    "cluster_id": pa.array(out_ids, pa.string()),
                 })
 
         return prepared_ds.select_columns(["mention_id"]).map_batches(
-            Assign, batch_format="pyarrow", concurrency=(1, 8))
+            Assign, batch_format="pyarrow", concurrency=(1, 16))
 
     comp = connected_components(matched_ds, cfg, mode=mode)
     singles = prepared_ds.select_columns(["mention_id"]).map_batches(

@@ -40,7 +40,7 @@ import pyarrow.compute as pc
 from wned_ray.config import PipelineConfig
 
 
-def _drop_hot(hot_keys: set[str]):
+def _drop_hot(hot_keys: set[int]):
     """Anti-join filter against the broadcast hot-key set.
 
     The hot set can reach ~1e6 keys (every block of a heavy surface is
@@ -49,7 +49,7 @@ def _drop_hot(hot_keys: set[str]):
     every task submission."""
     import ray
 
-    hot_ref = ray.put(pa.array(sorted(hot_keys)))
+    hot_ref = ray.put(pa.array(sorted(hot_keys), pa.uint64()))
 
     def fn(batch: pa.Table) -> pa.Table:
         hot_arr = ray.get(hot_ref)          # local zero-copy plasma read
@@ -62,7 +62,7 @@ def _drop_hot(hot_keys: set[str]):
 NP_COLS = ["norm_a", "norm_b", "rep_a", "rep_b", "block_key"]
 
 
-def norm_pairs(norm_blocks_ds, hot_keys: set[str], cfg: PipelineConfig,
+def norm_pairs(norm_blocks_ds, hot_keys: set[int], cfg: PipelineConfig,
                num_partitions: int = 16):
     """Distinct-norm blocking rows -> Dataset (norm_a, norm_b, rep_a,
     rep_b, block_key) of candidate DISTINCT-surface pairs, plus the exact
@@ -271,7 +271,7 @@ def expand_pairs_star(mentions_ds, norm_pairs_ds, cfg: PipelineConfig,
     return fuzzy_pairs.union(exact_pairs)
 
 
-def gen_pairs(prepared_ds, norm_blocks_ds, hot_keys: set[str],
+def gen_pairs(prepared_ds, norm_blocks_ds, hot_keys: set[int],
               cfg: PipelineConfig, num_partitions: int = 16,
               alias_ref=None, graph_ref=None):
     """prepared + norm blocking -> canonical, unique candidate mention

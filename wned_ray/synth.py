@@ -72,7 +72,7 @@ _ROLES = ["user", "assistant", "tool"]
 # downstream stage at single-task parallelism (a parquet row group is the
 # minimum read-split unit). _FORMAT versions the on-disk fixture cache.
 _ROW_GROUP = 16_384
-_FORMAT = 3
+_FORMAT = 4
 _TOOLS = ["", "search", "code", "browser"]
 
 
@@ -271,7 +271,8 @@ def generate_corpus(spec: CorpusSpec, out_dir: str,
         mention_norm = normalize_names(pa.array(mention.astype(object))).to_pylist()
         row_idx, keys = block_keys_for(mention_norm, cfg.shingle_k, cfg.num_perm,
                                        cfg.band_rows, cfg.seed)
-        bdf = pd.DataFrame({"row": row_idx, "key": keys.to_pylist()})
+        bdf = pd.DataFrame({"row": row_idx,
+                            "key": keys.to_numpy(zero_copy_only=False)})
         bdf = bdf.drop_duplicates()                      # one row per (turn, key)
         sizes = bdf.groupby("key")["row"].transform("size")
         bdf = bdf[sizes <= cfg.max_block_size]           # hub filter, same as pipeline
