@@ -39,7 +39,21 @@ def _corpus_for(sf_dir: str):
     return ensure_corpus(spec)
 
 
-_LINKAGE_CACHE: dict[str, tuple] = {}
+_LINKAGE_CACHE: dict[tuple, tuple] = {}
+
+
+def _session_key() -> str:
+    """Current Ray session id — cached Datasets hold object refs that die
+    with the session, so a cache hit across sessions would return handles
+    to freed object-store data (ADVICE.md round 1)."""
+    import ray
+
+    if not ray.is_initialized():
+        return "<none>"
+    try:
+        return ray._private.worker._global_node.session_name
+    except Exception:
+        return "<unknown>"
 
 
 def _linkage(sf_dir: str):
@@ -49,7 +63,8 @@ def _linkage(sf_dir: str):
     persisted stage Datasets are reusable within the Ray session, so one
     run serves all six ER queries instead of six full re-executions.
     """
-    cached = _LINKAGE_CACHE.get(sf_dir)
+    key = (sf_dir, _session_key())
+    cached = _LINKAGE_CACHE.get(key)
     if cached is not None:
         return cached
 
@@ -60,7 +75,8 @@ def _linkage(sf_dir: str):
     cfg = PipelineConfig()
     out = run_linkage(corpus["transcripts"], corpus["aliases"],
                       corpus["graph_edges"], cfg)
-    _LINKAGE_CACHE[sf_dir] = (corpus, cfg, out)
+    _LINKAGE_CACHE.clear()          # one session's handles at a time
+    _LINKAGE_CACHE[key] = (corpus, cfg, out)
     return corpus, cfg, out
 
 

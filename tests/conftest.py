@@ -2,7 +2,28 @@
 
 from __future__ import annotations
 
+import faulthandler
+import signal
+
 import pytest
+
+# Watchdog: one wedged shuffle must fail the test, not hang the harness
+# (round-1 suite hung >9.5 min on a dead Ray session). SIGALRM only fires
+# in the main thread, which is where pytest runs the test body.
+_TEST_TIMEOUT_S = 240
+
+
+@pytest.fixture(autouse=True)
+def _test_watchdog():
+    def _on_alarm(signum, frame):
+        faulthandler.dump_traceback()
+        raise TimeoutError(f"test exceeded {_TEST_TIMEOUT_S}s watchdog")
+
+    old = signal.signal(signal.SIGALRM, _on_alarm)
+    signal.alarm(_TEST_TIMEOUT_S)
+    yield
+    signal.alarm(0)
+    signal.signal(signal.SIGALRM, old)
 
 
 @pytest.fixture(scope="session")

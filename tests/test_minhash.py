@@ -58,3 +58,49 @@ def test_band_keys_shape():
     bk = band_keys(sig, 4)
     assert bk.shape == (2, 16)
     assert not np.array_equal(bk[0], bk[1])
+
+
+def test_block_keys_are_nonnegative_int64():
+    """Ray Data's hash-shuffle aggregates cannot round-trip uint64 values
+    >= 2^63 (they come back as mixed int64 / pickled-extension schemas and
+    segfault Arrow's HashShuffleAggregator — the round-1 ER crash). Block
+    keys must therefore be non-negative int64, always."""
+    import pyarrow as pa
+
+    from wned_ray.functions.minhash import block_keys_with_bands, mix_band
+
+    texts = [f"surface form number {i}" for i in range(200)]
+    _, keys = block_keys_for(texts, k=4, num_perm=64, band_rows=4, seed=7)
+    assert keys.type == pa.int64()
+    vals = keys.to_numpy(zero_copy_only=False)
+    assert (vals >= 0).all()
+
+    _, keys2, _, mixed = block_keys_with_bands(texts, 4, 64, 4, seed=7)
+    assert keys2.type == pa.int64()
+    assert mixed.dtype == np.int64 and (mixed >= 0).all()
+
+    # mix_band masks the top bit even when the raw mix sets it
+    hi = mix_band(np.arange(16, dtype=np.uint64),
+                  np.full(16, 0xFFFF_FFFF_FFFF_FFFF, np.uint64))
+    assert hi.dtype == np.int64 and (hi >= 0).all()
+
+
+def test_high_bit_int64_keys_groupby_roundtrip(ray_session):
+    """Regression for the round-1 segfault: keys with the 63rd bit set
+    must survive a Ray hash-shuffle groupby/aggregate with schema intact."""
+    import pyarrow as pa
+    import ray
+    from ray.data.aggregate import Min, Sum
+
+    keys = np.array([(1 << 62) + 13, (1 << 62) + 13, (1 << 61) - 1, 5, 5, 5],
+                    np.int64)
+    t = pa.table({"block_key": pa.array(keys, pa.int64()),
+                  "n": pa.array([1] * 6, pa.int64())})
+    ds = ray.data.from_arrow(t).repartition(3)
+    out = (ds.groupby("block_key")
+             .aggregate(Sum("n", alias_name="n"), Min("n", alias_name="m"))
+             .take_all())
+    got = {r["block_key"]: r["n"] for r in out}
+    assert got == {(1 << 62) + 13: 2, (1 << 61) - 1: 1, 5: 3}
+    for r in out:
+        assert isinstance(r["block_key"], int)

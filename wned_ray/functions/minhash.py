@@ -137,11 +137,11 @@ def block_keys_for(texts: "np.ndarray | list[str]", k: int, num_perm: int,
     row_idx = np.repeat(np.arange(n, dtype=np.int64), bands)
     band_idx = np.tile(np.arange(bands, dtype=np.int64), n)
     keys = bk.reshape(-1)
-    # numeric mixed (band, hash) block key: uint64 keys shuffle/sort/hash
+    # numeric mixed (band, hash) block key: int64 keys shuffle/sort/hash
     # far cheaper than the equivalent "band:hash" strings at corpus scale
     import pyarrow as pa
 
-    key_arr = pa.array(mix_band(band_idx.astype(np.uint64), keys), pa.uint64())
+    key_arr = pa.array(mix_band(band_idx.astype(np.uint64), keys), pa.int64())
     return row_idx, key_arr
 
 
@@ -151,19 +151,28 @@ def jaccard_from_signatures(sig_a: np.ndarray, sig_b: np.ndarray) -> np.ndarray:
 
 
 def mix_band(band_idx: "np.ndarray | int", band_hash: np.ndarray) -> np.ndarray:
-    """Collapse (band index, band hash) into one uint64 — the numeric twin of
-    the "band:hash" block-key string, used for vectorized hot-key lookups and
-    the first-collision-band pair dedup (stages/pairs.py)."""
+    """Collapse (band index, band hash) into one NON-NEGATIVE int64 — the
+    numeric twin of the "band:hash" block-key string, used for vectorized
+    hot-key lookups and the first-collision-band pair dedup (stages/pairs.py).
+
+    The result is masked to 63 bits and returned as int64: Ray Data's
+    hash-shuffle aggregations do not round-trip uint64 values >= 2^63 —
+    per-partition aggregate outputs come back as a mix of int64 and
+    pickled-object extension columns, and the mixed schemas segfault
+    Arrow's ExecBatchBuilder inside the HashShuffleAggregator (the round-1
+    ER-pipeline crash, VERDICT.md "What's wrong" #1). Losing one key bit
+    only doubles the (negligible) band-hash collision rate."""
     with np.errstate(over="ignore"):
-        return (np.uint64(band_idx) * _MIX ^ np.asarray(band_hash, np.uint64)) * _P
+        mixed = (np.uint64(band_idx) * _MIX ^ np.asarray(band_hash, np.uint64)) * _P
+    return (mixed & np.uint64(0x7FFF_FFFF_FFFF_FFFF)).astype(np.int64)
 
 
 def block_keys_with_bands(texts, k: int, num_perm: int, band_rows: int,
                           seed: int):
     """Exploded blocking arrays plus per-row band metadata.
 
-    Returns (row_idx int64[n*bands], key uint64 Array, band_idx
-    int64[n*bands], mixed uint64[n, bands]) where ``mixed[i]`` is the full
+    Returns (row_idx int64[n*bands], key int64 Array, band_idx
+    int64[n*bands], mixed int64[n, bands]) where ``mixed[i]`` is the full
     mixed-band-key vector of text i (identical for every exploded row of i).
     Keys are numerically identical to ``block_keys_for``'s.
     """
@@ -176,6 +185,6 @@ def block_keys_with_bands(texts, k: int, num_perm: int, band_rows: int,
     keys = bk.reshape(-1)
     import pyarrow as pa
 
-    key_arr = pa.array(mix_band(band_idx.astype(np.uint64), keys), pa.uint64())
+    key_arr = pa.array(mix_band(band_idx.astype(np.uint64), keys), pa.int64())
     mixed = mix_band(np.arange(bands, dtype=np.uint64)[None, :], bk)
     return row_idx, key_arr, band_idx, mixed

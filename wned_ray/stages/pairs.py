@@ -49,7 +49,7 @@ def _drop_hot(hot_keys: set[int]):
     every task submission."""
     import ray
 
-    hot_ref = ray.put(pa.array(sorted(hot_keys), pa.uint64()))
+    hot_ref = ray.put(pa.array(sorted(hot_keys), pa.int64()))
 
     def fn(batch: pa.Table) -> pa.Table:
         hot_arr = ray.get(hot_ref)          # local zero-copy plasma read

@@ -72,7 +72,7 @@ _ROLES = ["user", "assistant", "tool"]
 # downstream stage at single-task parallelism (a parquet row group is the
 # minimum read-split unit). _FORMAT versions the on-disk fixture cache.
 _ROW_GROUP = 16_384
-_FORMAT = 4
+_FORMAT = 5
 _TOOLS = ["", "search", "code", "browser"]
 
 
