@@ -181,3 +181,51 @@ def test_ann_lsh_matches_bruteforce_on_clusters(ray_session):
     a = approx.groupby("query_id")["vec_id"].apply(set)
     recalls = [len(e[q] & a.get(q, set())) / len(e[q]) for q in q_ids]
     assert np.mean(recalls) >= 0.8, recalls
+
+
+def test_embedding_near_dup_lsh_finds_planted_pairs(ray_session):
+    """LSH-bucketed scale path vs the exact baseline on planted near-dups:
+    every planted pair (cos >= 0.97) must be found by both methods and the
+    two methods must agree on the pair set at the 0.95 threshold."""
+    import ray.data as rd
+
+    from wned_ray.pipelines.datawork import embedding_near_dup
+
+    rng = np.random.default_rng(7)
+    base = rng.standard_normal((120, 32))
+    # plant 20 near-duplicates: tiny perturbations of the first 20 rows
+    near = base[:20] + 0.02 * rng.standard_normal((20, 32))
+    m = np.concatenate([base, near])
+    df = pd.DataFrame({"vec_id": np.arange(len(m), dtype=np.int64),
+                       "embedding": list(m.astype(np.float32))})
+    ds = rd.from_pandas(df)
+
+    exact = embedding_near_dup(ds, threshold=0.95, method="exact").to_pandas()
+    lsh = embedding_near_dup(ds, threshold=0.95, method="lsh",
+                             num_partitions=4).to_pandas()
+    want = {(i, 120 + i) for i in range(20)}
+    got_exact = set(zip(exact["id_a"], exact["id_b"]))
+    got_lsh = set(zip(lsh["id_a"], lsh["id_b"]))
+    assert want <= got_exact
+    assert got_lsh == got_exact          # 12x8 tables: ~0.1% miss at 0.95
+    assert (lsh["cos"] >= 0.95).all()
+
+
+def test_minhash_candidates_hot_band_capped(ray_session):
+    """One 600-copy boilerplate text may not blow up the pair count: its
+    bands exceed max_block and are excluded, so pair count stays bounded
+    by the non-boilerplate content."""
+    import ray.data as rd
+
+    from wned_ray.pipelines.datawork import minhash_candidates
+
+    boiler = ["lorem ipsum dolor sit amet " * 4] * 600
+    uniq = [f"document number {i} with its own distinct words {i*7}"
+            for i in range(50)]
+    df = pd.DataFrame({"doc_id": np.arange(650, dtype=np.int64),
+                       "text": boiler + uniq})
+    ds = rd.from_pandas(df)
+    got = minhash_candidates(ds, id_col="doc_id", max_block=256,
+                             num_partitions=4).to_pandas()
+    # unbounded: the hot band alone emits 600*599/2 = 179_700 pairs
+    assert len(got) < 5_000

@@ -70,7 +70,20 @@ def minhash_candidates(ds, id_col: str, text_col: str = "text",
                        seed: int = 42, max_block: int = 256,
                        num_partitions: int = 16):
     """Near-duplicate candidate pairs via MinHash-LSH (the guide's
-    shingle→band→groupby pattern). Returns Dataset (id_a, id_b)."""
+    shingle→band→groupby pattern). Returns Dataset (id_a, id_b).
+
+    Skew discipline (same as the ER blocking stage, stages/blocking.py):
+    a pre-aggregated count pass finds bands with more than ``max_block``
+    members — one boilerplate band (empty docs, shared headers) would
+    otherwise emit O(n^2) pairs into a single join partition — and an
+    anti-join drops them before the self-join."""
+    from ray.data.aggregate import Count
+
+    from wned_ray.stages.pairs import _drop_hot
+    from wned_ray.util import safe_partitions
+
+    num_partitions = safe_partitions(num_partitions)
+
     def explode(batch: pa.Table) -> pa.Table:
         texts = batch[text_col].to_pylist()
         row_idx, keys = block_keys_for(texts, k, num_perm, band_rows, seed)
@@ -78,7 +91,16 @@ def minhash_candidates(ds, id_col: str, text_col: str = "text",
         return pa.table({"doc_id": batch[id_col].take(take),
                          "block_key": keys})
 
-    exploded = ds.map_batches(explode, batch_format="pyarrow")
+    # materialized: consumed twice (hot-band count pass + the self-join)
+    exploded = ds.map_batches(explode, batch_format="pyarrow").materialize()
+    hot = (exploded.groupby("block_key")
+           .aggregate(Count(alias_name="n"))
+           .filter(expr=f"n > {max_block}"))
+    hot_keys = {r["block_key"] for r in hot.take_all()}
+    if hot_keys:
+        exploded = exploded.map_batches(_drop_hot(hot_keys),
+                                        batch_format="pyarrow")
+
     left = exploded.rename_columns({"doc_id": "id_a"})
     right = exploded.rename_columns({"doc_id": "id_b"})
     joined = left.join(right, join_type="inner",
@@ -86,8 +108,6 @@ def minhash_candidates(ds, id_col: str, text_col: str = "text",
 
     def canonical(batch: pa.Table) -> pa.Table:
         return batch.filter(pc.less(batch["id_a"], batch["id_b"]))
-
-    from ray.data.aggregate import Count
 
     return (joined.map_batches(canonical, batch_format="pyarrow")
             .groupby(["id_a", "id_b"])
@@ -102,6 +122,9 @@ def verify_jaccard(pairs_ds, ds, id_col: str, text_col: str = "text",
     Joins pair ids back to texts (hash joins), then a vectorized-ish
     gram-set kernel per pair. Returns pairs with ``jaccard`` column,
     filtered to >= threshold."""
+    from wned_ray.util import safe_partitions
+
+    num_partitions = safe_partitions(num_partitions)
     texts = ds.select_columns([id_col, text_col])
     a = pairs_ds.join(texts.rename_columns({id_col: "id_a", text_col: "text_a"}),
                       join_type="inner", num_partitions=num_partitions,
@@ -110,44 +133,60 @@ def verify_jaccard(pairs_ds, ds, id_col: str, text_col: str = "text",
                 join_type="inner", num_partitions=num_partitions,
                 on=("id_b",))
 
-    def jac(batch: pd.DataFrame) -> pd.DataFrame:
-        ta = batch["text_a"].tolist()
-        tb = batch["text_b"].tolist()
-        ga, oa = shingle_gram_hashes(ta, k)
-        gb, ob = shingle_gram_hashes(tb, k)
-        out = np.zeros(len(batch))
-        for i in range(len(batch)):
-            sa = np.unique(ga[oa[i]:oa[i + 1]])
-            sb = np.unique(gb[ob[i]:ob[i + 1]])
-            inter = len(np.intersect1d(sa, sb, assume_unique=True))
-            union = len(sa) + len(sb) - inter
-            out[i] = inter / union if union else 1.0
-        res = batch[["id_a", "id_b"]].copy()
-        res["jaccard"] = out
-        return res
+    def _distinct(grams: np.ndarray, offsets: np.ndarray):
+        """(pair_idx, gram) rows deduped per pair — fully vectorized."""
+        idx = np.repeat(np.arange(len(offsets) - 1, dtype=np.uint64),
+                        np.diff(offsets))
+        rows = np.stack([idx, grams], axis=1)
+        return np.unique(rows, axis=0)        # lexicographic sort + dedup
 
-    verified = ab.map_batches(jac, batch_format="pandas")
+    def jac(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        ga, oa = shingle_gram_hashes(batch["text_a"].to_pylist(), k)
+        gb, ob = shingle_gram_hashes(batch["text_b"].to_pylist(), k)
+        a = _distinct(ga, oa)
+        b = _distinct(gb, ob)
+        size_a = np.bincount(a[:, 0].astype(np.int64), minlength=n)
+        size_b = np.bincount(b[:, 0].astype(np.int64), minlength=n)
+        # intersection per pair: rows present on both sides are adjacent
+        # duplicates after a lexicographic sort of the concatenation
+        both = np.concatenate([a, b])
+        order = np.lexsort((both[:, 1], both[:, 0]))
+        sb = both[order]
+        dup = (sb[1:] == sb[:-1]).all(axis=1) if len(sb) > 1 else np.zeros(0, bool)
+        inter = np.bincount(sb[:-1][dup][:, 0].astype(np.int64), minlength=n)
+        union = size_a + size_b - inter
+        out = np.where(union > 0, inter / np.maximum(union, 1), 1.0)
+        return pa.table({"id_a": batch["id_a"], "id_b": batch["id_b"],
+                         "jaccard": pa.array(out, pa.float64())})
+
+    verified = ab.map_batches(jac, batch_format="pyarrow")
     return verified.filter(expr=f"jaccard >= {threshold}")
 
 
 # ------------------------------------------------------------------- SimHash
 
 def simhash(ds, id_col: str, text_col: str = "text", seed: int = 42):
-    """64-bit SimHash per row (token-hash sign aggregation, vectorized)."""
+    """64-bit SimHash per row — whole-batch vectorized: Arrow tokenizer
+    flattens every row's tokens into one array with parent indices, the
+    shingle kernel hashes the flat tokens, and 64 bincounts (one per bit,
+    weights = ±1 signs) do the per-row sign aggregation. No Python loop
+    over rows or tokens."""
     def sh(batch: pa.Table) -> pa.Table:
-        texts = batch[text_col].to_pylist()
-        n = len(texts)
-        out = np.zeros(n, np.uint64)
-        for i, t in enumerate(texts):   # token loop kept simple; tokens are
-            # hashed vectorized per row via the shingle kernel
-            toks = t.lower().split()
-            if not toks:
-                continue
-            g, _ = shingle_gram_hashes(toks, 1 << 30)
-            bits = ((g[:, None] >> np.arange(64, dtype=np.uint64)) & 1).astype(np.int64)
-            acc = (2 * bits - 1).sum(axis=0)
-            out[i] = np.packbits((acc > 0)[::-1]).view(">u8")[0]
-        return batch.select([id_col]).append_column("simhash", pa.array(out))
+        n = batch.num_rows
+        flat, parents = _tokenize_lower(batch[text_col])
+        out = np.zeros((n, 64), np.int64)
+        if len(flat):
+            g, _ = shingle_gram_hashes(flat.to_pylist(), 1 << 30)
+            par = parents.to_numpy(zero_copy_only=False).astype(np.int64)
+            bits = ((g[:, None] >> np.arange(64, dtype=np.uint64)) & 1)
+            signs = 2 * bits.astype(np.int64) - 1       # [tokens, 64]
+            for b in range(64):
+                out[:, b] = np.bincount(par, weights=signs[:, b], minlength=n)
+        keys = ((out > 0).astype(np.uint64)
+                @ (np.uint64(1) << np.arange(64, dtype=np.uint64)))
+        return batch.select([id_col]).append_column(
+            "simhash", pa.array(keys, pa.uint64()))
 
     return ds.map_batches(sh, batch_format="pyarrow")
 
@@ -203,15 +242,142 @@ def knn_search(ds, query_ids: np.ndarray, query_matrix: np.ndarray, k: int,
     return per_batch.groupby("query_id").map_groups(head_k, batch_format="pandas")
 
 
+def _batch_embeddings(col) -> np.ndarray:
+    """list<float> Arrow column -> [n, d] float64 matrix, L2-normalized."""
+    m = np.asarray(col.to_pylist(), dtype=np.float64)
+    if m.ndim == 1:                                 # empty batch
+        m = m.reshape(0, 0)
+    m /= np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+    return m
+
+
 def embedding_near_dup(ds, threshold: float = 0.95, concurrency: int = 4,
-                       batch_size: int = 2048, id_col: str = "vec_id"):
-    """All pairs with cosine >= threshold, via LSH-free block matmul:
-    each batch multiplies against the full (broadcast) normalized matrix.
-    Scale path: pre-bucket by random-hyperplane LSH; this brute-force
-    variant is exact and used as the oracle-checkable baseline."""
+                       batch_size: int = 2048, id_col: str = "vec_id",
+                       method: str = "lsh", n_tables: int = 12,
+                       n_planes: int = 8, seed: int = 42,
+                       num_partitions: int = 16,
+                       max_exact_rows: int = 200_000):
+    """All pairs with cosine >= threshold.
+
+    ``method="lsh"`` (scale path, default): random-hyperplane buckets —
+    ``n_tables`` independent tables of ``n_planes`` sign bits each — a
+    hash-partitioned self-join per bucket key, pair dedup, then an EXACT
+    cosine verify with the embeddings re-attached by join. Everything
+    streams; nothing touches the driver. Recall per pair with cosine c is
+    1-(1-p^P)^T where p = 1-arccos(c)/pi — at the 0.95 default the 12x8
+    table layout misses ~0.1% of true pairs.
+
+    ``method="exact"``: brute-force block matmul of each batch against
+    the full broadcast normalized matrix. Exact at any threshold (the
+    LSH path degrades below ~0.8) but the broadcast is O(n*d) — guarded
+    by ``max_exact_rows``; use it as the small-input oracle baseline.
+    """
+    if method == "exact":
+        return _near_dup_exact(ds, threshold, concurrency, batch_size,
+                               id_col, max_exact_rows)
+
+    from ray.data.aggregate import Count
+
+    from wned_ray.util import safe_partitions
+
+    num_partitions = safe_partitions(num_partitions)
+
+    # Pack each L2-NORMALIZED embedding into a fixed-width float32 binary
+    # blob: Arrow hash joins reject list/tensor payload columns, and the
+    # packed form rides every join below (zero-copy buffer build).
+    def pack(batch: pa.Table) -> pa.Table:
+        m = _batch_embeddings(batch["embedding"]).astype(np.float32)
+        n = batch.num_rows
+        d = m.shape[1] if m.ndim == 2 else 0
+        offsets = (np.arange(n + 1, dtype=np.int32) * (d * 4))
+        emb_bin = pa.Array.from_buffers(
+            pa.binary(), n,
+            [None, pa.py_buffer(offsets.tobytes()), pa.py_buffer(m.tobytes())])
+        return pa.table({"vid": batch[id_col], "emb_bin": emb_bin})
+
+    packed = ds.select_columns([id_col, "embedding"]).map_batches(
+        pack, batch_format="pyarrow")
+
+    def _unpack(col) -> np.ndarray:
+        blobs = col.to_pylist()
+        if not blobs:
+            return np.zeros((0, 0))
+        flat = np.frombuffer(b"".join(blobs), np.float32)
+        return flat.reshape(len(blobs), -1).astype(np.float64)
+
+    def bucketize(batch: pa.Table) -> pa.Table:
+        emb = _unpack(batch["emb_bin"])
+        n, d = emb.shape if emb.ndim == 2 else (0, 0)
+        if n == 0 or d == 0:
+            return pa.table({"vid": pa.array([], batch["vid"].type),
+                             "bucket": pa.array([], pa.int64())})
+        rng = np.random.default_rng(seed)           # same planes every batch
+        planes = rng.standard_normal((d, n_tables * n_planes))
+        bits = (emb @ planes) > 0                   # [n, T*P]
+        weights = (np.uint64(1) << np.arange(n_planes, dtype=np.uint64))
+        keys = np.empty((n, n_tables), np.int64)
+        with np.errstate(over="ignore"):
+            table_salt = (np.arange(n_tables, dtype=np.uint64)
+                          * np.uint64(0x9E3779B97F4A7C15))
+        for t in range(n_tables):
+            raw = bits[:, t * n_planes:(t + 1) * n_planes].astype(np.uint64) @ weights
+            mixed = raw ^ table_salt[t]
+            keys[:, t] = (mixed & np.uint64(0x7FFF_FFFF_FFFF_FFFF)).astype(np.int64)
+        return pa.table({
+            "vid": batch["vid"].take(
+                pa.array(np.repeat(np.arange(n), n_tables), pa.int64())),
+            "bucket": pa.array(keys.reshape(-1), pa.int64()),
+        })
+
+    exploded = packed.map_batches(bucketize, batch_format="pyarrow")
+    left = exploded.rename_columns({"vid": "id_a"})
+    right = exploded.rename_columns({"vid": "id_b"})
+    joined = left.join(right, join_type="inner",
+                       num_partitions=num_partitions, on=("bucket",))
+
+    def canonical(batch: pa.Table) -> pa.Table:
+        return batch.filter(pc.less(batch["id_a"], batch["id_b"]))
+
+    cands = (joined.map_batches(canonical, batch_format="pyarrow")
+             .groupby(["id_a", "id_b"])
+             .aggregate(Count(alias_name="n_tables")))
+
+    a = cands.join(packed.rename_columns({"vid": "id_a",
+                                          "emb_bin": "emb_a"}),
+                   join_type="inner", num_partitions=num_partitions,
+                   on=("id_a",))
+    ab = a.join(packed.rename_columns({"vid": "id_b",
+                                       "emb_bin": "emb_b"}),
+                join_type="inner", num_partitions=num_partitions,
+                on=("id_b",))
+
+    def verify(batch: pa.Table) -> pa.Table:
+        ea = _unpack(batch["emb_a"])
+        eb = _unpack(batch["emb_b"])
+        cos = (np.einsum("ij,ij->i", ea, eb) if ea.size
+               else np.zeros(batch.num_rows))
+        keep = cos >= threshold
+        return pa.table({
+            "id_a": batch["id_a"].filter(pa.array(keep)),
+            "id_b": batch["id_b"].filter(pa.array(keep)),
+            "cos": pa.array(cos[keep], pa.float64()),
+        })
+
+    return ab.map_batches(verify, batch_format="pyarrow")
+
+
+def _near_dup_exact(ds, threshold: float, concurrency: int, batch_size: int,
+                    id_col: str, max_exact_rows: int):
     import ray
 
-    df = ds.select_columns([id_col, "embedding"]).to_pandas()
+    slim = ds.select_columns([id_col, "embedding"]).materialize()
+    n = slim.count()
+    if n > max_exact_rows:
+        raise ValueError(
+            f"embedding_near_dup(method='exact') caps at {max_exact_rows} "
+            f"rows (got {n}): the broadcast matrix is O(n*d) per worker — "
+            "use method='lsh' at scale")
+    df = slim.to_pandas()
     ids = df[id_col].to_numpy()
     m = np.stack(df["embedding"].to_numpy()).astype(np.float64)
     m /= np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
@@ -221,11 +387,10 @@ def embedding_near_dup(ds, threshold: float = 0.95, concurrency: int = 4,
         def __init__(self):
             self.ids, self.m = ray.get(ref)
 
-        def __call__(self, batch: pd.DataFrame) -> pa.Table:
-            emb = np.stack(batch["embedding"].to_numpy()).astype(np.float64)
-            emb /= np.maximum(np.linalg.norm(emb, axis=1, keepdims=True), 1e-12)
-            sims = emb @ self.m.T
-            bids = batch[id_col].to_numpy()
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            emb = _batch_embeddings(batch["embedding"])
+            sims = emb @ self.m.T if emb.size else np.zeros((0, len(self.ids)))
+            bids = np.asarray(batch[id_col].to_pylist())
             ii, jj = np.nonzero(sims >= threshold)
             keep = bids[ii] < self.ids[jj]        # canonical id_a < id_b
             # explicit schema so empty batches keep their columns
@@ -237,9 +402,9 @@ def embedding_near_dup(ds, threshold: float = 0.95, concurrency: int = 4,
 
     from wned_ray.util import safe_concurrency
 
-    return ds.map_batches(NearDup, batch_format="pandas",
-                          batch_size=batch_size,
-                          concurrency=safe_concurrency(concurrency))
+    return slim.map_batches(NearDup, batch_format="pyarrow",
+                            batch_size=batch_size,
+                            concurrency=safe_concurrency(concurrency))
 
 
 # ----------------------------------------------------------- TF-IDF (A2/S7)

@@ -14,3 +14,17 @@ def safe_concurrency(requested: int, reserve: int = 1) -> int:
 
     cpus = int(ray.cluster_resources().get("CPU", 2)) if ray.is_initialized() else 2
     return max(1, min(requested, cpus - reserve))
+
+
+def safe_partitions(requested: int) -> int:
+    """Cap a join/shuffle's num_partitions at the cluster CPU count.
+
+    Every Dataset.join partition is a resident aggregator actor; a
+    partition count above the CPU count on a small session just serializes
+    (or wedges) the exchange. Multi-node clusters report more CPUs and
+    keep the requested width.
+    """
+    import ray
+
+    cpus = int(ray.cluster_resources().get("CPU", 2)) if ray.is_initialized() else 2
+    return max(1, min(requested, cpus))
