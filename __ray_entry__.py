@@ -74,7 +74,8 @@ def _linkage(sf_dir: str):
     corpus = _corpus_for(sf_dir)
     cfg = PipelineConfig()
     out = run_linkage(corpus["transcripts"], corpus["aliases"],
-                      corpus["graph_edges"], cfg)
+                      corpus["graph_edges"], cfg,
+                      redirects_path=corpus.get("redirects"))
     _LINKAGE_CACHE.clear()          # one session's handles at a time
     _LINKAGE_CACHE[key] = (corpus, cfg, out)
     return corpus, cfg, out
@@ -91,7 +92,8 @@ def entry() -> Any:
     corpus = ensure_corpus(T1)
     cfg = PipelineConfig()
     out = run_linkage(corpus["transcripts"], corpus["aliases"],
-                      corpus["graph_edges"], cfg)
+                      corpus["graph_edges"], cfg,
+                      redirects_path=corpus.get("redirects"))
     return out["clusters"]
 
 
@@ -563,10 +565,25 @@ def _q_er_resolve(sf_dir: str):
 
     corpus = _corpus_for(sf_dir)
     cfg = PipelineConfig()
+    from wned_ray.stages.aliases import resolve_redirects_table
+
     prepared = prepare(_rd().read_parquet(corpus["transcripts"]), cfg)
-    alias_ref = ray.put(pq.read_table(corpus["aliases"]))
+    alias_ref = ray.put(resolve_redirects_table(
+        pq.read_table(corpus["aliases"]),
+        pq.read_table(corpus["redirects"])))
     graph_ref = ray.put(pq.read_table(corpus["graph_edges"]))
     return resolve_conversations(prepared, alias_ref, graph_ref, cfg)
+
+
+def _q_alias_redirect_resolved(sf_dir: str):
+    """J6/A4: redirect composition over the alias dim table (the Ray
+    Dataset twin of the dim-table path used inside run_linkage)."""
+    from wned_ray.stages.aliases import resolve_redirects
+
+    corpus = _corpus_for(sf_dir)
+    aliases = _rd().read_parquet(corpus["aliases"])
+    redirects = _rd().read_parquet(corpus["redirects"])
+    return resolve_redirects(aliases, redirects, num_partitions=8)
 
 
 def _q_minhash_dedup(sf_dir: str):
@@ -619,10 +636,18 @@ def _q_ann_lsh(sf_dir: str):
 
 
 def _q_embedding_near_dup(sf_dir: str):
+    """Exact brute-force variant (oracle-checkable vs DuckDB
+    list_cosine_similarity); the LSH-bucketed scale path is unit-tested
+    against this one on planted near-dups. The testdata embeddings are
+    near-orthogonal (max pairwise cosine ~0.51), so the threshold sits at
+    0.4 to actually exercise the pair path. Only the id pair is emitted —
+    cosine values differ between numpy and DuckDB in the last ulps."""
     from wned_ray.pipelines.datawork import embedding_near_dup
 
-    ds = _rd().read_parquet(f"{sf_dir}/embeddings.parquet")
-    return embedding_near_dup(ds, threshold=0.99)
+    ds = _rd().read_parquet(f"{sf_dir}/embeddings.parquet",
+                            columns=["vec_id", "embedding"])
+    return (embedding_near_dup(ds, threshold=0.4, method="exact")
+            .select_columns(["id_a", "id_b"]))
 
 
 def _q_media_features(sf_dir: str):
@@ -680,6 +705,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "er_clusters": _q_er_clusters,
         "er_metrics": _q_er_metrics,
         "er_resolve": _q_er_resolve,
+        "alias_redirect_resolved": _q_alias_redirect_resolved,
         # training-data ops (rows-only)
         "ann_lsh_embeddings": _q_ann_lsh,
         "minhash_dedup_docs": _q_minhash_dedup,
@@ -825,4 +851,33 @@ def oracle_sql() -> dict[str, str]:
             "CAST(e.embedding AS DOUBLE[])) DESC, e.vec_id) <= 5 "
             "ORDER BY query_id, vec_id"
         ),
+        "embedding_near_dup": (
+            "SELECT a.vec_id AS id_a, b.vec_id AS id_b "
+            "FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id "
+            "WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), "
+            "CAST(b.embedding AS DOUBLE[])) >= 0.4"
+        ),
+        "alias_redirect_resolved": _redirect_oracle_sql(),
     }
+
+
+def _redirect_oracle_sql() -> str:
+    """Oracle over the deterministic synthetic fixture (the correctness
+    driver runs at sf0.01 -> the T2 corpus tier); the fixture parquet
+    paths are embedded because only the ten sf tables are pre-registered
+    as views."""
+    from wned_ray.synth import T2, ensure_corpus
+
+    paths = ensure_corpus(T2)
+    return (
+        "WITH a AS (SELECT * FROM read_parquet('{aliases}')), "
+        "r AS (SELECT * FROM read_parquet('{redirects}')), "
+        "u AS ("
+        "SELECT entity, alias, source, freq, 1 AS is_direct FROM a "
+        "UNION ALL "
+        "SELECT a.entity, r.from_alias AS alias, 'redirect' AS source, "
+        "a.freq, 0 AS is_direct FROM a JOIN r ON a.alias = r.to_alias) "
+        "SELECT entity, alias, source, freq FROM u "
+        "QUALIFY row_number() OVER (PARTITION BY entity, alias "
+        "ORDER BY is_direct DESC, source, freq) = 1"
+    ).format(aliases=paths["aliases"], redirects=paths["redirects"])

@@ -70,7 +70,8 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
 
     t0 = time.time()
     out = run_linkage(corpus["transcripts"], corpus["aliases"],
-                      corpus["graph_edges"], cfg)
+                      corpus["graph_edges"], cfg,
+                      redirects_path=corpus.get("redirects"))
     n_clusters = out["clusters"].count()
     t_link = time.time() - t0
     queries["er_linkage"] = round(t_link, 3)

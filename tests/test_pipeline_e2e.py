@@ -15,7 +15,8 @@ from wned_ray.stages.evaluate import pairwise_metrics
 def linked(ray_session, t1_corpus):
     cfg = PipelineConfig()
     out = run_linkage(t1_corpus["transcripts"], t1_corpus["aliases"],
-                      t1_corpus["graph_edges"], cfg)
+                      t1_corpus["graph_edges"], cfg,
+                      redirects_path=t1_corpus["redirects"])
     return t1_corpus, cfg, out
 
 
@@ -69,6 +70,23 @@ def test_clusters_match_expected(linked):
     merged = got.merge(want, on="mention_id", suffixes=("_got", "_want"))
     agree = (merged["cluster_id_got"] == merged["cluster_id_want"]).mean()
     assert agree >= 0.99, agree
+
+
+def test_recall_depends_on_redirect_resolution(linked, ray_session, t1_corpus):
+    """J6/A4: the corpus's "oldname" mentions reach their entity only via
+    the redirects table — a run WITHOUT redirect resolution must lose
+    recall, the run WITH it holds the >=0.99 gate (checked above)."""
+    import ray.data as rd
+
+    corpus, cfg, out = linked
+    bare = run_linkage(corpus["transcripts"], corpus["aliases"],
+                       corpus["graph_edges"], cfg)      # no redirects
+    labels = rd.read_parquet(corpus["labels"])
+    m_with = pairwise_metrics(labels, out["clusters"])
+    m_without = pairwise_metrics(labels, bare["clusters"])
+    assert m_with["micro_recall"] >= 0.99, m_with
+    assert m_without["micro_recall"] < m_with["micro_recall"] - 0.02, (
+        m_without, m_with)
 
 
 def test_resume_from_checkpoint(ray_session, t1_corpus, tmp_path):

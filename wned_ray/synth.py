@@ -72,7 +72,7 @@ _ROLES = ["user", "assistant", "tool"]
 # downstream stage at single-task parallelism (a parquet row group is the
 # minimum read-split unit). _FORMAT versions the on-disk fixture cache.
 _ROW_GROUP = 16_384
-_FORMAT = 5
+_FORMAT = 6
 _TOOLS = ["", "search", "code", "browser"]
 
 
@@ -115,7 +115,11 @@ def _entity_names(n: int, rng: np.random.Generator) -> list[str]:
         first_combos += ["".join(c) for c in
                          itertools.islice(itertools.product(
                              _SYL1, _SYL1, _SYL1, _SYL1),
-                             n - len(first_combos))]
+                             2 * (n - len(first_combos)))]
+        # a 4-syllable concatenation can collide with a 3-syllable one
+        # (syllables are 2-3 chars) — dedupe or two entities could share
+        # their "unique" first word (ADVICE.md round 1)
+        first_combos = list(dict.fromkeys(first_combos))
     assert n <= len(first_combos)
     idx = rng.permutation(len(first_combos))[:n]
     firsts = [first_combos[i].capitalize() for i in idx]
@@ -126,16 +130,28 @@ def _entity_names(n: int, rng: np.random.Generator) -> list[str]:
 
 
 def _alias_variants(name: str, rng: np.random.Generator) -> list[tuple[str, str, int]]:
-    """(surface_form, source, freq) variants for one entity (FIXTURES §1)."""
+    """(surface_form, source, freq) variants for one entity (FIXTURES §1).
+
+    The last variant ("oldname") is the entity's FORMER name: it appears
+    in transcripts but is deliberately ABSENT from the aliases table —
+    it reaches the entity only through the redirects table (old surface
+    -> current primary surface), exactly the reference's redirect
+    composition (``…/kb/KBExtractor.java:190-235``). A pipeline that
+    skips redirect resolution scores these mentions with prior=0 and
+    sem=0 and loses them (recall drop)."""
     first, second = name.split(" ", 1)
     typo_pos = int(rng.integers(1, len(second) - 1))
     typo = second[:typo_pos] + second[typo_pos + 1:]          # drop one char
+    old = second[:-2] + "yx"      # former name: last 2 chars renamed — close
+    # enough to co-block with the primary (shared shingle prefix) but a
+    # distinct surface whose alias entry exists only via the redirect
     return [
         (name, "name", 40),
         (f"{first} {second[0]}.", "link", 10),                # abbreviation
         (f"{_TITLES[int(rng.integers(len(_TITLES)))]} {name}", "link", 5),
         (f"{name} {_SUFFIXES[int(rng.integers(len(_SUFFIXES)))]}", "link", 5),
         (f"{first} {typo.capitalize()}", "redirect", 8),      # typo variant
+        (f"{first} {old.capitalize()}", "oldname", 6),        # redirect-only
     ]
 
 
@@ -188,7 +204,7 @@ def generate_corpus(spec: CorpusSpec, out_dir: str,
     turn_entity = np.where(is_nil, -1, turn_entity)
 
     # variant choice per turn (weighted like alias freqs)
-    variant_p = np.array([40, 10, 5, 5, 8], dtype=np.float64)
+    variant_p = np.array([40, 10, 5, 5, 8, 6], dtype=np.float64)
     variant_p /= variant_p.sum()
     variant = rng.choice(len(variant_p), size=n_turns, p=variant_p)
     # per-entity surface forms drawn with a per-entity rng: the same table
@@ -234,10 +250,12 @@ def generate_corpus(spec: CorpusSpec, out_dir: str,
     pq.write_table(transcripts, tr_path, row_group_size=_ROW_GROUP)
 
     # ---- aliases dim table (normalized alias key, like the reference's
-    # lowercased lookup key CandidateSelectionLucene.java:95)
+    # lowercased lookup key CandidateSelectionLucene.java:95).
+    # The "oldname" variant is EXCLUDED — it is only reachable through the
+    # redirects table (KBExtractor.resolveRedirect semantics).
     alias_rows2 = []
-    src_by_variant = ["name", "link", "link", "link", "redirect"]
-    freq_by_variant = [40, 10, 5, 5, 8]
+    src_by_variant = ["name", "link", "link", "link", "redirect", "oldname"]
+    freq_by_variant = [40, 10, 5, 5, 8, 6]
     for i, name in enumerate(names):
         for v in range(5):
             alias_rows2.append((name, surface_lut[i, v], src_by_variant[v],
@@ -247,6 +265,19 @@ def generate_corpus(spec: CorpusSpec, out_dir: str,
     alias_out = (alias_df.groupby(["entity", "alias", "source"], as_index=False)
                  .agg(freq=("freq", "sum")))[["entity", "alias", "source", "freq"]]
     pq.write_table(pa.Table.from_pandas(alias_out, preserve_index=False), alias_path)
+
+    # ---- redirects dim table: old surface -> current primary surface,
+    # both normalized (the reference's redirect TSV, KBExtractor.java:114-122;
+    # resolved into extra alias rows by stages/aliases.resolve_redirects)
+    old_norm = normalize_names(
+        pa.array([surface_lut[i, 5] for i in range(len(names))])).to_pylist()
+    primary_norm = normalize_names(
+        pa.array([surface_lut[i, 0] for i in range(len(names))])).to_pylist()
+    redirects_df = pd.DataFrame({"from_alias": old_norm,
+                                 "to_alias": primary_norm})
+    redirects_path = os.path.join(out_dir, "redirects.parquet")
+    pq.write_table(pa.Table.from_pandas(redirects_df, preserve_index=False),
+                   redirects_path)
 
     # ---- co-occurrence graph (M4/G1 analog: same-conversation entity pairs)
     ent_name = np.array(names, dtype=object)
@@ -264,7 +295,7 @@ def generate_corpus(spec: CorpusSpec, out_dir: str,
     pq.write_table(pa.Table.from_pandas(graph_df, preserve_index=False), graph_path)
 
     paths = {"transcripts": tr_path, "aliases": alias_path,
-             "graph_edges": graph_path}
+             "graph_edges": graph_path, "redirects": redirects_path}
 
     # ---- labels + expected clusters (gold, at shared blocking keys)
     if spec.with_labels:
@@ -335,7 +366,7 @@ def ensure_corpus(spec: CorpusSpec, base_dir: str = "/tmp/wned_ray_fixtures"
     """Cached corpus keyed by spec fingerprint; regenerates when absent."""
     out_dir = os.path.join(base_dir, spec.fingerprint())
     manifest = os.path.join(out_dir, "_SPEC.json")
-    expected = ["transcripts", "aliases", "graph_edges"] + (
+    expected = ["transcripts", "aliases", "graph_edges", "redirects"] + (
         ["labels", "expected_clusters"] if spec.with_labels else [])
     if os.path.exists(manifest):
         with open(manifest) as f:
