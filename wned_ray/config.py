@@ -41,6 +41,9 @@ class PipelineConfig:
     # --- normalization (M9/M10/M11) ---
     strip_titles: bool = True
     strip_corp_suffixes: bool = True
+    # person-coref substring promotion within a conversation (M8,
+    # ELUtils.resolve:178-208): "varquo" inherits "varquo sotanor"'s norm
+    coref_promote: bool = True
 
     # --- blocking: char shingles -> MinHash -> LSH bands (J2 analog) ---
     shingle_k: int = 4           # char k-grams over normalized mention text

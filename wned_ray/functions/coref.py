@@ -1,0 +1,64 @@
+"""Person-coref substring promotion (M8).
+
+The reference promotes a short mention to a longer co-occurring mention's
+name when the short name is a char-level substring of the long one
+(``/root/reference/src/ca/ualberta/entitylinking/utils/ELUtils.java:178-208``:
+``name2.contains(name1) && name1.length() < name2.length()``, gated on
+PERSON type). The graft applies the same containment rule to normalized
+surface forms WITHIN ONE conversation (the document analog); there is no
+NER type here, so the gate is a minimum length instead.
+
+Deviations from the reference, documented: (a) the reference takes the
+FIRST containing mention in list order (order-dependent); we take the
+longest containing norm with a lexicographic tie-break, deterministic
+under any partitioning; (b) containment must start at a token boundary
+("varquo" may promote to "varquo sotanor" but not to "gulvarquo fenarvo"
+— the reference's PERSON-type gate filters such collisions, we have no
+NER types). The same function drives both the pipeline stage
+(stages/normalize.promote_mentions) and the labels fixture (synth.py), so
+the evaluated pair universes stay aligned.
+"""
+
+from __future__ import annotations
+
+MIN_SHORT_LEN = 3      # no single/double-char promotions ("s" is in everything)
+
+
+def _contains(long: str, short: str) -> bool:
+    """Char-level containment starting at a token boundary."""
+    return long.startswith(short) or (" " + short) in long
+
+
+def promotion_map(norms) -> dict[str, str]:
+    """Distinct normalized surfaces of one conversation -> {short: full}.
+
+    A norm maps to the longest distinct co-occurring norm that contains it
+    (char-level, like the reference); chains resolve by one extra pass
+    ("vq" -> "vq sot" -> "vq sotanor" lands on the longest directly since
+    containment is transitive over substrings of the same winner).
+    """
+    uniq = sorted({n for n in norms if n and len(n) >= MIN_SHORT_LEN})
+    # longest-first, then lexicographic: the first container found wins
+    by_len = sorted(uniq, key=lambda s: (-len(s), s))
+    out: dict[str, str] = {}
+    for n in uniq:
+        for m in by_len:
+            if len(m) <= len(n):
+                break                      # only longer norms can contain n
+            if _contains(m, n):
+                out[n] = m
+                break
+    # collapse chains: a -> b while b -> c becomes a -> c
+    for k in list(out):
+        seen = {k}
+        v = out[k]
+        while v in out and out[v] not in seen:
+            seen.add(v)
+            v = out[v]
+        out[k] = v
+    return out
+
+
+def apply_promotion(norms: list[str]) -> list[str]:
+    m = promotion_map(norms)
+    return [m.get(n, n) for n in norms]

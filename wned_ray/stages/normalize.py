@@ -41,6 +41,35 @@ def prepare_batch(batch: pa.Table, cfg: PipelineConfig) -> pa.Table:
 
 
 def prepare(ds, cfg: PipelineConfig):
-    """transcripts Dataset -> prepared Dataset (stateless tasks)."""
-    return ds.map_batches(lambda b: prepare_batch(b, cfg),
-                          batch_format="pyarrow")
+    """transcripts Dataset -> prepared Dataset (stateless tasks), plus the
+    per-conversation coref promotion shuffle when ``cfg.coref_promote``."""
+    out = ds.map_batches(lambda b: prepare_batch(b, cfg),
+                         batch_format="pyarrow")
+    if cfg.coref_promote:
+        out = promote_mentions(out, cfg)
+    return out
+
+
+def _promote_group(g, _cfg=None):
+    """One conversation: rewrite each short norm to its longest containing
+    co-occurring norm (M8, ``ELUtils.resolve:178-208``). Emits Arrow so
+    every stage boundary stays on Arrow blocks (pandas blocks break the
+    arrow-native Project/rename operators downstream)."""
+    from wned_ray.functions.coref import apply_promotion
+
+    g = g.copy()
+    g["norm_mention"] = apply_promotion(g["norm_mention"].tolist())
+    return pa.Table.from_pandas(g, preserve_index=False)
+
+
+def promote_mentions(prepared_ds, cfg: PipelineConfig):
+    """Person-coref substring promotion, grouped by conversation.
+
+    This is the one deliberately per-document shuffle in the prepare path
+    — the promotion decision needs the conversation's full surface set
+    (reference semantics are per-document). Groups are conversation-sized
+    (tiny), the payload is the prepared row, and the same conv_id
+    partitioning is what downstream per-conv stages (resolve) use."""
+    return (prepared_ds
+            .groupby("conv_id")
+            .map_groups(_promote_group, batch_format="pandas"))

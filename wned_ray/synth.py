@@ -72,7 +72,7 @@ _ROLES = ["user", "assistant", "tool"]
 # downstream stage at single-task parallelism (a parquet row group is the
 # minimum read-split unit). _FORMAT versions the on-disk fixture cache.
 _ROW_GROUP = 16_384
-_FORMAT = 6
+_FORMAT = 7
 _TOOLS = ["", "search", "code", "browser"]
 
 
@@ -152,6 +152,9 @@ def _alias_variants(name: str, rng: np.random.Generator) -> list[tuple[str, str,
         (f"{name} {_SUFFIXES[int(rng.integers(len(_SUFFIXES)))]}", "link", 5),
         (f"{first} {typo.capitalize()}", "redirect", 8),      # typo variant
         (f"{first} {old.capitalize()}", "oldname", 6),        # redirect-only
+        # bare first name: in NO dim table — linkable only through the M8
+        # person-coref promotion to a longer co-occurring surface
+        (first, "barename", 4),
     ]
 
 
@@ -204,7 +207,7 @@ def generate_corpus(spec: CorpusSpec, out_dir: str,
     turn_entity = np.where(is_nil, -1, turn_entity)
 
     # variant choice per turn (weighted like alias freqs)
-    variant_p = np.array([40, 10, 5, 5, 8, 6], dtype=np.float64)
+    variant_p = np.array([40, 10, 5, 5, 8, 6, 4], dtype=np.float64)
     variant_p /= variant_p.sum()
     variant = rng.choice(len(variant_p), size=n_turns, p=variant_p)
     # per-entity surface forms drawn with a per-entity rng: the same table
@@ -253,9 +256,11 @@ def generate_corpus(spec: CorpusSpec, out_dir: str,
     # lowercased lookup key CandidateSelectionLucene.java:95).
     # The "oldname" variant is EXCLUDED — it is only reachable through the
     # redirects table (KBExtractor.resolveRedirect semantics).
+    # (variants 5 "oldname" and 6 "barename" are excluded from aliases:
+    # oldname resolves through redirects, barename through M8 promotion)
     alias_rows2 = []
-    src_by_variant = ["name", "link", "link", "link", "redirect", "oldname"]
-    freq_by_variant = [40, 10, 5, 5, 8, 6]
+    src_by_variant = ["name", "link", "link", "link", "redirect"]
+    freq_by_variant = [40, 10, 5, 5, 8]
     for i, name in enumerate(names):
         for v in range(5):
             alias_rows2.append((name, surface_lut[i, v], src_by_variant[v],
@@ -300,6 +305,16 @@ def generate_corpus(spec: CorpusSpec, out_dir: str,
     # ---- labels + expected clusters (gold, at shared blocking keys)
     if spec.with_labels:
         mention_norm = normalize_names(pa.array(mention.astype(object))).to_pylist()
+        if cfg.coref_promote:
+            # the IDENTICAL per-conversation promotion the pipeline applies
+            # (functions/coref.py) — keeps the labeled pair universe aligned
+            from wned_ray.functions.coref import apply_promotion
+
+            conv_groups = pd.Series(range(n_turns)).groupby(conv_idx).indices
+            for _conv, idx in conv_groups.items():
+                prom = apply_promotion([mention_norm[i] for i in idx])
+                for i, p in zip(idx, prom):
+                    mention_norm[i] = p
         row_idx, keys = block_keys_for(mention_norm, cfg.shingle_k, cfg.num_perm,
                                        cfg.band_rows, cfg.seed)
         bdf = pd.DataFrame({"row": row_idx,
