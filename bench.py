@@ -137,8 +137,11 @@ def _subprocess_run(ncpu: int, sf_dir: str, scaling: bool = False) -> dict:
     if scaling:
         env["GRAFT_SCALING_TIER"] = "1"
     out = subprocess.run([sys.executable, os.path.abspath(__file__)], env=env,
-                         capture_output=True, text=True, check=True,
+                         capture_output=True, text=True,
                          cwd=os.path.dirname(os.path.abspath(__file__)))
+    if out.returncode != 0:
+        sys.stderr.write(out.stderr[-4000:])
+        raise RuntimeError(f"bench child (cpus={ncpu}) failed rc={out.returncode}")
     return json.loads(out.stdout.strip().splitlines()[-1])
 
 

@@ -80,12 +80,22 @@ def run_linkage(transcripts_path: str, aliases_path: str,
         """Pin a fan-out point: Parquet checkpoint when ckpt_dir is set
         (disk, resumable), else object-store materialize (spillable).
         Every dataset below is consumed by more than one downstream branch;
-        leaving them lazy would re-execute the whole upstream per consumer."""
+        leaving them lazy would re-execute the whole upstream per consumer.
+        Emits one [profiling] stderr line per stage (the reference logs the
+        same way, SemanticSignatureEL.java:584-709)."""
+        import sys
+        import time
+
+        t0 = time.time()
         if ckpt:
-            return checkpoint_dataset(
+            out = checkpoint_dataset(
                 factory, stage=stage, ckpt_dir=ckpt,
                 fingerprint=lineage_fingerprint(base_fp, stage))
-        return factory().materialize()
+        else:
+            out = factory().materialize()
+        print(f"[profiling] linkage stage={stage} sec={time.time() - t0:.1f}",
+              file=sys.stderr)
+        return out
 
     # explicit read split: Ray's default sizes read tasks for ~128MB
     # output blocks, which fuses the read+prepare map into a handful of

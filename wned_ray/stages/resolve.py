@@ -52,14 +52,31 @@ class ConversationResolver:
         else:
             self.graph, self.kernel = None, None
 
-    def _sem(self, ent: str, seeds: dict[str, float]) -> float:
-        """Relatedness of candidate ent to the current seed set — the
-        document-signature analog (K4): mean relatedness to seeds."""
+    def _doc_sig(self, seeds: dict[str, float], avoid_ents: set[str]):
+        """K4 document signature: ONE restart-vector PPR from the
+        accumulated seeds, EXCLUDING the current mention's own candidates
+        (``SemanticSignatureEL.java:683-697`` avoid-set discipline — without
+        the exclusion a mention's candidate mass self-reinforces).
+        Returns None on the large-graph path or when no seed mass survives;
+        callers fall back to mean pairwise relatedness."""
+        if self.kernel is None or not seeds:
+            return None
+        n2i = self.graph.name2id
+        seed_nodes = {n2i[s]: w for s, w in seeds.items() if s in n2i}
+        avoid = {n2i[e] for e in avoid_ents if e in n2i}
+        return self.kernel.doc_signature(seed_nodes, avoid)
+
+    def _sem(self, ent: str, seeds: dict[str, float], doc_sig=None) -> float:
+        """Candidate semantic score: ZeroKL vs the doc signature when one
+        exists (K4/K5), else mean pairwise relatedness to the seeds (the
+        large-graph fallback)."""
         if self.kernel is None or not seeds:
             return 0.0
         ie = self.graph.name2id.get(ent)
         if ie is None:
             return 0.0
+        if doc_sig is not None:
+            return self.kernel.sem_to_doc(ie, doc_sig)
         vals = []
         for s, w in seeds.items():
             js = self.graph.name2id.get(s)
@@ -92,10 +109,13 @@ class ConversationResolver:
                 resolved[mid] = cands[0][0]
                 continue
             # score = prior fused with seed-relatedness (LINEAR over the
-            # available features; local ctx is a pair feature, absent here)
+            # available features; local ctx is a pair feature, absent here).
+            # One doc-signature PPR per DECISION, not per candidate —
+            # restart = seeds minus this mention's own candidates (K4)
+            doc_sig = self._doc_sig(seeds, {ent for ent, _ in cands})
             best, best_score = None, -1.0
             for ent, prior in cands:
-                sem = self._sem(ent, seeds)
+                sem = self._sem(ent, seeds, doc_sig)
                 s = cfg.prior_weight * prior + (1 - cfg.prior_weight) * sem
                 if s > best_score or (s == best_score and (best is None or ent < best)):
                     best, best_score = ent, s

@@ -226,13 +226,12 @@ class SignatureKernel:
                             / np.maximum(row_sums[rows], 1e-300))
             self._dangling = row_sums == 0
 
-    def _ppr_global(self, node: int) -> np.ndarray:
-        n = self.g.num_nodes
-        r = np.zeros(n)
-        r[node] = 1.0
+    def _ppr_restart(self, r: np.ndarray) -> np.ndarray:
+        """Power iteration from an arbitrary (already normalized) restart
+        vector, using the precomputed global normalization arrays."""
         rank = r.copy()
         for _ in range(self.max_iter):
-            spread = np.zeros(n)
+            spread = np.zeros(len(r))
             np.add.at(spread, self.g.indices, rank[self._rows] * self._norm_w)
             dangling_mass = rank[self._dangling].sum()
             new = self.alpha * (spread + dangling_mass * r) + (1 - self.alpha) * r
@@ -241,6 +240,41 @@ class SignatureKernel:
             if delta <= self.tol:
                 break
         return rank
+
+    def _ppr_global(self, node: int) -> np.ndarray:
+        r = np.zeros(self.g.num_nodes)
+        r[node] = 1.0
+        return self._ppr_restart(r)
+
+    def doc_signature(self, seed_weights: "dict[int, float]",
+                      avoid: "set[int] | None" = None) -> "np.ndarray | None":
+        """K4 document signature (``…/utils/ELUtils.java:59-94`` +
+        ``SemanticSignatureEL.java:683-697``): ONE PPR whose restart vector
+        is the accumulated seed weights MINUS the avoid set (the queried
+        mention's own candidates — without the exclusion a mention's own
+        candidate mass self-reinforces, SURVEY §7 hard-part 2).
+
+        Returns None when no seed mass survives the exclusion or on the
+        large-graph (subgraph) path, where callers fall back to pairwise
+        seed relatedness."""
+        if not self._global or not seed_weights:
+            return None
+        r = np.zeros(self.g.num_nodes)
+        for node, w in seed_weights.items():
+            if avoid and node in avoid:
+                continue
+            r[node] += w
+        tot = r.sum()
+        if tot <= 0:
+            return None
+        return self._ppr_restart(r / tot)
+
+    def sem_to_doc(self, node: int, doc_sig: np.ndarray) -> float:
+        """semSim = bounded inverse ZeroKL(candidate signature, doc
+        signature) (K5, ``SemanticSignatureEL.java:806``)."""
+        kl = zero_kl_divergence(self.signature(node), doc_sig,
+                                self.gamma, self.eps)
+        return float(sem_sim_from_kl(kl))
 
     def signature(self, node: int) -> np.ndarray:
         sig = self._cache.get(node)
