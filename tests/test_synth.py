@@ -42,7 +42,7 @@ def test_aliases_cover_corpus_mentions(t1_corpus):
     from wned_ray.functions.textnorm import extract_mentions, normalize_names
     from wned_ray.stages.aliases import resolve_redirects_table
 
-    from wned_ray.functions.coref import apply_promotion
+    from wned_ray.functions.coref import promote_norms
 
     tr = pq.read_table(t1_corpus["transcripts"])
     mentions = extract_mentions(tr["text"])
@@ -59,14 +59,18 @@ def test_aliases_cover_corpus_mentions(t1_corpus):
     redirect_cov = sum(m in full for m in nonempty) / len(nonempty)
     assert direct_cov < redirect_cov < 0.999  # barename still uncovered
 
-    # per-conversation M8 promotion closes (almost all of) the rest —
-    # bare first names whose conversation lacks any longer surface of the
-    # same entity stay unresolvable by design
+    # per-conversation M8 promotion + M13 definition mining close (almost
+    # all of) the rest — bare first names / initials whose conversation
+    # lacks the needed evidence stay unresolvable by design
     conv = tr["conv_id"].to_pylist()
-    df = pd.DataFrame({"conv": conv, "norm": norm})
+    df = pd.DataFrame({"conv": conv, "norm": norm,
+                       "mention": mentions.to_pylist(),
+                       "text": tr["text"].to_pylist()})
     promoted = []
     for _c, g in df.groupby("conv", sort=False):
-        promoted.extend(apply_promotion(g["norm"].tolist()))
+        promoted.extend(promote_norms(g["mention"].tolist(),
+                                      g["text"].tolist(),
+                                      g["norm"].tolist()))
     nonempty_p = [m for m in promoted if m]
     covered = sum(m in full for m in nonempty_p)
     assert covered / len(nonempty_p) > 0.98

@@ -44,6 +44,10 @@ class PipelineConfig:
     # person-coref substring promotion within a conversation (M8,
     # ELUtils.resolve:178-208): "varquo" inherits "varquo sotanor"'s norm
     coref_promote: bool = True
+    # abbreviation-definition mining within a conversation (M13,
+    # MentionExpansion.findAbbrevDefinitions:961-1066): "VS" with a mined
+    # definition "Varquo Sotanor" inherits the definition's norm
+    abbrev_expand: bool = True
 
     # --- blocking: char shingles -> MinHash -> LSH bands (J2 analog) ---
     shingle_k: int = 4           # char k-grams over normalized mention text

@@ -62,3 +62,29 @@ def promotion_map(norms) -> dict[str, str]:
 def apply_promotion(norms: list[str]) -> list[str]:
     m = promotion_map(norms)
     return [m.get(n, n) for n in norms]
+
+
+def promote_norms(raw_mentions: list[str], texts: list[str],
+                  norms: list[str], coref: bool = True,
+                  abbrev: bool = True) -> list[str]:
+    """Full per-conversation norm rewrite: M13 abbreviation-definition
+    expansion first (an abbreviation-shaped surface whose full form is
+    mined from the conversation text inherits the full form's norm),
+    then the M8 substring promotion. One pure function drives BOTH the
+    pipeline stage (stages/normalize.promote_mentions) and the labels
+    fixture (synth.py) so the evaluated pair universes stay aligned."""
+    out = list(norms)
+    if abbrev:
+        import pyarrow as pa
+
+        from wned_ray.functions.abbrev import definition_map
+        from wned_ray.functions.textnorm import normalize_names
+
+        dmap = definition_map(raw_mentions, texts)
+        if dmap:
+            norm_of = {ab: normalize_names(pa.array([d]))[0].as_py()
+                       for ab, d in dmap.items()}
+            out = [norm_of.get(r, n) for r, n in zip(raw_mentions, out)]
+    if coref:
+        out = apply_promotion(out)
+    return out

@@ -231,6 +231,89 @@ def ngram_sim_scalar(s1: str, s2: str, n: int = 2) -> float:
     return 2.0 * inter / tot if tot else 0.0
 
 
+def monge_elkan_scalar(s: str, t: str, inner=jaro_winkler_scalar) -> float:
+    """Monge-Elkan token-level similarity (``StringSim.monge_elkan_score``,
+    ``…/utils/similarity/StringSim.java:105-109``): mean over s's tokens of
+    the best inner similarity against t's tokens. The reference delegates
+    to secondstring's MongeElkan (scaled Smith-Waterman inner); we use
+    Jaro-Winkler as the inner kernel (public formulation, Monge & Elkan
+    1996) — same contract: asymmetric, 0..1, 1.0 on identical token bags."""
+    ws = s.split()
+    wt = t.split()
+    if not ws or not wt:
+        return 1.0 if not ws and not wt else 0.0
+    return sum(max(inner(a, b) for b in wt) for a in ws) / len(ws)
+
+
+def monge_elkan_batch(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """Pairwise Monge-Elkan over aligned arrays. Token-level rerank kernel
+    — surfaces are short (<=8 tokens), so the per-pair loop is bounded;
+    the batch-axis-vectorized JW kernel does the heavy lifting by scoring
+    all (token_a, token_b) cross pairs of the batch in ONE call."""
+    n = len(a)
+    out = np.zeros(n)
+    if n == 0:
+        return out
+    # explode every pair's token cross product into one flat JW batch
+    flat_a: list[str] = []
+    flat_b: list[str] = []
+    slices: list[tuple[int, int, int]] = []  # (start, n_ws, n_wt) per pair
+    for i in range(n):
+        ws, wt = a[i].split(), b[i].split()
+        slices.append((len(flat_a), len(ws), len(wt)))
+        for x in ws:
+            for y in wt:
+                flat_a.append(x)
+                flat_b.append(y)
+    if not flat_a:
+        return np.array([1.0 if not a[i].split() and not b[i].split() else 0.0
+                         for i in range(n)])
+    sims = jaro_winkler_batch(np.asarray(flat_a, object),
+                              np.asarray(flat_b, object))
+    for i, (start, nws, nwt) in enumerate(slices):
+        if nws == 0 or nwt == 0:
+            out[i] = 1.0 if nws == nwt else 0.0
+            continue
+        block = sims[start:start + nws * nwt].reshape(nws, nwt)
+        out[i] = block.max(axis=1).mean()
+    return out
+
+
+def soft_tfidf_scalar(s: str, t: str, theta: float = 0.8,
+                      idf: dict[str, float] | None = None,
+                      inner=jaro_winkler_scalar) -> float:
+    """SoftTFIDF (Cohen-Ravikumar-Fienberg 2003; ``StringSim.
+    soft_tfidf_score``, ``…/utils/similarity/StringSim.java:111-115``,
+    theta=0.8): cosine over token TF-IDF weight vectors where a token of s
+    "soft-matches" its best inner-similarity token of t when that
+    similarity >= theta, contributing weight_s * weight_t * sim.
+
+    ``idf`` maps token -> idf; missing/None tokens weigh 1.0 (uniform —
+    the corpus-free variant secondstring falls back to when untrained)."""
+    ws, wt = s.split(), t.split()
+    if not ws or not wt:
+        return 1.0 if not ws and not wt else 0.0
+
+    def weights(tokens: list[str]) -> dict[str, float]:
+        w: dict[str, float] = {}
+        for tok in tokens:
+            w[tok] = w.get(tok, 0.0) + ((idf or {}).get(tok, 1.0))
+        norm = float(np.sqrt(sum(v * v for v in w.values())))
+        return {k: v / norm for k, v in w.items()} if norm else w
+
+    va, vb = weights(ws), weights(wt)
+    score = 0.0
+    for tok_a, wa in va.items():
+        best_sim, best_tok = 0.0, None
+        for tok_b in vb:
+            sim = inner(tok_a, tok_b)
+            if sim > best_sim:
+                best_sim, best_tok = sim, tok_b
+        if best_tok is not None and best_sim >= theta:
+            score += wa * vb[best_tok] * best_sim
+    return min(score, 1.0)
+
+
 def lcs_length_scalar(s: str, t: str) -> int:
     """Longest common substring *length* (StringSim.lcs_distance:136-160 —
     the reference returns the raw length, unnormalized)."""

@@ -42,34 +42,49 @@ def prepare_batch(batch: pa.Table, cfg: PipelineConfig) -> pa.Table:
 
 def prepare(ds, cfg: PipelineConfig):
     """transcripts Dataset -> prepared Dataset (stateless tasks), plus the
-    per-conversation coref promotion shuffle when ``cfg.coref_promote``."""
+    per-conversation promotion shuffle (M8 coref + M13 abbreviation
+    expansion) when either is enabled."""
     out = ds.map_batches(lambda b: prepare_batch(b, cfg),
                          batch_format="pyarrow")
-    if cfg.coref_promote:
+    if cfg.coref_promote or cfg.abbrev_expand:
         out = promote_mentions(out, cfg)
     return out
 
 
-def _promote_group(g, _cfg=None):
-    """One conversation: rewrite each short norm to its longest containing
-    co-occurring norm (M8, ``ELUtils.resolve:178-208``). Emits Arrow so
-    every stage boundary stays on Arrow blocks (pandas blocks break the
-    arrow-native Project/rename operators downstream)."""
-    from wned_ray.functions.coref import apply_promotion
-
-    g = g.copy()
-    g["norm_mention"] = apply_promotion(g["norm_mention"].tolist())
-    return pa.Table.from_pandas(g, preserve_index=False)
-
-
 def promote_mentions(prepared_ds, cfg: PipelineConfig):
-    """Person-coref substring promotion, grouped by conversation.
+    """Per-conversation norm promotion, grouped by conversation: M13
+    abbreviation-definition expansion first ("VS" with a mined definition
+    inherits the definition's norm,
+    ``MentionExpansion.findAbbrevDefinitions:961-1066``), then M8
+    substring promotion (short norm -> longest containing co-occurring
+    norm, ``ELUtils.resolve:178-208``). The pre-promotion norm is kept as
+    ``norm_orig`` for the J3 multi-key candidate lookup downstream.
 
     This is the one deliberately per-document shuffle in the prepare path
     — the promotion decision needs the conversation's full surface set
     (reference semantics are per-document). Groups are conversation-sized
     (tiny), the payload is the prepared row, and the same conv_id
-    partitioning is what downstream per-conv stages (resolve) use."""
+    partitioning is what downstream per-conv stages (resolve) use.
+    (``map_groups`` wants a plain function, hence the closure over the
+    two config flags rather than a callable class.)"""
+    coref, abbrev = cfg.coref_promote, cfg.abbrev_expand
+
+    def _promote_group(g):
+        from wned_ray.functions.coref import promote_norms
+
+        g = g.copy()
+        g["norm_orig"] = g["norm_mention"]
+        mine = abbrev and "mention" in g.columns and "text" in g.columns
+        raw = g["mention"].tolist() if mine else [""] * len(g)
+        texts = g["text"].tolist() if mine else []
+        g["norm_mention"] = promote_norms(
+            raw, texts, g["norm_mention"].tolist(), coref=coref, abbrev=mine)
+        # emit Arrow so every stage boundary stays on Arrow blocks; drop
+        # the pandas schema metadata (a dict) so Ray can hash/dedup the
+        # block schemas instead of warning per block
+        return pa.Table.from_pandas(
+            g, preserve_index=False).replace_schema_metadata(None)
+
     return (prepared_ds
             .groupby("conv_id")
             .map_groups(_promote_group, batch_format="pandas"))

@@ -87,8 +87,18 @@ class ConversationResolver:
     def __call__(self, g: pd.DataFrame) -> pd.DataFrame:
         cfg = self.cfg
         g = g.sort_values("turn_idx")
-        rows = list(zip(g["mention_id"], g["norm_mention"]))
-        cand_of = {mid: list(self.cand.get(norm, [])) for mid, norm in rows}
+        # J3 multi-key lookup (CandidateSelectionLucene.selectCandidatesName:
+        # 271-294): a promoted/expanded mention probes the alias dictionary
+        # with BOTH its promoted norm and its original surface norm; the
+        # per-key candidate maps union with summed weights.
+        from wned_ray.functions.abbrev import multi_key_candidates
+
+        origs = (g["norm_orig"] if "norm_orig" in g.columns
+                 else g["norm_mention"])
+        rows = list(zip(g["mention_id"], g["norm_mention"], origs))
+        cand_of = {mid: multi_key_candidates(self.cand, {norm, orig})
+                   for mid, norm, orig in rows}
+        rows = [(mid, norm) for mid, norm, _ in rows]
 
         # seeds: unambiguous mentions (single candidate) — K11 seed step
         seeds: dict[str, float] = {}
@@ -142,8 +152,14 @@ def resolve_conversations(prepared_ds, alias_ref, graph_ref,
 
     cluster_cpus = int(ray.cluster_resources().get("CPU", 2))
     concurrency = max(1, min(concurrency, cluster_cpus - 1))
+    cols = ["conv_id", "turn_idx", "mention_id", "norm_mention"]
+    try:
+        if "norm_orig" in prepared_ds.columns():
+            cols.append("norm_orig")
+    except Exception:
+        pass
     return (prepared_ds
-            .select_columns(["conv_id", "turn_idx", "mention_id", "norm_mention"])
+            .select_columns(cols)
             .groupby("conv_id")
             .map_groups(ConversationResolver,
                         fn_constructor_kwargs={"alias_ref": alias_ref,

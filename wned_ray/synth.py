@@ -72,7 +72,7 @@ _ROLES = ["user", "assistant", "tool"]
 # downstream stage at single-task parallelism (a parquet row group is the
 # minimum read-split unit). _FORMAT versions the on-disk fixture cache.
 _ROW_GROUP = 16_384
-_FORMAT = 7
+_FORMAT = 8
 _TOOLS = ["", "search", "code", "browser"]
 
 
@@ -155,6 +155,10 @@ def _alias_variants(name: str, rng: np.random.Generator) -> list[tuple[str, str,
         # bare first name: in NO dim table — linkable only through the M8
         # person-coref promotion to a longer co-occurring surface
         (first, "barename", 4),
+        # initials: in NO dim table; the turn text renders as
+        # "VS (Varquo Sotanor)" so the surface is linkable only through
+        # the M13 abbreviation-definition miner
+        (f"{first[0]}{second[0]}".upper(), "abbrevinit", 4),
     ]
 
 
@@ -207,7 +211,7 @@ def generate_corpus(spec: CorpusSpec, out_dir: str,
     turn_entity = np.where(is_nil, -1, turn_entity)
 
     # variant choice per turn (weighted like alias freqs)
-    variant_p = np.array([40, 10, 5, 5, 8, 6, 4], dtype=np.float64)
+    variant_p = np.array([40, 10, 5, 5, 8, 6, 4, 4], dtype=np.float64)
     variant_p /= variant_p.sum()
     variant = rng.choice(len(variant_p), size=n_turns, p=variant_p)
     # per-entity surface forms drawn with a per-entity rng: the same table
@@ -219,6 +223,13 @@ def generate_corpus(spec: CorpusSpec, out_dir: str,
         dtype=object)
 
     mention = np.where(is_nil, "", surface_lut[np.maximum(turn_entity, 0), variant])
+    # the abbrevinit variant RENDERS with its parenthetical definition
+    # ("VS (Varquo Sotanor)") — the mention surface stays the initials
+    # (extract_mentions stops at the paren); only the miner sees the rest
+    full_name = np.array(names, dtype=object)[np.maximum(turn_entity, 0)]
+    shown = np.where((variant == 7) & ~is_nil,
+                     mention.astype(object) + " (" + full_name + ")",
+                     mention)
 
     # filler: prefix/suffix word windows + one topic word (local-context signal)
     fill = np.array(_FILLER, dtype=object)
@@ -230,7 +241,7 @@ def generate_corpus(spec: CorpusSpec, out_dir: str,
     text = np.where(
         is_nil,
         prefix + " " + suffix,
-        prefix + " " + mention.astype(object) + " " + suffix,
+        prefix + " " + shown.astype(object) + " " + suffix,
     )
 
     conv_id = pd.array([f"c{c:07d}" for c in conv_idx], dtype="string")
@@ -256,8 +267,9 @@ def generate_corpus(spec: CorpusSpec, out_dir: str,
     # lowercased lookup key CandidateSelectionLucene.java:95).
     # The "oldname" variant is EXCLUDED — it is only reachable through the
     # redirects table (KBExtractor.resolveRedirect semantics).
-    # (variants 5 "oldname" and 6 "barename" are excluded from aliases:
-    # oldname resolves through redirects, barename through M8 promotion)
+    # (variants 5 "oldname", 6 "barename" and 7 "abbrevinit" are excluded
+    # from aliases: oldname resolves through redirects, barename through
+    # M8 promotion, abbrevinit through M13 definition mining)
     alias_rows2 = []
     src_by_variant = ["name", "link", "link", "link", "redirect"]
     freq_by_variant = [40, 10, 5, 5, 8]
@@ -305,14 +317,18 @@ def generate_corpus(spec: CorpusSpec, out_dir: str,
     # ---- labels + expected clusters (gold, at shared blocking keys)
     if spec.with_labels:
         mention_norm = normalize_names(pa.array(mention.astype(object))).to_pylist()
-        if cfg.coref_promote:
+        if cfg.coref_promote or cfg.abbrev_expand:
             # the IDENTICAL per-conversation promotion the pipeline applies
-            # (functions/coref.py) — keeps the labeled pair universe aligned
-            from wned_ray.functions.coref import apply_promotion
+            # (functions/coref.promote_norms: M13 definition expansion then
+            # M8 substring promotion) — keeps the pair universes aligned
+            from wned_ray.functions.coref import promote_norms
 
             conv_groups = pd.Series(range(n_turns)).groupby(conv_idx).indices
             for _conv, idx in conv_groups.items():
-                prom = apply_promotion([mention_norm[i] for i in idx])
+                prom = promote_norms(
+                    [mention[i] for i in idx], [text[i] for i in idx],
+                    [mention_norm[i] for i in idx],
+                    coref=cfg.coref_promote, abbrev=cfg.abbrev_expand)
                 for i, p in zip(idx, prom):
                     mention_norm[i] = p
         row_idx, keys = block_keys_for(mention_norm, cfg.shingle_k, cfg.num_perm,
