@@ -586,6 +586,18 @@ def _q_alias_redirect_resolved(sf_dir: str):
     return resolve_redirects(aliases, redirects, num_partitions=8)
 
 
+def _q_anchor_aliases(sf_dir: str):
+    """M3/M5: mine (entity, alias, freq) rows from [[target|anchor]] wiki
+    markup in the corpus transcripts (KBExtractor's anchor-text alias
+    source). Rows-only check (the transcripts table is not a DuckDB view);
+    the mined-pairs-subset-of-dim-aliases invariant is unit-tested."""
+    from wned_ray.stages.aliases import mine_anchor_aliases
+
+    corpus = _corpus_for(sf_dir)
+    return mine_anchor_aliases(
+        _rd().read_parquet(corpus["transcripts"], columns=["text"]))
+
+
 def _q_minhash_dedup(sf_dir: str):
     from wned_ray.pipelines.datawork import minhash_candidates, verify_jaccard
 
@@ -706,6 +718,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "er_metrics": _q_er_metrics,
         "er_resolve": _q_er_resolve,
         "alias_redirect_resolved": _q_alias_redirect_resolved,
+        "anchor_aliases": _q_anchor_aliases,
         # training-data ops (rows-only)
         "ann_lsh_embeddings": _q_ann_lsh,
         "minhash_dedup_docs": _q_minhash_dedup,

@@ -35,6 +35,36 @@ def test_promotion_deterministic_tiebreak_and_chain():
     assert m2["var quo sot"] == "var quo sotanor"
 
 
+def test_variant_clusters_initials():
+    """M7 OrthoMatcher initials rule: dotted/bare first initials cluster
+    with the unique compatible full form; all-initials and ambiguous
+    shorts stay put."""
+    from wned_ray.functions.coref import variant_clusters
+
+    m = variant_clusters(["v. sotanor", "varquo sotanor"])
+    assert m["v. sotanor"] == "varquo sotanor"
+    # bare (undotted) initial works too
+    m2 = variant_clusters(["v sotanor", "varquo sotanor"])
+    assert m2["v sotanor"] == "varquo sotanor"
+    # ambiguous: two compatible longs → conservative, no promotion
+    m3 = variant_clusters(["v. sotanor", "varquo sotanor", "velbel sotanor"])
+    assert "v. sotanor" not in m3
+    # all-initials has no anchor token → never promotes
+    m4 = variant_clusters(["v. s.", "varquo sotanor"])
+    assert "v. s." not in m4
+    # token-count mismatch is containment's business, not initials'
+    m5 = variant_clusters(["v. sotanor", "varquo sotanor fenarvo"])
+    assert "v. sotanor" not in m5
+
+
+def test_variant_clusters_subsumes_containment():
+    from wned_ray.functions.coref import variant_clusters
+
+    m = variant_clusters(["varquo", "varquo sotanor", "v. sotanor"])
+    assert m["varquo"] == "varquo sotanor"
+    assert m["v. sotanor"] == "varquo sotanor"
+
+
 def test_promote_mentions_stage(ray_session):
     import ray.data as rd
 

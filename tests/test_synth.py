@@ -44,8 +44,12 @@ def test_aliases_cover_corpus_mentions(t1_corpus):
 
     from wned_ray.functions.coref import promote_norms
 
+    from wned_ray.functions.anchors import strip_markup
+
     tr = pq.read_table(t1_corpus["transcripts"])
-    mentions = extract_mentions(tr["text"])
+    # link variants render as [[target|surface]] wiki markup (M3/M5) —
+    # mention extraction sees the display form, like the pipeline (M2)
+    mentions = extract_mentions(strip_markup(tr["text"]))
     norm = normalize_names(mentions).to_pylist()
     alias_t = pq.read_table(t1_corpus["aliases"])
     direct = set(alias_t["alias"].to_pylist())

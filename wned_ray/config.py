@@ -48,6 +48,12 @@ class PipelineConfig:
     # MentionExpansion.findAbbrevDefinitions:961-1066): "VS" with a mined
     # definition "Varquo Sotanor" inherits the definition's norm
     abbrev_expand: bool = True
+    # anchor-text alias mining (M3/M5, KBExtractor.extractAlias anchor
+    # source): mine [[target|anchor]] pairs from the corpus and union
+    # them into the alias dim table before broadcast. Off by default —
+    # the reference mines anchors OFFLINE during KB construction; this
+    # flag is the online analog for corpora that carry link markup.
+    mine_anchor_aliases: bool = False
 
     # --- blocking: char shingles -> MinHash -> LSH bands (J2 analog) ---
     shingle_k: int = 4           # char k-grams over normalized mention text

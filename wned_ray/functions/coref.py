@@ -64,6 +64,55 @@ def apply_promotion(norms: list[str]) -> list[str]:
     return [m.get(n, n) for n in norms]
 
 
+def _initial_compatible(short: str, long: str) -> bool:
+    """OrthoMatcher-style initials rule (M7): every token of the short
+    form matches the positional token of the long form either exactly or
+    as a dotted/bare single-letter initial ("v." / "v" vs "varquo"), with
+    at least one full-token anchor in common ("v. sotanor" ~ "varquo
+    sotanor", but "v. s." matches nothing — all-initials carries no
+    anchor). Token counts must agree (the word-subset case is the
+    containment rule's job)."""
+    ts, tl = short.split(), long.split()
+    if len(ts) != len(tl) or not ts:
+        return False
+    anchor = False
+    for a, b in zip(ts, tl):
+        if a == b:
+            anchor = True
+            continue
+        bare = a[:-1] if a.endswith(".") else a
+        if len(bare) == 1 and b.startswith(bare):
+            continue
+        return False
+    return anchor
+
+
+def variant_clusters(norms) -> dict[str, str]:
+    """Per-document orthographic variant clustering (M7, the GATE
+    OrthoMatcher recast — ``…/common/nlp/OrthoMatcherCoref.java:45-329``
+    wraps ``gate.creole.orthomatcher.OrthoMatcher``; the rules below are
+    the public ANNIE orthographic rules this graft needs: exact match,
+    word-subset/containment, and first/middle-name initials).
+
+    Distinct norms of one conversation -> {norm: representative}, where
+    the representative is the cluster's longest member (lexicographic
+    tie-break — deterministic under any partitioning). Conservative on
+    ambiguity: a short form compatible with MORE than one longer norm is
+    left alone (the reference resolves by document order, which is not
+    stable under re-partitioning)."""
+    out = promotion_map(norms)          # containment edges (M8 rule)
+    uniq = sorted({n for n in norms if n and len(n) >= MIN_SHORT_LEN})
+    resolved = sorted({out.get(n, n) for n in uniq})
+    for n in uniq:
+        if n in out:
+            continue
+        cands = [m for m in resolved
+                 if len(m) > len(n) and _initial_compatible(n, m)]
+        if len(cands) == 1:             # unique → safe to promote
+            out[n] = cands[0]
+    return out
+
+
 def promote_norms(raw_mentions: list[str], texts: list[str],
                   norms: list[str], coref: bool = True,
                   abbrev: bool = True) -> list[str]:
@@ -86,5 +135,6 @@ def promote_norms(raw_mentions: list[str], texts: list[str],
                        for ab, d in dmap.items()}
             out = [norm_of.get(r, n) for r, n in zip(raw_mentions, out)]
     if coref:
-        out = apply_promotion(out)
+        m = variant_clusters(out)
+        out = [m.get(n, n) for n in out]
     return out

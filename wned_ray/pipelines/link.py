@@ -23,6 +23,7 @@ from __future__ import annotations
 
 import os
 
+import pyarrow as pa
 import pyarrow.parquet as pq
 
 from wned_ray.config import PipelineConfig
@@ -122,6 +123,20 @@ def run_linkage(transcripts_path: str, aliases_path: str,
 
         alias_table = resolve_redirects_table(
             alias_table, pq.read_table(redirects_path))
+    if cfg.mine_anchor_aliases:
+        # M3/M5: mine [[target|anchor]] alias pairs from the corpus and
+        # union them into the dim table (KBExtractor's anchor source,
+        # online analog). The mined result is vocabulary-sized — same
+        # class as the alias dim itself — so the driver-side merge is
+        # the established dim-table pattern, not a data-sized collect.
+        from wned_ray.stages.aliases import merge_alias_tables, mine_anchor_aliases
+
+        mined = mine_anchor_aliases(
+            rd.read_parquet(transcripts_path, columns=["text"],
+                            override_num_blocks=read_blocks))
+        alias_table = merge_alias_tables(
+            alias_table,
+            pa.Table.from_pandas(mined.to_pandas(), preserve_index=False))
     alias_ref = ray.put(alias_table)
     graph_ref = ray.put(pq.read_table(graph_path)) if graph_path else None
 

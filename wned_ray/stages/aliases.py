@@ -1,4 +1,5 @@
-"""Redirect/synonym resolution over the alias dim table (J6/A4).
+"""Alias dim-table construction ops: redirect/synonym resolution (J6/A4)
+and anchor-text alias mining (M3/M5).
 
 The reference composes alias -> redirect -> entity so that variant
 surfaces reach the canonical entity (``KBExtractor.resolveRedirect``,
@@ -80,3 +81,67 @@ def resolve_redirects(alias_ds, redirects_ds, num_partitions: int = 16):
 
     return (unioned.groupby(["entity", "alias"])
             .map_groups(first_per_key, batch_format="pandas"))
+
+
+def merge_alias_tables(base: pa.Table, mined: pa.Table) -> pa.Table:
+    """Union a mined alias table into the base dim table: freq mass ADDS
+    per (entity, alias) — an anchor occurrence is independent evidence on
+    top of the KB-sourced count (``KBExtractor.extractAlias`` merges its
+    sources the same way) — and the base row's source label wins when
+    both exist."""
+    a = base.select(["entity", "alias", "source", "freq"]).to_pandas()
+    b = mined.select(["entity", "alias", "source", "freq"]).to_pandas()
+    a["_rank"] = 0
+    b["_rank"] = 1
+    out = pd.concat([a, b], ignore_index=True)
+    out = (out.sort_values(["entity", "alias", "_rank"])
+           .groupby(["entity", "alias"], as_index=False)
+           .agg(source=("source", "first"), freq=("freq", "sum")))
+    return pa.Table.from_pandas(
+        out[["entity", "alias", "source", "freq"]], preserve_index=False)
+
+
+def _anchor_batch(batch: pa.Table, text_col: str) -> pa.Table:
+    """One batch of anchor-marked text -> PARTIALLY AGGREGATED
+    (entity, alias, freq) rows: parse all ``[[target|anchor]]`` links,
+    normalize the anchor to the alias-lookup key, and combine duplicate
+    pairs within the batch so the global groupby shuffles the combined
+    counts, not one row per link occurrence."""
+    from wned_ray.functions.anchors import parse_anchors
+    from wned_ray.functions.textnorm import normalize_names
+
+    _, target, anchor = parse_anchors(batch[text_col])
+    if len(target) == 0:
+        return pa.table({"entity": pa.array([], pa.string()),
+                         "alias": pa.array([], pa.string()),
+                         "freq": pa.array([], pa.int64())})
+    alias = normalize_names(anchor)
+    df = pd.DataFrame({"entity": target.to_pandas(),
+                       "alias": alias.to_pandas()})
+    agg = df.groupby(["entity", "alias"], as_index=False).size()
+    return pa.table({"entity": pa.array(agg["entity"], pa.string()),
+                     "alias": pa.array(agg["alias"], pa.string()),
+                     "freq": pa.array(agg["size"], pa.int64())})
+
+
+def mine_anchor_aliases(ds, text_col: str = "text"):
+    """Corpus text -> (entity, alias, source='anchor', freq) alias rows
+    (M3, ``KBExtractor.extractAlias`` anchor-text source,
+    ``…/kb/KBExtractor.java:98-167``; link parsing M5,
+    ``WikiTextParser.parseLinks:135-170``).
+
+    Shape: stateless flat-map with an in-batch combiner, then ONE small
+    groupby over the (entity, alias) vocabulary — the shuffled volume is
+    |distinct pairs per batch|, not |link occurrences|, so the stage
+    stays a partial-aggregate pattern at corpus scale."""
+    from ray.data.aggregate import Sum
+
+    pairs = ds.map_batches(lambda b: _anchor_batch(b, text_col),
+                           batch_format="pyarrow")
+    out = (pairs.groupby(["entity", "alias"])
+           .aggregate(Sum("freq", alias_name="freq")))
+    return out.map_batches(
+        lambda b: b.append_column(
+            "source", pa.array(["anchor"] * b.num_rows, pa.string()))
+        .select(["entity", "alias", "source", "freq"]),
+        batch_format="pyarrow")

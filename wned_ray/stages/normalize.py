@@ -21,12 +21,17 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 from wned_ray.config import PipelineConfig
+from wned_ray.functions.anchors import strip_markup
 from wned_ray.functions.textnorm import (context_terms, extract_mentions,
                                          normalize_names)
 
 
 def prepare_batch(batch: pa.Table, cfg: PipelineConfig) -> pa.Table:
-    text = batch["text"]
+    # markup -> plain (M2, WikiTextParser display semantics): mention
+    # extraction and context see the DISPLAY form of any [[target|anchor]]
+    # wiki link; the stored ``text`` column passes through byte-identical
+    # (input_hint per-row invariant) — the stripped view is transient
+    text = strip_markup(batch["text"])
     mention = extract_mentions(text)
     norm = normalize_names(mention, cfg.strip_titles, cfg.strip_corp_suffixes)
     ctx_list = context_terms(text, mention)

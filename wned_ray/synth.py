@@ -72,7 +72,7 @@ _ROLES = ["user", "assistant", "tool"]
 # downstream stage at single-task parallelism (a parquet row group is the
 # minimum read-split unit). _FORMAT versions the on-disk fixture cache.
 _ROW_GROUP = 16_384
-_FORMAT = 8
+_FORMAT = 9
 _TOOLS = ["", "search", "code", "browser"]
 
 
@@ -230,6 +230,15 @@ def generate_corpus(spec: CorpusSpec, out_dir: str,
     shown = np.where((variant == 7) & ~is_nil,
                      mention.astype(object) + " (" + full_name + ")",
                      mention)
+    # the "link"-sourced variants (1-3) RENDER as wiki anchors
+    # "[[Entity_Name|surface]]" (WikiTextParser.parseLinks markup): the
+    # M2 stripper shows downstream stages the plain surface, and the M3
+    # miner recovers (entity, alias) rows from the target|anchor pairs
+    target = np.char.replace(full_name.astype(str), " ", "_").astype(object)
+    is_link = np.isin(variant, (1, 2, 3)) & ~is_nil
+    shown = np.where(is_link,
+                     "[[" + target + "|" + shown.astype(object) + "]]",
+                     shown)
 
     # filler: prefix/suffix word windows + one topic word (local-context signal)
     fill = np.array(_FILLER, dtype=object)
