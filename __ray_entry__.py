@@ -871,7 +871,68 @@ def oracle_sql() -> dict[str, str]:
             "CAST(b.embedding AS DOUBLE[])) >= 0.4"
         ),
         "alias_redirect_resolved": _redirect_oracle_sql(),
+        "anchor_aliases": _anchor_oracle_sql(),
+        "lang_id_docs": (
+            "WITH tok AS (SELECT doc_id, "
+            "unnest(regexp_extract_all(lower(text), '[a-z0-9_]+')) AS t "
+            "FROM documents), "
+            "hits AS (SELECT doc_id, "
+            f"sum(CASE WHEN t IN ({_sql_list(_LID_EN)}) THEN 1 ELSE 0 END) AS en, "
+            f"sum(CASE WHEN t IN ({_sql_list(_LID_DE)}) THEN 1 ELSE 0 END) AS de, "
+            f"sum(CASE WHEN t IN ({_sql_list(_LID_FR)}) THEN 1 ELSE 0 END) AS fr "
+            "FROM tok GROUP BY doc_id) "
+            "SELECT d.doc_id, d.lang, CASE "
+            "WHEN coalesce(greatest(en, de, fr), 0) = 0 THEN 'unknown' "
+            "WHEN en >= de AND en >= fr THEN 'en' "
+            "WHEN de >= fr THEN 'de' ELSE 'fr' END AS lang_pred "
+            "FROM documents d LEFT JOIN hits USING (doc_id)"
+        ),
     }
+
+
+def _sql_list(words) -> str:
+    return ", ".join(f"'{w}'" for w in words)
+
+
+# the lang_id heuristic's vocab lists, mirrored into the oracle SQL
+from wned_ray.pipelines.datawork import _DE_STOP as _LID_DE  # noqa: E402
+from wned_ray.pipelines.datawork import _EN_STOP as _LID_EN  # noqa: E402
+from wned_ray.pipelines.datawork import _FR_STOP as _LID_FR  # noqa: E402
+
+
+def _anchor_oracle_sql() -> str:
+    """DuckDB twin of mine_anchor_aliases over the T2 fixture transcripts
+    (the correctness driver runs at sf0.01): extract [[target|anchor]]
+    pairs, formatName the target (underscore -> space, collapse ws, trim,
+    capitalize first char), normalize the anchor like the alias-lookup
+    key (lower, collapse ws, strip leading titles / trailing corp
+    suffixes / trailing dot), then count occurrences per pair."""
+    from wned_ray.functions.textnorm import CORP_SUFFIXES, TITLES
+    from wned_ray.synth import T2, ensure_corpus
+
+    paths = ensure_corpus(T2)
+    title_re = r"^(?:(?:" + "|".join(TITLES) + r")\.?\s+)+"
+    corp_re = r"(?:\s+(?:" + "|".join(CORP_SUFFIXES) + r")\.?)+$"
+    return (
+        "WITH pairs AS ("
+        "SELECT unnest(list_zip("
+        r"regexp_extract_all(text, '\[\[([^\[\]|]+)\|([^\[\]|]+)\]\]', 1), "
+        r"regexp_extract_all(text, '\[\[([^\[\]|]+)\|([^\[\]|]+)\]\]', 2)"
+        ")) AS p FROM read_parquet('{transcripts}')), "
+        "fmt AS (SELECT "
+        r"trim(replace(regexp_replace(p[1], '\s+', ' ', 'g'), '_', ' ')) "
+        "AS t0, "
+        r"trim(regexp_replace(lower(p[2]), '\s+', ' ', 'g')) AS a0 "
+        "FROM pairs WHERE p[1] IS NOT NULL), "
+        "norm AS (SELECT "
+        "upper(substr(t0, 1, 1)) || substr(t0, 2) AS entity, "
+        "trim(regexp_replace(regexp_replace(regexp_replace("
+        "a0, '{title_re}', ''), '{corp_re}', ''), '\\.$', '')) AS alias "
+        "FROM fmt) "
+        "SELECT entity, alias, 'anchor' AS source, "
+        "count(*) AS freq FROM norm GROUP BY entity, alias"
+    ).format(transcripts=paths["transcripts"], title_re=title_re,
+             corp_re=corp_re)
 
 
 def _redirect_oracle_sql() -> str:
