@@ -26,34 +26,51 @@ from wned_ray.functions.textnorm import (context_terms, extract_mentions,
                                          normalize_names)
 
 
-def prepare_batch(batch: pa.Table, cfg: PipelineConfig) -> pa.Table:
-    # markup -> plain (M2, WikiTextParser display semantics): mention
-    # extraction and context see the DISPLAY form of any [[target|anchor]]
-    # wiki link; the stored ``text`` column passes through byte-identical
-    # (input_hint per-row invariant) — the stripped view is transient
+def extract_batch(batch: pa.Table, cfg: PipelineConfig) -> pa.Table:
+    """Mention extraction + normalization (no context yet).
+
+    markup -> plain (M2, WikiTextParser display semantics): mention
+    extraction sees the DISPLAY form of any [[target|anchor]] wiki link;
+    the stored ``text`` column passes through byte-identical (input_hint
+    per-row invariant) — the stripped view is transient."""
     text = strip_markup(batch["text"])
     mention = extract_mentions(text)
     norm = normalize_names(mention, cfg.strip_titles, cfg.strip_corp_suffixes)
-    ctx_list = context_terms(text, mention)
-    ctx = pc.binary_join(ctx_list, " ")
     mention_id = pc.binary_join_element_wise(
         batch["conv_id"], pc.cast(batch["turn_idx"], pa.string()), ":")
     return (batch
             .append_column("mention_id", mention_id)
             .append_column("mention", mention)
-            .append_column("norm_mention", norm)
-            .append_column("ctx", ctx))
+            .append_column("norm_mention", norm))
+
+
+def context_batch(batch: pa.Table) -> pa.Table:
+    text = strip_markup(batch["text"])
+    ctx_list = context_terms(text, batch["mention"])
+    return batch.append_column("ctx", pc.binary_join(ctx_list, " "))
+
+
+def prepare_batch(batch: pa.Table, cfg: PipelineConfig) -> pa.Table:
+    """extract + context in one pass (the no-promotion fast path)."""
+    return context_batch(extract_batch(batch, cfg))
 
 
 def prepare(ds, cfg: PipelineConfig):
     """transcripts Dataset -> prepared Dataset (stateless tasks), plus the
     per-conversation promotion shuffle (M8 coref + M13 abbreviation
-    expansion) when either is enabled."""
-    out = ds.map_batches(lambda b: prepare_batch(b, cfg),
-                         batch_format="pyarrow")
+    expansion) when either is enabled.
+
+    The ``ctx`` term bag (text-sized) is computed AFTER the promotion
+    shuffle: it does not depend on the promoted norm, and materializing
+    it before the conv_id sort would double the bytes moved through the
+    pipeline's one unavoidable per-document all-to-all."""
     if cfg.coref_promote or cfg.abbrev_expand:
+        out = ds.map_batches(lambda b: extract_batch(b, cfg),
+                             batch_format="pyarrow")
         out = promote_mentions(out, cfg)
-    return out
+        return out.map_batches(context_batch, batch_format="pyarrow")
+    return ds.map_batches(lambda b: prepare_batch(b, cfg),
+                          batch_format="pyarrow")
 
 
 def promote_mentions(prepared_ds, cfg: PipelineConfig):
