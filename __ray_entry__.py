@@ -586,6 +586,16 @@ def _q_alias_redirect_resolved(sf_dir: str):
     return resolve_redirects(aliases, redirects, num_partitions=8)
 
 
+def _q_sessionize_events(sf_dir: str):
+    """Gap-based sessionization over the events stream (windowed
+    per-key operator: one hash shuffle + vectorized per-group diff)."""
+    from wned_ray.pipelines.datawork import sessionize
+
+    ds = _rd().read_parquet(f"{sf_dir}/events.parquet",
+                            columns=["event_id", "user_id", "ts"])
+    return sessionize(ds, gap_minutes=30.0)
+
+
 def _q_anchor_aliases(sf_dir: str):
     """M3/M5: mine (entity, alias, freq) rows from [[target|anchor]] wiki
     markup in the corpus transcripts (KBExtractor's anchor-text alias
@@ -710,6 +720,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lineitem_pricing_summary": _q_lineitem_pricing_summary,
         "events_daily": _q_events_daily,
         "union_region_nation": _q_union_region_nation,
+        "sessionize_events": _q_sessionize_events,
         # ER pipeline (rows-only checks; er_metrics row carries the F1)
         "er_blocking": _q_er_blocking,
         "er_pairs": _q_er_pairs,
@@ -872,6 +883,17 @@ def oracle_sql() -> dict[str, str]:
         ),
         "alias_redirect_resolved": _redirect_oracle_sql(),
         "anchor_aliases": _anchor_oracle_sql(),
+        "sessionize_events": (
+            "WITH w AS (SELECT event_id, user_id, ts, "
+            "lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) "
+            "AS prev_ts FROM events) "
+            "SELECT event_id, user_id, "
+            "CAST(sum(CASE WHEN prev_ts IS NULL "
+            "OR epoch_us(ts) - epoch_us(prev_ts) > 30 * 60 * 1000000 "
+            "THEN 1 ELSE 0 END) OVER (PARTITION BY user_id "
+            "ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) - 1 "
+            "AS BIGINT) AS session_idx FROM w"
+        ),
         "lang_id_docs": (
             "WITH tok AS (SELECT doc_id, "
             "unnest(regexp_extract_all(lower(text), '[a-z0-9_]+')) AS t "

@@ -229,3 +229,27 @@ def test_minhash_candidates_hot_band_capped(ray_session):
                              num_partitions=4).to_pandas()
     # unbounded: the hot band alone emits 600*599/2 = 179_700 pairs
     assert len(got) < 5_000
+
+
+def test_sessionize_gap_splits(ray_session):
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from wned_ray.pipelines.datawork import sessionize
+
+    base = np.datetime64("2026-01-01T00:00:00", "us")
+    mins = np.array([0, 5, 10, 120, 125, 500], dtype="timedelta64[m]")
+    df = pd.DataFrame({
+        "event_id": [0, 1, 2, 3, 4, 5],
+        "user_id": [7, 7, 7, 7, 7, 7],
+        "ts": base + mins.astype("timedelta64[us]"),
+    })
+    # a second user interleaved: numbering restarts per key
+    df2 = df.copy()
+    df2["user_id"] = 9
+    df2["event_id"] += 10
+    out = (sessionize(rd.from_pandas(pd.concat([df, df2])), gap_minutes=30)
+           .to_pandas().sort_values(["user_id", "event_id"]))
+    assert out[out.user_id == 7]["session_idx"].tolist() == [0, 0, 0, 1, 1, 2]
+    assert out[out.user_id == 9]["session_idx"].tolist() == [0, 0, 0, 1, 1, 2]

@@ -612,6 +612,35 @@ def token_count(ds, text_col: str = "text"):
     return ds.map_batches(tc, batch_format="pyarrow")
 
 
+def sessionize(ds, key_col: str = "user_id", ts_col: str = "ts",
+               id_col: str = "event_id", gap_minutes: float = 30.0):
+    """Gap-based sessionization: per key, events sorted by (ts, id) start
+    a new session whenever the gap since the previous event exceeds
+    ``gap_minutes``. Emits (id, key, session_idx) with session_idx
+    numbered 0.. per key.
+
+    Shape: ONE hash shuffle by key + a vectorized diff per group — the
+    group is one key's event history, the natural partition unit; no
+    driver-side state. The (ts, id) sort key makes the numbering
+    deterministic under ties and any partitioning."""
+    gap_us = int(gap_minutes * 60 * 1_000_000)
+
+    def sess(g: pd.DataFrame) -> pa.Table:
+        g = g.sort_values([ts_col, id_col])
+        ts = g[ts_col].astype("int64").to_numpy()
+        new = np.ones(len(g), dtype=bool)
+        new[1:] = (ts[1:] - ts[:-1]) > gap_us
+        return pa.table({
+            id_col: pa.array(g[id_col].to_numpy()),
+            key_col: pa.array(g[key_col].to_numpy()),
+            "session_idx": pa.array(np.cumsum(new) - 1, pa.int64()),
+        })
+
+    return (ds.select_columns([id_col, key_col, ts_col])
+            .groupby(key_col)
+            .map_groups(sess, batch_format="pandas"))
+
+
 def fingerprint(ds, id_col: str, text_col: str = "text", k: int = 8,
                 keep: int = 4):
     """Winnowing-style document fingerprint: the ``keep`` smallest k-gram
