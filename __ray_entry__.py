@@ -596,6 +596,21 @@ def _q_sessionize_events(sf_dir: str):
     return sessionize(ds, gap_minutes=30.0)
 
 
+def _q_asof_click_before_purchase(sf_dir: str):
+    """Backward as-of join: each purchase event joined to the same user's
+    latest strictly-earlier click (custom operator — tag + union + one
+    hash shuffle + vectorized per-group merge)."""
+    from wned_ray.pipelines.datawork import asof_join
+
+    ev = _rd().read_parquet(f"{sf_dir}/events.parquet",
+                            columns=["event_id", "user_id", "ts",
+                                     "event_type"])
+    purchases = ev.filter(expr="event_type == 'purchase'")
+    clicks = ev.filter(expr="event_type == 'click'")
+    return asof_join(purchases, clicks, key_col="user_id", ts_col="ts",
+                     id_col="event_id", out_col="prev_click_id")
+
+
 def _q_anchor_aliases(sf_dir: str):
     """M3/M5: mine (entity, alias, freq) rows from [[target|anchor]] wiki
     markup in the corpus transcripts (KBExtractor's anchor-text alias
@@ -721,6 +736,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_daily": _q_events_daily,
         "union_region_nation": _q_union_region_nation,
         "sessionize_events": _q_sessionize_events,
+        "asof_click_before_purchase": _q_asof_click_before_purchase,
         # ER pipeline (rows-only checks; er_metrics row carries the F1)
         "er_blocking": _q_er_blocking,
         "er_pairs": _q_er_pairs,
@@ -893,6 +909,18 @@ def oracle_sql() -> dict[str, str]:
             "THEN 1 ELSE 0 END) OVER (PARTITION BY user_id "
             "ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) - 1 "
             "AS BIGINT) AS session_idx FROM w"
+        ),
+        "asof_click_before_purchase": (
+            "WITH u AS (SELECT event_id, user_id, ts, event_type "
+            "FROM events WHERE event_type IN ('purchase', 'click')), "
+            "w AS (SELECT event_id, user_id, event_type, "
+            "last_value(CASE WHEN event_type = 'click' THEN event_id END "
+            "IGNORE NULLS) OVER (PARTITION BY user_id "
+            "ORDER BY ts, event_id "
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) "
+            "AS prev_click_id FROM u) "
+            "SELECT event_id, user_id, prev_click_id FROM w "
+            "WHERE event_type = 'purchase' AND prev_click_id IS NOT NULL"
         ),
         "lang_id_docs": (
             "WITH tok AS (SELECT doc_id, "

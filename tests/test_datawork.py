@@ -253,3 +253,39 @@ def test_sessionize_gap_splits(ray_session):
            .to_pandas().sort_values(["user_id", "event_id"]))
     assert out[out.user_id == 7]["session_idx"].tolist() == [0, 0, 0, 1, 1, 2]
     assert out[out.user_id == 9]["session_idx"].tolist() == [0, 0, 0, 1, 1, 2]
+
+
+def test_asof_join_backward(ray_session):
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from wned_ray.pipelines.datawork import asof_join
+
+    base = np.datetime64("2026-01-01T00:00:00", "us")
+    mins = np.array([0, 10, 20, 30, 40], dtype="timedelta64[m]")
+    left = pd.DataFrame({   # purchases at t10, t30
+        "event_id": [100, 101],
+        "user_id": [7, 7],
+        "ts": base + mins[[1, 3]].astype("timedelta64[us]"),
+    })
+    right = pd.DataFrame({  # clicks at t0, t20, t40
+        "event_id": [200, 201, 202],
+        "user_id": [7, 7, 7],
+        "ts": base + mins[[0, 2, 4]].astype("timedelta64[us]"),
+    })
+    out = (asof_join(rd.from_pandas(left), rd.from_pandas(right),
+                     key_col="user_id", ts_col="ts", id_col="event_id")
+           .to_pandas().sort_values("event_id"))
+    assert out["event_id"].tolist() == [100, 101]
+    assert out["asof_id"].tolist() == [200, 201]   # latest strictly-earlier
+
+    # a left row with no earlier right row is dropped
+    left2 = pd.DataFrame({"event_id": [99], "user_id": [8],
+                          "ts": [base.astype("datetime64[us]")]})
+    right2 = pd.DataFrame({
+        "event_id": [300], "user_id": [8],
+        "ts": [(base + np.timedelta64(1, "m")).astype("datetime64[us]")]})
+    out2 = asof_join(rd.from_pandas(left2), rd.from_pandas(right2),
+                     key_col="user_id", ts_col="ts", id_col="event_id")
+    assert out2.count() == 0

@@ -641,6 +641,52 @@ def sessionize(ds, key_col: str = "user_id", ts_col: str = "ts",
             .map_groups(sess, batch_format="pandas"))
 
 
+def asof_join(left_ds, right_ds, key_col: str, ts_col: str, id_col: str,
+              out_col: str = "asof_id"):
+    """Backward as-of join — an operator Ray Data lacks, composed from
+    primitives it has: for each left row, find the right row of the same
+    key with the greatest (ts, id) STRICTLY preceding the left row's
+    (ts, id). Emits (id, key, out_col) for left rows that matched.
+
+    Shape: tag both sides, union, ONE hash shuffle by key, then a
+    vectorized merge per group (sort + last-seen index accumulate) — no
+    driver state, no per-row Python. Partitioning assumption: one key's
+    combined history fits a worker's heap (the same unit sessionize and
+    the reference's per-document stages rely on)."""
+    def tag(side: int):
+        def f(batch: pa.Table) -> pa.Table:
+            return pa.table({
+                id_col: batch[id_col], key_col: batch[key_col],
+                ts_col: batch[ts_col],
+                "_side": pa.array([side] * batch.num_rows, pa.int8()),
+            })
+        return f
+
+    cols = [id_col, key_col, ts_col]
+    u = (left_ds.select_columns(cols)
+         .map_batches(tag(0), batch_format="pyarrow")
+         .union(right_ds.select_columns(cols)
+                .map_batches(tag(1), batch_format="pyarrow")))
+
+    def merge(g: pd.DataFrame) -> pa.Table:
+        g = g.sort_values([ts_col, id_col])
+        side = g["_side"].to_numpy()
+        ids = g[id_col].to_numpy()
+        # index of the latest right-side row at or before each position
+        pos = np.where(side == 1, np.arange(len(g)), -1)
+        last = np.maximum.accumulate(pos)
+        prev = np.concatenate(([-1], last[:-1]))   # strictly preceding
+        is_left = side == 0
+        hit = is_left & (prev >= 0)
+        return pa.table({
+            id_col: pa.array(ids[hit]),
+            key_col: pa.array(g[key_col].to_numpy()[hit]),
+            out_col: pa.array(ids[prev[hit]]),
+        })
+
+    return u.groupby(key_col).map_groups(merge, batch_format="pandas")
+
+
 def fingerprint(ds, id_col: str, text_col: str = "text", k: int = 8,
                 keep: int = 4):
     """Winnowing-style document fingerprint: the ``keep`` smallest k-gram
