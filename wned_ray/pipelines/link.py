@@ -48,6 +48,18 @@ def run_linkage(transcripts_path: str, aliases_path: str,
     """
     import ray
     import ray.data as rd
+    from ray.data import DataContext
+
+    # Fractional CPU per hash-shuffle aggregator partition: with several
+    # joins in flight, integral per-actor reservations can sum past the
+    # cluster and no pool ever completes (executor livelock). 0.25 lets
+    # every pool spawn fully and oversubscribe gracefully — on a large
+    # cluster the pools spread across nodes and the override is harmless.
+    ctx = DataContext.get_current()
+    if ctx.hash_shuffle_operator_actor_num_cpus_per_partition_override is None:
+        ctx.hash_shuffle_operator_actor_num_cpus_per_partition_override = 0.25
+    if ctx.hash_aggregate_operator_actor_num_cpus_per_partition_override is None:
+        ctx.hash_aggregate_operator_actor_num_cpus_per_partition_override = 0.25
 
     if num_partitions is None:
         # Shuffle partitions are sized to the DATA, not the cluster: every
@@ -66,10 +78,13 @@ def run_linkage(transcripts_path: str, aliases_path: str,
         # volume (blocking rows, expanded pairs with context payloads) is
         # an order of magnitude larger than the input, so 64 MB/partition
         # left the heaviest joins running through a handful of aggregator
-        # actors. Capped at cluster CPUs: each partition is an aggregator
-        # actor, and a pool larger than the cluster deadlocks a tiny
-        # session; floor 8 keeps small inputs from serializing the join.
-        num_partitions = max(2, min(cluster_cpus,
+        # actors. Capped at cluster_cpus // 4: the star expansion runs up
+        # to FOUR hash joins concurrently in one streaming execution, and
+        # each join's aggregator pool reserves CPUs for the whole join —
+        # pools that together exceed the cluster livelock the executor
+        # (observed at 8M turns / 32 CPUs: 4 joins x 32 partitions, zero
+        # progress). Floor 4 keeps small sessions from serializing.
+        num_partitions = max(2, min(max(4, cluster_cpus // 4),
                                     max(8, input_bytes // (8 << 20))))
 
     ckpt = cfg.checkpoint_dir
