@@ -107,8 +107,14 @@ class PipelineConfig:
 
     # --- connected components ---
     cc_max_rounds: int = 12
-    cc_driver_max_pairs: int = 20_000_000  # driver union-find cutoff, applied
-                                          # AFTER distributed edge contraction
+    # driver union-find cutoff, applied AFTER distributed edge contraction.
+    # The driver path is a SERIAL tail (~4 us/edge for the numpy label
+    # propagation plus the broadcast-LUT build), so past a couple million
+    # contracted edges it caps whole-pipeline scaling — the distributed
+    # min-label propagation converges in 1-2 rounds on star-contracted
+    # components and keeps the stage parallel (measured: 8M-turn corpus,
+    # driver CC made the cluster stage SLOWER at 32 CPUs than at 8).
+    cc_driver_max_pairs: int = 2_000_000
 
     # --- checkpointing ---
     checkpoint_dir: str | None = None

@@ -88,25 +88,28 @@ def promote_mentions(prepared_ds, cfg: PipelineConfig):
     (tiny), the payload is the prepared row, and the same conv_id
     partitioning is what downstream per-conv stages (resolve) use.
     (``map_groups`` wants a plain function, hence the closure over the
-    two config flags rather than a callable class.)"""
+    two config flags rather than a callable class. The group function
+    stays on zero-copy Arrow slices — at corpus scale it runs once per
+    conversation, so a pandas copy + ``Table.from_pandas`` per group was
+    the promote stage's dominant constant.)"""
     coref, abbrev = cfg.coref_promote, cfg.abbrev_expand
 
-    def _promote_group(g):
+    def _promote_group(t: pa.Table) -> pa.Table:
         from wned_ray.functions.coref import promote_norms
 
-        g = g.copy()
-        g["norm_orig"] = g["norm_mention"]
-        mine = abbrev and "mention" in g.columns and "text" in g.columns
-        raw = g["mention"].tolist() if mine else [""] * len(g)
-        texts = g["text"].tolist() if mine else []
-        g["norm_mention"] = promote_norms(
-            raw, texts, g["norm_mention"].tolist(), coref=coref, abbrev=mine)
-        # emit Arrow so every stage boundary stays on Arrow blocks; drop
-        # the pandas schema metadata (a dict) so Ray can hash/dedup the
-        # block schemas instead of warning per block
-        return pa.Table.from_pandas(
-            g, preserve_index=False).replace_schema_metadata(None)
+        norms = t["norm_mention"].to_pylist()
+        mine = (abbrev and "mention" in t.column_names
+                and "text" in t.column_names)
+        raw = t["mention"].to_pylist() if mine else [""] * len(norms)
+        texts = t["text"].to_pylist() if mine else []
+        out = promote_norms(raw, texts, norms, coref=coref, abbrev=mine)
+        t = t.append_column("norm_orig", t["norm_mention"])
+        if out != norms:
+            t = t.set_column(t.column_names.index("norm_mention"),
+                             "norm_mention", pa.array(out, pa.string()))
+        return t
 
     return (prepared_ds
             .groupby("conv_id")
-            .map_groups(_promote_group, batch_format="pandas"))
+            .map_groups(_promote_group, batch_format="pyarrow",
+                        zero_copy_batch=True))
