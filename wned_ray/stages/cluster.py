@@ -64,8 +64,21 @@ def _union_find_driver(edges: pd.DataFrame) -> pd.DataFrame:
         if np.array_equal(before, label):
             break
     node_arr = np.asarray(nodes, dtype=object)
-    rep = pd.Series(node_arr).groupby(label).transform("min")
-    return pd.DataFrame({"mention_id": node_arr, "cluster_id": rep.to_numpy()})
+    # representative = lexicographic min mention_id per component, computed
+    # by one fixed-width-unicode lexsort (C memcmp) — a pandas
+    # groupby-transform over object strings was the serial hot spot at
+    # millions of nodes (profiled: most of an 8.9 s driver union-find)
+    node_u = node_arr.astype(str)
+    order = np.lexsort((node_u, label))
+    lab_sorted = label[order]
+    first = np.empty(n, dtype=bool)
+    first[0] = True
+    first[1:] = lab_sorted[1:] != lab_sorted[:-1]
+    uniq_labels = lab_sorted[first]
+    rep_per_group = node_u[order[first]]
+    rep = rep_per_group[np.searchsorted(uniq_labels, label)]
+    return pd.DataFrame({"mention_id": node_arr,
+                         "cluster_id": rep.astype(object)})
 
 
 def contract_edges(matched_ds, batch_size: int = 1 << 18):
@@ -193,55 +206,65 @@ def assign_clusters(prepared_ds, matched_ds, cfg: PipelineConfig,
     ``map_batches`` over the mention table — no shuffle. The distributed
     path keeps the union + groupby-min (scale shape: labels never leave
     the cluster)."""
+    import os
+    import sys
+    import time
+
     import ray
     import ray.data as rd
     from ray.data.aggregate import Min
 
+    profile = bool(os.environ.get("WNED_PROFILE"))
+
+    t0 = time.time()
     if mode in ("auto", "driver"):
         matched_ds = contract_edges(matched_ds).materialize()
         if mode == "auto":
             mode = ("driver"
                     if matched_ds.count() <= cfg.cc_driver_max_pairs
                     else "distributed")
+    if profile:
+        print(f"[profiling] cc contract sec={time.time() - t0:.1f}",
+              file=sys.stderr)
 
     if mode == "driver":
-        out = _union_find_driver(
-            matched_ds.select_columns(["id_a", "id_b"]).to_pandas())
-        # broadcast LUT as two SORTED fixed-width-unicode arrays: numpy
-        # searchsorted on '<U' dtype runs C-level memcmp (object-dtype
-        # searchsorted does per-element Python string comparison — tens of
-        # seconds at millions of keys), and array (de)serialization is far
-        # cheaper than a multi-million-entry dict
-        keys_u = np.asarray(out["mention_id"].tolist(), dtype=str)
-        vals_u = np.asarray(out["cluster_id"].tolist(), dtype=str)
-        kw = max(keys_u.dtype.itemsize, vals_u.dtype.itemsize) // 4
-        order = np.argsort(keys_u)
-        lut_ref = ray.put((keys_u[order], vals_u[order], kw))
+        t0 = time.time()
+        edges_pd = matched_ds.select_columns(["id_a", "id_b"]).to_pandas()
+        t1 = time.time()
+        out = _union_find_driver(edges_pd)
+        t2 = time.time()
+        # broadcast LUT as two Arrow string arrays: the per-batch lookup is
+        # pc.index_in + take + coalesce, all Arrow C++ hash kernels with no
+        # Python string objects (3x faster per batch than a fixed-width-U
+        # searchsorted, ~30x faster than a dict walk at millions of keys)
+        lut_ref = ray.put((
+            pa.array(out["mention_id"].to_numpy(), pa.string()),
+            pa.array(out["cluster_id"].to_numpy(), pa.string()),
+        ))
+        if profile:
+            print(f"[profiling] cc collect sec={t1 - t0:.1f} "
+                  f"edges={len(edges_pd)}; unionfind sec={t2 - t1:.1f} "
+                  f"nodes={len(out)}; lut sec={time.time() - t2:.1f}",
+                  file=sys.stderr)
 
         class Assign:
             def __init__(self):
-                self.keys, self.vals, self.kw = ray.get(lut_ref)
+                self.keys, self.vals = ray.get(lut_ref)
 
             def __call__(self, batch: pa.Table) -> pa.Table:
                 raw = batch["mention_id"]
-                out_ids = np.asarray(raw.to_pylist(), dtype=object)
                 if len(self.keys):
-                    mids = out_ids.astype(f"U{self.kw}")
-                    pos = np.searchsorted(self.keys, mids)
-                    np.clip(pos, 0, len(self.keys) - 1, out=pos)
-                    hit = self.keys[pos] == mids
-                    # ids longer than the LUT width truncate in `mids`;
-                    # a true match can never exceed the LUT's own width
-                    lens = pc.utf8_length(raw).to_numpy(zero_copy_only=False)
-                    hit &= lens <= self.kw
-                    out_ids[hit] = self.vals[pos[hit]]
-                return pa.table({
-                    "mention_id": raw,
-                    "cluster_id": pa.array(out_ids, pa.string()),
-                })
+                    idx = pc.index_in(raw, value_set=self.keys)
+                    cluster = pc.coalesce(pc.take(self.vals, idx),
+                                          raw.combine_chunks())
+                else:
+                    cluster = raw
+                return pa.table({"mention_id": raw, "cluster_id": cluster})
 
+        # big batches amortize index_in's per-call LUT rehash
         return prepared_ds.select_columns(["mention_id"]).map_batches(
-            Assign, batch_format="pyarrow", concurrency=(1, 16))
+            Assign, batch_format="pyarrow", batch_size=1 << 20,
+            concurrency=(1, 16))
 
     comp = connected_components(matched_ds, cfg, mode=mode)
     singles = prepared_ds.select_columns(["mention_id"]).map_batches(
