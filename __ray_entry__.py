@@ -611,6 +611,48 @@ def _q_asof_click_before_purchase(sf_dir: str):
                      id_col="event_id", out_col="prev_click_id")
 
 
+def _q_range_join_clicks(sf_dir: str):
+    """Range (interval) join: per purchase, count the same user's clicks
+    in the preceding hour (custom operator — tag + union + one hash
+    shuffle + per-group vectorized searchsorted sweep)."""
+    from wned_ray.pipelines.datawork import range_join_count
+
+    ev = _rd().read_parquet(f"{sf_dir}/events.parquet",
+                            columns=["event_id", "user_id", "ts",
+                                     "event_type"])
+    purchases = ev.filter(expr="event_type == 'purchase'")
+    clicks = ev.filter(expr="event_type == 'click'")
+    return range_join_count(purchases, clicks, key_col="user_id",
+                            ts_col="ts", id_col="event_id",
+                            lo_minutes=60.0, hi_minutes=0.0,
+                            out_col="n_clicks_1h")
+
+
+def _q_windowed_events(sf_dir: str):
+    """Tumbling-window aggregate (6h windows): vectorized epoch-bucket
+    assignment with a per-batch Arrow combiner, then ONE groupby shuffle
+    sized |keys x windows|, not |events|."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from wned_ray.pipelines.datawork import windowed_aggregate
+
+    ds = _rd().read_parquet(f"{sf_dir}/events.parquet",
+                            columns=["ts", "event_type", "value"])
+    agg = windowed_aggregate(ds, window_minutes=360.0)
+
+    def r(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "event_type": batch["event_type"],
+            "window_start": batch["window_start"],
+            "n_events": batch["n_events"],
+            "sum_value_e2": pc.cast(
+                pc.round(pc.multiply(batch["sum_value"], 100.0)), pa.int64()),
+        })
+
+    return agg.map_batches(r, batch_format="pyarrow")
+
+
 def _q_anchor_aliases(sf_dir: str):
     """M3/M5: mine (entity, alias, freq) rows from [[target|anchor]] wiki
     markup in the corpus transcripts (KBExtractor's anchor-text alias
@@ -737,6 +779,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "union_region_nation": _q_union_region_nation,
         "sessionize_events": _q_sessionize_events,
         "asof_click_before_purchase": _q_asof_click_before_purchase,
+        "windowed_events": _q_windowed_events,
+        "range_join_clicks": _q_range_join_clicks,
         # ER pipeline (rows-only checks; er_metrics row carries the F1)
         "er_blocking": _q_er_blocking,
         "er_pairs": _q_er_pairs,
@@ -921,6 +965,22 @@ def oracle_sql() -> dict[str, str]:
             "AS prev_click_id FROM u) "
             "SELECT event_id, user_id, prev_click_id FROM w "
             "WHERE event_type = 'purchase' AND prev_click_id IS NOT NULL"
+        ),
+        "range_join_clicks": (
+            "SELECT p.event_id, p.user_id, "
+            "CAST(count(c.event_id) AS BIGINT) AS n_clicks_1h "
+            "FROM events p LEFT JOIN events c "
+            "ON c.user_id = p.user_id AND c.event_type = 'click' "
+            "AND c.ts >= p.ts - INTERVAL 1 HOUR AND c.ts < p.ts "
+            "WHERE p.event_type = 'purchase' "
+            "GROUP BY p.event_id, p.user_id"
+        ),
+        "windowed_events": (
+            "SELECT event_type, "
+            "(epoch_us(ts) // 21600000000) * 21600000000 AS window_start, "
+            "count(*) AS n_events, "
+            "CAST(round(sum(value) * 100) AS BIGINT) AS sum_value_e2 "
+            "FROM events GROUP BY event_type, window_start"
         ),
         "lang_id_docs": (
             "WITH tok AS (SELECT doc_id, "

@@ -289,3 +289,60 @@ def test_asof_join_backward(ray_session):
     out2 = asof_join(rd.from_pandas(left2), rd.from_pandas(right2),
                      key_col="user_id", ts_col="ts", id_col="event_id")
     assert out2.count() == 0
+
+
+def test_windowed_aggregate_tumbling(ray_session):
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from wned_ray.pipelines.datawork import windowed_aggregate
+
+    base = np.datetime64("2026-01-01T00:00:00", "us")
+    mins = np.array([0, 10, 59, 60, 61, 200], dtype="timedelta64[m]")
+    df = pd.DataFrame({
+        "ts": base + mins.astype("timedelta64[us]"),
+        "event_type": ["a", "a", "b", "a", "a", "b"],
+        "value": [1.0, 2.0, 4.0, 8.0, 16.0, 32.0],
+    })
+    out = (windowed_aggregate(rd.from_pandas(df), window_minutes=60.0)
+           .to_pandas().sort_values(["event_type", "window_start"])
+           .reset_index(drop=True))
+    hour_us = 60 * 60 * 1_000_000
+    base_us = base.astype("datetime64[us]").astype("int64")
+    # windows: a@h0 = {1,2}, a@h1 = {8,16}, b@h0 = {4}, b@h3 = {32}
+    assert out["event_type"].tolist() == ["a", "a", "b", "b"]
+    assert out["window_start"].tolist() == [
+        base_us, base_us + hour_us, base_us, base_us + 3 * hour_us]
+    assert out["n_events"].tolist() == [2, 2, 1, 1]
+    assert out["sum_value"].tolist() == [3.0, 24.0, 4.0, 32.0]
+
+
+def test_range_join_count(ray_session):
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from wned_ray.pipelines.datawork import range_join_count
+
+    base = np.datetime64("2026-01-01T00:00:00", "us")
+    mins = np.array([0, 30, 59, 60, 61, 200], dtype="timedelta64[m]")
+    left = pd.DataFrame({   # purchases at t60, t200
+        "event_id": [100, 101],
+        "user_id": [7, 7],
+        "ts": base + mins[[3, 5]].astype("timedelta64[us]"),
+    })
+    right = pd.DataFrame({  # clicks at t0, t30, t59, t61
+        "event_id": [200, 201, 202, 203],
+        "user_id": [7, 7, 7, 7],
+        "ts": base + mins[[0, 1, 2, 4]].astype("timedelta64[us]"),
+    })
+    out = (range_join_count(rd.from_pandas(left), rd.from_pandas(right),
+                            key_col="user_id", ts_col="ts",
+                            id_col="event_id", lo_minutes=60.0,
+                            out_col="n_clicks_1h")
+           .to_pandas().sort_values("event_id"))
+    # t60: clicks in [t0, t60) -> t0, t30, t59 = 3 (t0 boundary inclusive)
+    # t200: clicks in [t140, t200) -> none = 0 (zero rows kept)
+    assert out["event_id"].tolist() == [100, 101]
+    assert out["n_clicks_1h"].tolist() == [3, 0]

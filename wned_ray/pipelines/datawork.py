@@ -641,6 +641,40 @@ def sessionize(ds, key_col: str = "user_id", ts_col: str = "ts",
             .map_groups(sess, batch_format="pandas"))
 
 
+def windowed_aggregate(ds, ts_col: str = "ts", key_col: str = "event_type",
+                       val_col: str = "value", window_minutes: float = 360.0):
+    """Tumbling-window aggregate: (key, window_start) -> count + sum(val).
+
+    Shape: window assignment is a stateless vectorized map (epoch-us
+    floor-division), and each batch PRE-AGGREGATES with an Arrow
+    ``Table.group_by`` combiner before the global groupby — the one
+    all-to-all shuffle moves |keys x windows| partial rows, not |events|.
+    ``window_start`` is epoch microseconds (int64), trivially joinable
+    back to timestamps and stable across engines."""
+    from ray.data.aggregate import Sum
+
+    width_us = int(window_minutes * 60 * 1_000_000)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ts = pc.cast(batch[ts_col], pa.int64())        # timestamp[us] -> us
+        win = pc.multiply(pc.divide(ts, width_us), width_us)
+        t = pa.table({key_col: batch[key_col], "window_start": win,
+                      val_col: batch[val_col]})
+        g = t.group_by([key_col, "window_start"]).aggregate(
+            [(val_col, "sum"), (val_col, "count")])
+        return pa.table({
+            key_col: g[key_col], "window_start": g["window_start"],
+            "_psum": g[f"{val_col}_sum"],
+            "_pcnt": pc.cast(g[f"{val_col}_count"], pa.int64()),
+        })
+
+    return (ds.select_columns([ts_col, key_col, val_col])
+            .map_batches(partial, batch_format="pyarrow")
+            .groupby([key_col, "window_start"])
+            .aggregate(Sum("_pcnt", alias_name="n_events"),
+                       Sum("_psum", alias_name="sum_value")))
+
+
 def asof_join(left_ds, right_ds, key_col: str, ts_col: str, id_col: str,
               out_col: str = "asof_id"):
     """Backward as-of join — an operator Ray Data lacks, composed from
@@ -685,6 +719,55 @@ def asof_join(left_ds, right_ds, key_col: str, ts_col: str, id_col: str,
         })
 
     return u.groupby(key_col).map_groups(merge, batch_format="pandas")
+
+
+def range_join_count(left_ds, right_ds, key_col: str, ts_col: str,
+                     id_col: str, lo_minutes: float = 60.0,
+                     hi_minutes: float = 0.0, out_col: str = "n_in_range"):
+    """Range (interval) join + count — an operator Ray Data lacks, composed
+    from primitives it has: for each left row, count right rows of the same
+    key with ts in ``[left.ts - lo, left.ts + hi)`` (lo-inclusive,
+    hi-exclusive; hi=0 means "strictly before the left row"). Emits one
+    (id, key, out_col) row per LEFT row, zero counts included.
+
+    Shape: tag both sides, union, ONE hash shuffle by key, then a
+    vectorized per-group sweep (sort the right side's ts once, two
+    ``np.searchsorted`` calls for all left rows) — no per-row Python, no
+    driver state. Partitioning assumption: one key's combined history fits
+    a worker's heap (same unit as sessionize / asof_join)."""
+    lo_us = int(lo_minutes * 60 * 1_000_000)
+    hi_us = int(hi_minutes * 60 * 1_000_000)
+
+    def tag(side: int):
+        def f(batch: pa.Table) -> pa.Table:
+            return pa.table({
+                id_col: batch[id_col], key_col: batch[key_col],
+                ts_col: batch[ts_col],
+                "_side": pa.array([side] * batch.num_rows, pa.int8()),
+            })
+        return f
+
+    cols = [id_col, key_col, ts_col]
+    u = (left_ds.select_columns(cols)
+         .map_batches(tag(0), batch_format="pyarrow")
+         .union(right_ds.select_columns(cols)
+                .map_batches(tag(1), batch_format="pyarrow")))
+
+    def sweep(g: pd.DataFrame) -> pa.Table:
+        ts = g[ts_col].astype("int64").to_numpy()
+        side = g["_side"].to_numpy()
+        is_left = side == 0
+        lt = ts[is_left]
+        rt = np.sort(ts[~is_left])
+        n = (np.searchsorted(rt, lt + hi_us, side="left")
+             - np.searchsorted(rt, lt - lo_us, side="left"))
+        return pa.table({
+            id_col: pa.array(g[id_col].to_numpy()[is_left]),
+            key_col: pa.array(g[key_col].to_numpy()[is_left]),
+            out_col: pa.array(n, pa.int64()),
+        })
+
+    return u.groupby(key_col).map_groups(sweep, batch_format="pandas")
 
 
 def fingerprint(ds, id_col: str, text_col: str = "text", k: int = 8,
