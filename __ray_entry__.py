@@ -575,6 +575,46 @@ def _q_er_resolve(sf_dir: str):
     return resolve_conversations(prepared, alias_ref, graph_ref, cfg)
 
 
+def _q_er_resolve_accuracy(sf_dir: str):
+    """Gold check for the iterative greedy resolver (K11/K4): hash-join
+    the resolved (mention_id -> entity_id) assignments to the fixture's
+    ``expected_clusters`` gold labels, tally agreement per batch, and
+    reduce to ONE accuracy row. Rows-only driver check (resolution is
+    iterative, not SQL-expressible); the T1 unit-test twin asserts
+    accuracy >= 0.95 against the same gold table."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+
+    corpus = _corpus_for(sf_dir)
+    got = _q_er_resolve(sf_dir).select_columns(
+        ["mention_id", "entity_id"]).rename_columns(
+        {"entity_id": "entity_got"})
+    want = _rd().read_parquet(
+        corpus["expected_clusters"],
+        columns=["mention_id", "entity_id"]).rename_columns(
+        {"entity_id": "entity_want"})
+    j = got.join(want, join_type="inner", num_partitions=8,
+                 on=("mention_id",))
+
+    def tally(batch: pa.Table) -> pa.Table:
+        ok = pc.sum(pc.cast(pc.equal(batch["entity_got"],
+                                     batch["entity_want"]),
+                            pa.int64())).as_py() or 0
+        return pa.table({"n_correct": pa.array([ok], pa.int64()),
+                         "n_total": pa.array([batch.num_rows], pa.int64())})
+
+    agg = (j.map_batches(tally, batch_format="pyarrow")
+           .aggregate(Sum("n_correct", alias_name="n_correct"),
+                      Sum("n_total", alias_name="n_total")))
+    n_ok, n = int(agg["n_correct"]), int(agg["n_total"])
+    return pd.DataFrame([{
+        "n_correct": n_ok, "n_total": n,
+        "accuracy_e4": int(round(10000 * n_ok / n)) if n else 0,
+    }])
+
+
 def _q_alias_redirect_resolved(sf_dir: str):
     """J6/A4: redirect composition over the alias dim table (the Ray
     Dataset twin of the dim-table path used inside run_linkage)."""
@@ -788,6 +828,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "er_clusters": _q_er_clusters,
         "er_metrics": _q_er_metrics,
         "er_resolve": _q_er_resolve,
+        "er_resolve_accuracy": _q_er_resolve_accuracy,
         "alias_redirect_resolved": _q_alias_redirect_resolved,
         "anchor_aliases": _q_anchor_aliases,
         # training-data ops (rows-only)
