@@ -555,6 +555,9 @@ def _q_er_metrics(sf_dir: str):
     return pd.DataFrame([m])
 
 
+_RESOLVE_CACHE: dict[tuple, Any] = {}
+
+
 def _q_er_resolve(sf_dir: str):
     import pyarrow.parquet as pq
     import ray
@@ -562,6 +565,13 @@ def _q_er_resolve(sf_dir: str):
     from wned_ray.config import PipelineConfig
     from wned_ray.stages.normalize import prepare
     from wned_ray.stages.resolve import resolve_conversations
+
+    # er_resolve and er_resolve_accuracy share one resolver run per
+    # (sf_dir, Ray session) — same discipline as _LINKAGE_CACHE
+    key = (sf_dir, _session_key())
+    cached = _RESOLVE_CACHE.get(key)
+    if cached is not None:
+        return cached
 
     corpus = _corpus_for(sf_dir)
     cfg = PipelineConfig()
@@ -572,7 +582,11 @@ def _q_er_resolve(sf_dir: str):
         pq.read_table(corpus["aliases"]),
         pq.read_table(corpus["redirects"])))
     graph_ref = ray.put(pq.read_table(corpus["graph_edges"]))
-    return resolve_conversations(prepared, alias_ref, graph_ref, cfg)
+    out = resolve_conversations(prepared, alias_ref, graph_ref,
+                                cfg).materialize()
+    _RESOLVE_CACHE.clear()
+    _RESOLVE_CACHE[key] = out
+    return out
 
 
 def _q_er_resolve_accuracy(sf_dir: str):
