@@ -247,24 +247,27 @@ def assign_clusters(prepared_ds, matched_ds, cfg: PipelineConfig,
                   f"nodes={len(out)}; lut sec={time.time() - t2:.1f}",
                   file=sys.stderr)
 
-        class Assign:
-            def __init__(self):
-                self.keys, self.vals = ray.get(lut_ref)
+        # plain tasks, not an actor pool: the lookup needs no per-actor
+        # setup beyond a zero-copy ray.get of the broadcast LUT (shared
+        # object-store memory, fetched once per node), and skipping the
+        # pool saves several seconds of actor spawn on every run
+        def assign(batch: pa.Table) -> pa.Table:
+            keys, vals = ray.get(lut_ref)
+            raw = batch["mention_id"]
+            if len(keys):
+                idx = pc.index_in(raw, value_set=keys)
+                cluster = pc.coalesce(pc.take(vals, idx),
+                                      raw.combine_chunks())
+            else:
+                cluster = raw
+            return pa.table({"mention_id": raw, "cluster_id": cluster})
 
-            def __call__(self, batch: pa.Table) -> pa.Table:
-                raw = batch["mention_id"]
-                if len(self.keys):
-                    idx = pc.index_in(raw, value_set=self.keys)
-                    cluster = pc.coalesce(pc.take(self.vals, idx),
-                                          raw.combine_chunks())
-                else:
-                    cluster = raw
-                return pa.table({"mention_id": raw, "cluster_id": cluster})
-
-        # big batches amortize index_in's per-call LUT rehash
+        # default (per-block) batching: a forced 1M-row batch_size made the
+        # bundler coalesce every upstream block into ONE serial task at
+        # sub-1M-row scale; per-block index_in rehash of the LUT is C++
+        # O(keys) and measured cheaper than losing the parallelism
         return prepared_ds.select_columns(["mention_id"]).map_batches(
-            Assign, batch_format="pyarrow", batch_size=1 << 20,
-            concurrency=(1, 16))
+            assign, batch_format="pyarrow")
 
     comp = connected_components(matched_ds, cfg, mode=mode)
     singles = prepared_ds.select_columns(["mention_id"]).map_batches(
