@@ -346,3 +346,65 @@ def test_range_join_count(ray_session):
     # t200: clicks in [t140, t200) -> none = 0 (zero rows kept)
     assert out["event_id"].tolist() == [100, 101]
     assert out["n_clicks_1h"].tolist() == [3, 0]
+
+
+def test_range_join_count_vs_bruteforce(ray_session):
+    """Seeded fuzz: searchsorted sweep == per-row brute force, many keys."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from wned_ray.pipelines.datawork import range_join_count
+
+    rng = np.random.default_rng(7)
+    base = np.datetime64("2026-01-01T00:00:00", "us")
+
+    def mk(n, ids0):
+        return pd.DataFrame({
+            "event_id": np.arange(ids0, ids0 + n),
+            "user_id": rng.integers(0, 5, n),
+            "ts": base + rng.integers(0, 10_000, n).astype("timedelta64[s]"),
+        })
+
+    left, right = mk(80, 0), mk(200, 1000)
+    lo_us = 600 * 1_000_000          # 10-minute window
+    out = (range_join_count(rd.from_pandas(left), rd.from_pandas(right),
+                            key_col="user_id", ts_col="ts",
+                            id_col="event_id", lo_minutes=10.0)
+           .to_pandas().set_index("event_id")["n_in_range"])
+    lts = left["ts"].astype("datetime64[us]").astype("int64").to_numpy()
+    rts = right["ts"].astype("datetime64[us]").astype("int64").to_numpy()
+    for i, row in left.reset_index(drop=True).iterrows():
+        t = int(lts[i])
+        want = int(((right["user_id"].to_numpy() == row["user_id"])
+                    & (rts >= t - lo_us) & (rts < t)).sum())
+        assert out[row["event_id"]] == want
+
+
+def test_windowed_aggregate_vs_bruteforce(ray_session):
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from wned_ray.pipelines.datawork import windowed_aggregate
+
+    rng = np.random.default_rng(11)
+    n = 500
+    base = np.datetime64("2026-01-01T00:00:00", "us")
+    df = pd.DataFrame({
+        "ts": base + rng.integers(0, 100_000, n).astype("timedelta64[s]"),
+        "event_type": rng.choice(["a", "b", "c"], n),
+        "value": rng.normal(size=n).round(2),
+    })
+    out = (windowed_aggregate(rd.from_pandas(df), window_minutes=30.0)
+           .to_pandas().sort_values(["event_type", "window_start"])
+           .reset_index(drop=True))
+    w_us = 30 * 60 * 1_000_000
+    want = df.assign(window_start=(df["ts"].astype("int64") // w_us) * w_us)
+    want = (want.groupby(["event_type", "window_start"], as_index=False)
+            .agg(n_events=("value", "size"), sum_value=("value", "sum"))
+            .sort_values(["event_type", "window_start"])
+            .reset_index(drop=True))
+    assert out["n_events"].tolist() == want["n_events"].tolist()
+    assert np.allclose(out["sum_value"], want["sum_value"])
+    assert out["window_start"].tolist() == want["window_start"].tolist()
