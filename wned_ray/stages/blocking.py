@@ -70,13 +70,21 @@ def norm_blocks(prepared_ds, cfg: PipelineConfig):
                              batch_format="pyarrow")
 
 
-def hot_block_keys(norm_blocks_ds, cfg: PipelineConfig) -> set[int]:
+def hot_block_keys(norm_blocks_ds, cfg: PipelineConfig,
+                   max_keys: int = 4_000_000) -> set[int]:
     """Block keys whose total MENTION weight exceeds the cap.
 
     Weight = sum of n_mentions over the block's member norms — identical
     to the mention-level block size, so the hot set matches the labels
     fixture's discipline exactly. Small driver-side set, broadcast to the
     pair stage.
+
+    The driver collect is BOUNDED: the hot set is structurally rare (at
+    most total_weight / max_block_size keys), but a pathological corpus
+    could make it data-sized, so past ``max_keys`` only the hottest keys
+    are excluded (sort desc + limit — distributed, never an unbounded
+    take_all) and a warning notes the truncation; the remaining warm keys
+    stay subject to the pair stage's per-block cap^2 bound.
     """
     from ray.data.aggregate import Sum
 
@@ -84,7 +92,14 @@ def hot_block_keys(norm_blocks_ds, cfg: PipelineConfig) -> set[int]:
               .select_columns(["block_key", "n_mentions"])
               .groupby("block_key")
               .aggregate(Sum("n_mentions", alias_name="n")))
-    hot = totals.filter(expr=f"n > {cfg.max_block_size}")
+    hot = totals.filter(expr=f"n > {cfg.max_block_size}").materialize()
+    if hot.count() > max_keys:
+        import warnings
+
+        warnings.warn(
+            f"hot_block_keys: >{max_keys} hot keys; excluding only the "
+            f"hottest {max_keys} (driver-memory bound)")
+        hot = hot.sort("n", descending=True).limit(max_keys)
     return {r["block_key"] for r in hot.take_all()}
 
 
