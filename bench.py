@@ -118,6 +118,33 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
      .count())
     queries["edge_aggregate_events"] = round(time.time() - t0, 3)
 
+    from wned_ray.pipelines.datawork import (asof_join, range_join_count,
+                                             sessionize, windowed_aggregate)
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_id", "user_id", "ts", "event_type",
+                                  "value"])
+
+    t0 = time.time()
+    sessionize(ev, gap_minutes=30.0).count()
+    queries["sessionize_events"] = round(time.time() - t0, 3)
+
+    t0 = time.time()
+    windowed_aggregate(ev, window_minutes=360.0).count()
+    queries["windowed_events"] = round(time.time() - t0, 3)
+
+    t0 = time.time()
+    purchases = ev.filter(expr="event_type == 'purchase'")
+    clicks = ev.filter(expr="event_type == 'click'")
+    asof_join(purchases, clicks, key_col="user_id", ts_col="ts",
+              id_col="event_id").count()
+    queries["asof_join_events"] = round(time.time() - t0, 3)
+
+    t0 = time.time()
+    range_join_count(purchases, clicks, key_col="user_id", ts_col="ts",
+                     id_col="event_id", lo_minutes=60.0).count()
+    queries["range_join_events"] = round(time.time() - t0, 3)
+
     ray.shutdown()
     return {
         "metric": "er_linkage_wall_sec",
