@@ -650,7 +650,9 @@ def windowed_aggregate(ds, ts_col: str = "ts", key_col: str = "event_type",
     ``Table.group_by`` combiner before the global groupby — the one
     all-to-all shuffle moves |keys x windows| partial rows, not |events|.
     ``window_start`` is epoch microseconds (int64), trivially joinable
-    back to timestamps and stable across engines."""
+    back to timestamps and stable across engines. Assumes non-negative
+    epochs (post-1970 timestamps): Arrow's integer divide truncates
+    toward zero, which equals floor only for ts >= 0."""
     from ray.data.aggregate import Sum
 
     width_us = int(window_minutes * 60 * 1_000_000)
