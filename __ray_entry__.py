@@ -1111,12 +1111,14 @@ def _redirect_oracle_sql() -> str:
     return (
         "WITH a AS (SELECT * FROM read_parquet('{aliases}')), "
         "r AS (SELECT * FROM read_parquet('{redirects}')), "
-        "u AS ("
-        "SELECT entity, alias, source, freq, 1 AS is_direct FROM a "
-        "UNION ALL "
+        "red AS ("
         "SELECT a.entity, r.from_alias AS alias, 'redirect' AS source, "
-        "a.freq, 0 AS is_direct FROM a JOIN r ON a.alias = r.to_alias) "
-        "SELECT entity, alias, source, freq FROM u "
-        "QUALIFY row_number() OVER (PARTITION BY entity, alias "
-        "ORDER BY is_direct DESC, source, freq) = 1"
+        "CAST(sum(a.freq) AS BIGINT) AS freq "
+        "FROM a JOIN r ON a.alias = r.to_alias "
+        "GROUP BY a.entity, r.from_alias) "
+        "SELECT entity, alias, source, freq FROM a "
+        "UNION ALL "
+        "SELECT entity, alias, source, freq FROM red "
+        "WHERE NOT EXISTS (SELECT 1 FROM a "
+        "WHERE a.entity = red.entity AND a.alias = red.alias)"
     ).format(aliases=paths["aliases"], redirects=paths["redirects"])

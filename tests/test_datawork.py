@@ -408,3 +408,95 @@ def test_windowed_aggregate_vs_bruteforce(ray_session):
     assert out["n_events"].tolist() == want["n_events"].tolist()
     assert np.allclose(out["sum_value"], want["sum_value"])
     assert out["window_start"].tolist() == want["window_start"].tolist()
+
+
+def test_timestamp_ns_unit_normalized(ray_session):
+    """timestamp[ns] inputs (pandas' default datetime64[ns]) must behave
+    identically to timestamp[us] — gaps/windows/ranges are expressed in
+    microseconds internally, and a silent 1000x unit mismatch would make
+    every event its own session / shrink every window."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from wned_ray.pipelines.datawork import (range_join_count, sessionize,
+                                             windowed_aggregate)
+
+    ts_ns = pd.date_range("2026-01-01", periods=6, freq="5min")  # ns unit
+    assert str(ts_ns.dtype) == "datetime64[ns]"
+    df = pd.DataFrame({"event_id": range(6), "user_id": [7] * 6,
+                       "ts": ts_ns,
+                       "event_type": ["a"] * 6, "value": [1.0] * 6})
+
+    # 5-min spacing, 30-min gap -> ONE session (ns bug: six sessions)
+    out = sessionize(rd.from_pandas(df), gap_minutes=30).to_pandas()
+    assert out["session_idx"].tolist() == [0] * 6
+
+    # one 60-min window holds all six events (ns bug: 1000x-narrow windows)
+    w = windowed_aggregate(rd.from_pandas(df), window_minutes=60.0).to_pandas()
+    assert w["n_events"].tolist() == [6]
+
+    # every event has all 5 others within +/-30min (ns bug: zero in range)
+    r = (range_join_count(rd.from_pandas(df), rd.from_pandas(df),
+                          key_col="user_id", ts_col="ts", id_col="event_id",
+                          lo_minutes=30.0, hi_minutes=30.0)
+         .to_pandas().sort_values("event_id"))
+    assert r["n_in_range"].tolist() == [6] * 6   # self included in [lo, hi)
+
+
+def test_windowed_aggregate_counts_null_values(ray_session):
+    """n_events is the EVENT count (oracle count(*)), not the non-null
+    value count."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from wned_ray.pipelines.datawork import windowed_aggregate
+
+    base = np.datetime64("2026-01-01T00:00:00", "us")
+    df = pd.DataFrame({
+        "ts": [base, base + np.timedelta64(1, "m")],
+        "event_type": ["a", "a"],
+        "value": [2.0, None],
+    })
+    out = windowed_aggregate(rd.from_pandas(df),
+                             window_minutes=60.0).to_pandas()
+    assert out["n_events"].tolist() == [2]
+    assert out["sum_value"].tolist() == [2.0]
+
+
+def test_asof_join_cross_side_tie_not_counted(ray_session):
+    """A right row with a left row's EXACT (ts, id) is not 'strictly
+    preceding' — deterministic regardless of union arrival order."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from wned_ray.pipelines.datawork import asof_join
+
+    base = np.datetime64("2026-01-01T00:00:00", "us")
+    left = pd.DataFrame({"event_id": [5], "user_id": [7], "ts": [base]})
+    right = pd.DataFrame({
+        "event_id": [3, 5],   # id 5 ties left's (ts, id) exactly
+        "user_id": [7, 7],
+        "ts": [base - np.timedelta64(1, "m"), base],
+    })
+    out = asof_join(rd.from_pandas(left), rd.from_pandas(right),
+                    key_col="user_id", ts_col="ts",
+                    id_col="event_id").to_pandas()
+    assert out["asof_id"].tolist() == [3]
+
+
+def test_embedding_near_dup_exact_empty_input(ray_session):
+    import pandas as pd
+    import ray.data as rd
+
+    from wned_ray.pipelines.datawork import embedding_near_dup
+
+    empty = rd.from_pandas(pd.DataFrame({
+        "vec_id": pd.Series([], dtype="int64"),
+        "embedding": pd.Series([], dtype=object)}))
+    out = embedding_near_dup(empty, method="exact")
+    assert out.count() == 0
+    # Dataset keeps the schema (to_pandas drops columns on empty inputs)
+    assert set(out.schema().names) == {"id_a", "id_b", "cos"}

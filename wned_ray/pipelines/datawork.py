@@ -38,6 +38,33 @@ import pyarrow.compute as pc
 from wned_ray.functions.minhash import (block_keys_for, minhash_signatures,
                                         shingle_gram_hashes)
 
+def _hot_keys_bounded(exploded, key_col: str, max_block: int,
+                      max_keys: int = 4_000_000) -> set:
+    """Keys whose member count exceeds ``max_block`` — the skew guard run
+    before every LSH-style self-join (one boilerplate band/bucket would
+    otherwise emit O(n^2) pairs into a single join partition).
+
+    The driver collect is BOUNDED the same way as
+    ``stages.blocking.hot_block_keys``: hot keys are structurally rare
+    (at most total_rows / max_block), but past ``max_keys`` only the
+    hottest are excluded (sort desc + limit — distributed, never an
+    unbounded take_all) and a warning notes the truncation."""
+    from ray.data.aggregate import Count
+
+    hot = (exploded.groupby(key_col)
+           .aggregate(Count(alias_name="n"))
+           .filter(expr=f"n > {max_block}")
+           .materialize())
+    if hot.count() > max_keys:
+        import warnings
+
+        warnings.warn(
+            f"_hot_keys_bounded({key_col}): >{max_keys} hot keys; "
+            f"excluding only the hottest {max_keys} (driver-memory bound)")
+        hot = hot.sort("n", descending=True).limit(max_keys)
+    return {r[key_col] for r in hot.take_all()}
+
+
 # --------------------------------------------------------------- exact dedup
 
 
@@ -93,10 +120,7 @@ def minhash_candidates(ds, id_col: str, text_col: str = "text",
 
     # materialized: consumed twice (hot-band count pass + the self-join)
     exploded = ds.map_batches(explode, batch_format="pyarrow").materialize()
-    hot = (exploded.groupby("block_key")
-           .aggregate(Count(alias_name="n"))
-           .filter(expr=f"n > {max_block}"))
-    hot_keys = {r["block_key"] for r in hot.take_all()}
+    hot_keys = _hot_keys_bounded(exploded, "block_key", max_block)
     if hot_keys:
         exploded = exploded.map_batches(_drop_hot(hot_keys),
                                         batch_format="pyarrow")
@@ -256,7 +280,8 @@ def embedding_near_dup(ds, threshold: float = 0.95, concurrency: int = 4,
                        method: str = "lsh", n_tables: int = 12,
                        n_planes: int = 8, seed: int = 42,
                        num_partitions: int = 16,
-                       max_exact_rows: int = 200_000):
+                       max_exact_rows: int = 200_000,
+                       max_bucket: int = 4096):
     """All pairs with cosine >= threshold.
 
     ``method="lsh"`` (scale path, default): random-hyperplane buckets —
@@ -295,8 +320,9 @@ def embedding_near_dup(ds, threshold: float = 0.95, concurrency: int = 4,
             [None, pa.py_buffer(offsets.tobytes()), pa.py_buffer(m.tobytes())])
         return pa.table({"vid": batch[id_col], "emb_bin": emb_bin})
 
+    # materialized: consumed three times (bucketize + the two verify joins)
     packed = ds.select_columns([id_col, "embedding"]).map_batches(
-        pack, batch_format="pyarrow")
+        pack, batch_format="pyarrow").materialize()
 
     def _unpack(col) -> np.ndarray:
         blobs = col.to_pylist()
@@ -329,7 +355,18 @@ def embedding_near_dup(ds, threshold: float = 0.95, concurrency: int = 4,
             "bucket": pa.array(keys.reshape(-1), pa.int64()),
         })
 
-    exploded = packed.map_batches(bucketize, batch_format="pyarrow")
+    # Skew guard: a large cluster of identical/degenerate embeddings (e.g.
+    # zero vectors all hashing to one bucket in every table) would emit
+    # O(n^2) rows through a single join partition — same discipline as
+    # minhash_candidates. Materialized: consumed twice (count + join).
+    from wned_ray.stages.pairs import _drop_hot
+
+    exploded = packed.map_batches(bucketize,
+                                  batch_format="pyarrow").materialize()
+    hot = _hot_keys_bounded(exploded, "bucket", max_bucket)
+    if hot:
+        exploded = exploded.map_batches(_drop_hot(hot, col="bucket"),
+                                        batch_format="pyarrow")
     left = exploded.rename_columns({"vid": "id_a"})
     right = exploded.rename_columns({"vid": "id_b"})
     joined = left.join(right, join_type="inner",
@@ -377,6 +414,13 @@ def _near_dup_exact(ds, threshold: float, concurrency: int, batch_size: int,
             f"embedding_near_dup(method='exact') caps at {max_exact_rows} "
             f"rows (got {n}): the broadcast matrix is O(n*d) per worker — "
             "use method='lsh' at scale")
+    if n == 0:                       # np.stack rejects an empty column
+        from ray.data import from_arrow
+
+        return from_arrow(pa.table({
+            "id_a": pa.array([], pa.int64()),
+            "id_b": pa.array([], pa.int64()),
+            "cos": pa.array([], pa.float64())}))
     df = slim.to_pandas()
     ids = df[id_col].to_numpy()
     m = np.stack(df["embedding"].to_numpy()).astype(np.float64)
@@ -612,6 +656,19 @@ def token_count(ds, text_col: str = "text"):
     return ds.map_batches(tc, batch_format="pyarrow")
 
 
+def _epoch_us(s: pd.Series) -> np.ndarray:
+    """Epoch-microsecond int64 from a timestamp series of ANY unit.
+
+    Pandas groups arriving from Arrow keep the source unit (a
+    timestamp[ns] parquet column stays datetime64[ns]), so a bare
+    ``astype('int64')`` would be off by 1000x against a gap/width
+    constant expressed in microseconds. Integer columns are assumed to
+    already be epoch microseconds."""
+    if pd.api.types.is_datetime64_any_dtype(s):
+        return s.astype("datetime64[us]").astype("int64").to_numpy()
+    return s.astype("int64").to_numpy()
+
+
 def sessionize(ds, key_col: str = "user_id", ts_col: str = "ts",
                id_col: str = "event_id", gap_minutes: float = 30.0):
     """Gap-based sessionization: per key, events sorted by (ts, id) start
@@ -627,7 +684,7 @@ def sessionize(ds, key_col: str = "user_id", ts_col: str = "ts",
 
     def sess(g: pd.DataFrame) -> pa.Table:
         g = g.sort_values([ts_col, id_col])
-        ts = g[ts_col].astype("int64").to_numpy()
+        ts = _epoch_us(g[ts_col])
         new = np.ones(len(g), dtype=bool)
         new[1:] = (ts[1:] - ts[:-1]) > gap_us
         return pa.table({
@@ -658,12 +715,18 @@ def windowed_aggregate(ds, ts_col: str = "ts", key_col: str = "event_type",
     width_us = int(window_minutes * 60 * 1_000_000)
 
     def partial(batch: pa.Table) -> pa.Table:
-        ts = pc.cast(batch[ts_col], pa.int64())        # timestamp[us] -> us
+        t = batch[ts_col]
+        if pa.types.is_timestamp(t.type):    # normalize ANY unit -> us
+            t = pc.cast(t, pa.timestamp("us", t.type.tz))
+        ts = pc.cast(t, pa.int64())
         win = pc.multiply(pc.divide(ts, width_us), width_us)
         t = pa.table({key_col: batch[key_col], "window_start": win,
                       val_col: batch[val_col]})
+        # count mode='all': n_events is the EVENT count (matches the
+        # oracle's count(*)), not the non-null value count
         g = t.group_by([key_col, "window_start"]).aggregate(
-            [(val_col, "sum"), (val_col, "count")])
+            [(val_col, "sum"),
+             (val_col, "count", pc.CountOptions(mode="all"))])
         return pa.table({
             key_col: g[key_col], "window_start": g["window_start"],
             "_psum": g[f"{val_col}_sum"],
@@ -705,7 +768,11 @@ def asof_join(left_ds, right_ds, key_col: str, ts_col: str, id_col: str,
                 .map_batches(tag(1), batch_format="pyarrow")))
 
     def merge(g: pd.DataFrame) -> pa.Table:
-        g = g.sort_values([ts_col, id_col])
+        # _side last: a RIGHT row tying a left row's exact (ts, id) —
+        # possible when the two sides' id spaces overlap — must sort
+        # AFTER it (left=0 < right=1), so "strictly preceding" stays
+        # deterministic under cross-side ties
+        g = g.sort_values([ts_col, id_col, "_side"])
         side = g["_side"].to_numpy()
         ids = g[id_col].to_numpy()
         # index of the latest right-side row at or before each position
@@ -756,7 +823,7 @@ def range_join_count(left_ds, right_ds, key_col: str, ts_col: str,
                 .map_batches(tag(1), batch_format="pyarrow")))
 
     def sweep(g: pd.DataFrame) -> pa.Table:
-        ts = g[ts_col].astype("int64").to_numpy()
+        ts = _epoch_us(g[ts_col])
         side = g["_side"].to_numpy()
         is_left = side == 0
         lt = ts[is_left]

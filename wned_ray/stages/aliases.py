@@ -23,34 +23,45 @@ Two forms, one semantics:
 
 from __future__ import annotations
 
+import numpy as np
 import pandas as pd
 import pyarrow as pa
 
 
 def resolve_redirects_table(alias: pa.Table, redirects: pa.Table) -> pa.Table:
     """alias (entity, alias, source, freq) x redirects (from_alias,
-    to_alias) -> alias plus one row per (redirect, matching alias row):
-    (entity, from_alias, 'redirect', freq)."""
+    to_alias) -> alias plus one row per (entity, redirecting surface):
+    (entity, from_alias, 'redirect', sum of the target alias rows' freq).
+
+    Base rows pass through UNTOUCHED — an (entity, alias) pair may
+    legitimately appear once per source ('name', 'link', ...) and each
+    row's freq mass must survive (``build_alias_candidates`` sums them
+    into the prior). A redirect surface that already exists as a direct
+    alias of the same entity is dropped from the redirect side only (the
+    direct rows carry the evidence; no double count)."""
     adf = alias.select(["entity", "alias", "source", "freq"]).to_pandas()
     rdf = redirects.select(["from_alias", "to_alias"]).to_pandas()
     extra = adf.merge(rdf, left_on="alias", right_on="to_alias", how="inner")
-    extra = pd.DataFrame({
-        "entity": extra["entity"],
-        "alias": extra["from_alias"],
-        "source": "redirect",
-        "freq": extra["freq"],
-    })
+    extra = (extra.groupby(["entity", "from_alias"], as_index=False)
+             .agg(freq=("freq", "sum"))
+             .rename(columns={"from_alias": "alias"}))
+    extra["source"] = "redirect"
+    # anti-join: drop redirect rows colliding with an existing direct pair
+    direct_keys = adf[["entity", "alias"]].drop_duplicates()
+    extra = extra.merge(direct_keys, on=["entity", "alias"], how="left",
+                        indicator=True)
+    extra = extra.loc[extra["_merge"] == "left_only",
+                      ["entity", "alias", "source", "freq"]]
     out = pd.concat([adf, extra], ignore_index=True)
-    # a redirect surface that already exists as a direct alias of the same
-    # entity must not double its freq mass: keep the direct row
-    out = out.drop_duplicates(subset=["entity", "alias"], keep="first")
     return pa.Table.from_pandas(out, preserve_index=False)
 
 
 def resolve_redirects(alias_ds, redirects_ds, num_partitions: int = 16):
     """Distributed twin of ``resolve_redirects_table``: hash join on the
-    redirect target + union with the original rows. Anti-duplicate rule is
-    applied with a groupby-first on (entity, alias)."""
+    redirect target, a (entity, redirect surface) groupby-sum, then a
+    groupby-based anti-join so redirect rows colliding with a direct
+    (entity, alias) pair are dropped. Direct rows stream through
+    UNTOUCHED (no shuffle) — their multi-source freq rows all survive."""
     extra = redirects_ds.join(
         alias_ds.rename_columns({"alias": "to_alias"}),
         join_type="inner", num_partitions=num_partitions, on=("to_alias",))
@@ -59,28 +70,36 @@ def resolve_redirects(alias_ds, redirects_ds, num_partitions: int = 16):
         return pa.table({
             "entity": batch["entity"],
             "alias": batch["from_alias"],
-            "source": pa.array(["redirect"] * batch.num_rows, pa.string()),
             "freq": batch["freq"],
             "is_direct": pa.array([0] * batch.num_rows, pa.int64()),
         })
 
-    def mark(batch: pa.Table) -> pa.Table:
-        return batch.append_column(
-            "is_direct", pa.array([1] * batch.num_rows, pa.int64()))
+    def keys_only(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "entity": batch["entity"],
+            "alias": batch["alias"],
+            "freq": pa.array([0] * batch.num_rows, batch["freq"].type),
+            "is_direct": pa.array([1] * batch.num_rows, pa.int64()),
+        })
 
-    direct = alias_ds.map_batches(mark, batch_format="pyarrow")
-    unioned = direct.union(extra.map_batches(emit, batch_format="pyarrow"))
+    marked = (alias_ds.map_batches(keys_only, batch_format="pyarrow")
+              .union(extra.map_batches(emit, batch_format="pyarrow")))
 
-    # keep the direct row when a redirect collides with an existing alias
-    # of the same entity: max(is_direct) picks it, and the direct row's
-    # (source, freq) ride along via the per-group sort+first
-    def first_per_key(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["is_direct", "source", "freq"],
-                          ascending=[False, True, True])
-        return g.head(1)[["entity", "alias", "source", "freq"]]
+    # per (entity, alias): emit one summed redirect row unless any direct
+    # marker is present (group size is tiny: redirect rows + key markers)
+    def redirect_only(g: pd.DataFrame) -> pd.DataFrame:
+        if (g["is_direct"] == 1).any():
+            g = g.iloc[0:0]
+        out = g.iloc[:1][["entity", "alias"]].copy()
+        out["source"] = ["redirect"] * len(out)      # positional, index-safe
+        out["freq"] = np.full(len(out), g["freq"].sum() if len(g) else 0,
+                              dtype=np.int64)
+        return out[["entity", "alias", "source", "freq"]]
 
-    return (unioned.groupby(["entity", "alias"])
-            .map_groups(first_per_key, batch_format="pandas"))
+    redirect_rows = (marked.groupby(["entity", "alias"])
+                     .map_groups(redirect_only, batch_format="pandas"))
+    direct = alias_ds.select_columns(["entity", "alias", "source", "freq"])
+    return direct.union(redirect_rows)
 
 
 def merge_alias_tables(base: pa.Table, mined: pa.Table) -> pa.Table:

@@ -39,7 +39,7 @@ import pyarrow.compute as pc
 from wned_ray.config import PipelineConfig
 
 
-def _drop_hot(hot_keys: set[int]):
+def _drop_hot(hot_keys: set[int], col: str = "block_key"):
     """Anti-join filter against the broadcast hot-key set.
 
     The hot set can reach ~1e6 keys (every block of a heavy surface is
@@ -53,7 +53,7 @@ def _drop_hot(hot_keys: set[int]):
     def fn(batch: pa.Table) -> pa.Table:
         hot_arr = ray.get(hot_ref)          # local zero-copy plasma read
         return batch.filter(
-            pc.invert(pc.is_in(batch["block_key"], value_set=hot_arr)))
+            pc.invert(pc.is_in(batch[col], value_set=hot_arr)))
 
     return fn
 
