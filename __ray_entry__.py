@@ -707,6 +707,53 @@ def _q_windowed_events(sf_dir: str):
     return agg.map_batches(r, batch_format="pyarrow")
 
 
+def _q_sliding_window_events(sf_dir: str):
+    """SLIDING-window aggregate (6h windows every 1h): vectorized
+    per-event window explode + per-batch Arrow combiner, then ONE groupby
+    shuffle sized |keys x windows|."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from wned_ray.pipelines.datawork import sliding_window_aggregate
+
+    ds = _rd().read_parquet(f"{sf_dir}/events.parquet",
+                            columns=["ts", "event_type", "value"])
+    agg = sliding_window_aggregate(ds, width_minutes=360.0,
+                                   step_minutes=60.0)
+
+    def r(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "event_type": batch["event_type"],
+            "window_start": batch["window_start"],
+            "n_events": batch["n_events"],
+            "sum_value_e2": pc.cast(
+                pc.round(pc.multiply(batch["sum_value"], 100.0)), pa.int64()),
+        })
+
+    return agg.map_batches(r, batch_format="pyarrow")
+
+
+def _q_hash_sample_docs(sf_dir: str):
+    """Deterministic hash sampling (10% of documents, seed 7): pure
+    function of (id, seed), so re-runs and the SQL twin agree exactly."""
+    from wned_ray.pipelines.datawork import hash_sample
+
+    ds = _rd().read_parquet(f"{sf_dir}/documents.parquet",
+                            columns=["doc_id", "lang", "n_chars"])
+    return hash_sample(ds, id_col="doc_id", rate_pct=10.0, seed=7)
+
+
+def _q_event_value_quantiles(sf_dir: str):
+    """Per-key exact quantiles (quantile_cont semantics) over the event
+    value stream: one hash shuffle + one vectorized np.quantile per key."""
+    from wned_ray.pipelines.datawork import group_quantiles
+
+    ds = _rd().read_parquet(f"{sf_dir}/events.parquet",
+                            columns=["event_type", "value"])
+    return group_quantiles(ds, key_col="event_type", val_col="value",
+                           qs=(0.25, 0.5, 0.9, 0.99))
+
+
 def _q_anchor_aliases(sf_dir: str):
     """M3/M5: mine (entity, alias, freq) rows from [[target|anchor]] wiki
     markup in the corpus transcripts (KBExtractor's anchor-text alias
@@ -834,7 +881,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sessionize_events": _q_sessionize_events,
         "asof_click_before_purchase": _q_asof_click_before_purchase,
         "windowed_events": _q_windowed_events,
+        "sliding_window_events": _q_sliding_window_events,
         "range_join_clicks": _q_range_join_clicks,
+        "hash_sample_docs": _q_hash_sample_docs,
+        "event_value_quantiles": _q_event_value_quantiles,
         # ER pipeline (rows-only checks; er_metrics row carries the F1)
         "er_blocking": _q_er_blocking,
         "er_pairs": _q_er_pairs,
@@ -1036,6 +1086,32 @@ def oracle_sql() -> dict[str, str]:
             "count(*) AS n_events, "
             "CAST(round(sum(value) * 100) AS BIGINT) AS sum_value_e2 "
             "FROM events GROUP BY event_type, window_start"
+        ),
+        "sliding_window_events": (
+            # 6h windows starting every 1h: each event lands in exactly
+            # width/step = 6 step-aligned windows
+            "SELECT event_type, ws AS window_start, "
+            "count(*) AS n_events, "
+            "CAST(round(sum(value) * 100) AS BIGINT) AS sum_value_e2 "
+            "FROM (SELECT event_type, value, epoch_us(ts) AS e FROM events), "
+            "unnest(generate_series("
+            "(e // 3600000000) * 3600000000 - 21600000000 + 3600000000, "
+            "(e // 3600000000) * 3600000000, 3600000000)) AS t(ws) "
+            "GROUP BY event_type, ws"
+        ),
+        "hash_sample_docs": (
+            # Knuth multiplicative hash, seed 7, 10% rate: HUGEINT keeps
+            # the 2^32-range multiply exact
+            "SELECT doc_id, lang, n_chars FROM documents "
+            "WHERE (CAST((doc_id + 7) % 4294967296 AS HUGEINT) "
+            "* 2654435761) % 4294967296 < 429496729"
+        ),
+        "event_value_quantiles": (
+            "SELECT event_type, "
+            "unnest([0.25, 0.5, 0.9, 0.99]) AS quantile, "
+            "CAST(round(unnest(quantile_cont(value, [0.25, 0.5, 0.9, 0.99]))"
+            " * 10000) AS BIGINT) AS value_e4 "
+            "FROM events GROUP BY event_type"
         ),
         "lang_id_docs": (
             "WITH tok AS (SELECT doc_id, "

@@ -145,6 +145,24 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
                      id_col="event_id", lo_minutes=60.0).count()
     queries["range_join_events"] = round(time.time() - t0, 3)
 
+    from wned_ray.pipelines.datawork import (group_quantiles, hash_sample,
+                                             sliding_window_aggregate)
+
+    t0 = time.time()
+    sliding_window_aggregate(ev, width_minutes=360.0,
+                             step_minutes=60.0).count()
+    queries["sliding_window_events"] = round(time.time() - t0, 3)
+
+    t0 = time.time()
+    hash_sample(rd.read_parquet(f"{sf_dir}/documents.parquet",
+                                columns=["doc_id"]),
+                id_col="doc_id", rate_pct=10.0, seed=7).count()
+    queries["hash_sample_docs"] = round(time.time() - t0, 3)
+
+    t0 = time.time()
+    group_quantiles(ev, key_col="event_type", val_col="value").count()
+    queries["event_value_quantiles"] = round(time.time() - t0, 3)
+
     ray.shutdown()
     return {
         "metric": "er_linkage_wall_sec",

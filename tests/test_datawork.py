@@ -500,3 +500,95 @@ def test_embedding_near_dup_exact_empty_input(ray_session):
     assert out.count() == 0
     # Dataset keeps the schema (to_pandas drops columns on empty inputs)
     assert set(out.schema().names) == {"id_a", "id_b", "cos"}
+
+
+def test_sliding_window_aggregate_vs_bruteforce(ray_session):
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from wned_ray.pipelines.datawork import sliding_window_aggregate
+
+    rng = np.random.default_rng(5)
+    n = 400
+    base = np.datetime64("2026-01-01T00:00:00", "us")
+    df = pd.DataFrame({
+        "ts": base + rng.integers(0, 50_000, n).astype("timedelta64[s]"),
+        "event_type": rng.choice(["a", "b"], n),
+        "value": rng.normal(size=n).round(2),
+    })
+    W, S = 120.0, 30.0                       # 2h windows every 30min
+    out = (sliding_window_aggregate(rd.from_pandas(df), width_minutes=W,
+                                    step_minutes=S)
+           .to_pandas().sort_values(["event_type", "window_start"])
+           .reset_index(drop=True))
+    w_us, s_us = int(W * 60e6), int(S * 60e6)
+    rows = []
+    for _, r in df.iterrows():
+        e = r["ts"].value                     # pandas ns -> but datetime64[us]?
+        e = int(pd.Timestamp(r["ts"]).value // 1000)   # ns -> us
+        smax = (e // s_us) * s_us
+        for k in range(w_us // s_us):
+            rows.append((r["event_type"], smax - k * s_us, r["value"]))
+    want = (pd.DataFrame(rows, columns=["event_type", "window_start", "value"])
+            .groupby(["event_type", "window_start"], as_index=False)
+            .agg(n_events=("value", "size"), sum_value=("value", "sum"))
+            .sort_values(["event_type", "window_start"])
+            .reset_index(drop=True))
+    assert out["n_events"].tolist() == want["n_events"].tolist()
+    assert np.allclose(out["sum_value"], want["sum_value"])
+    assert out["window_start"].tolist() == want["window_start"].tolist()
+    # every event in exactly width/step windows
+    assert out["n_events"].sum() == n * (w_us // s_us)
+
+
+def test_hash_sample_deterministic_and_fair(ray_session):
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from wned_ray.pipelines.datawork import hash_sample
+
+    df = pd.DataFrame({"doc_id": np.arange(20_000, dtype=np.int64)})
+    a = hash_sample(rd.from_pandas(df), "doc_id", rate_pct=10.0,
+                    seed=7).to_pandas()
+    b = hash_sample(rd.from_pandas(df), "doc_id", rate_pct=10.0,
+                    seed=7).to_pandas()
+    assert a["doc_id"].tolist() == b["doc_id"].tolist()    # deterministic
+    assert 0.08 < len(a) / len(df) < 0.12                  # ~10%
+    c = hash_sample(rd.from_pandas(df), "doc_id", rate_pct=10.0,
+                    seed=8).to_pandas()
+    assert a["doc_id"].tolist() != c["doc_id"].tolist()    # seed matters
+    # matches the SQL twin's arithmetic exactly
+    h = ((df["doc_id"].to_numpy().astype(np.uint64) + 7) % (1 << 32)
+         * 2654435761) % (1 << 32)
+    want = df["doc_id"][h < int(0.1 * (1 << 32))].tolist()
+    assert a["doc_id"].tolist() == sorted(want)
+
+
+def test_group_quantiles_matches_duckdb(ray_session):
+    import duckdb
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from wned_ray.pipelines.datawork import group_quantiles
+
+    rng = np.random.default_rng(3)
+    df = pd.DataFrame({
+        "event_type": rng.choice(["a", "b", "c"], 3000),
+        "value": rng.normal(size=3000).round(3),
+    })
+    df.loc[::50, "value"] = np.nan            # quantile_cont ignores nulls
+    out = (group_quantiles(rd.from_pandas(df), "event_type", "value",
+                           qs=(0.25, 0.5, 0.9, 0.99))
+           .to_pandas().sort_values(["event_type", "quantile"])
+           .reset_index(drop=True))
+    want = duckdb.connect().execute(
+        "SELECT event_type, unnest([0.25,0.5,0.9,0.99]) AS quantile, "
+        "CAST(round(unnest(quantile_cont(value, [0.25,0.5,0.9,0.99]))"
+        " * 10000) AS BIGINT) AS value_e4 "
+        "FROM df GROUP BY event_type ORDER BY event_type, quantile"
+    ).fetch_df()
+    assert out["value_e4"].tolist() == want["value_e4"].tolist()
+    assert out["event_type"].tolist() == want["event_type"].tolist()

@@ -839,6 +839,118 @@ def range_join_count(left_ds, right_ds, key_col: str, ts_col: str,
     return u.groupby(key_col).map_groups(sweep, batch_format="pandas")
 
 
+def sliding_window_aggregate(ds, ts_col: str = "ts",
+                             key_col: str = "event_type",
+                             val_col: str = "value",
+                             width_minutes: float = 360.0,
+                             step_minutes: float = 60.0):
+    """SLIDING-window aggregate: (key, window_start) -> count + sum(val),
+    windows of ``width`` starting every ``step`` (width must be a
+    multiple of step; each event lands in exactly width/step windows).
+
+    Shape: a stateless vectorized explode (np.repeat over the batch, one
+    row per (event, window)) feeding the same per-batch Arrow combiner as
+    ``windowed_aggregate`` — the all-to-all shuffle moves |keys x windows|
+    partial rows, not |events| x width/step. ``window_start`` is epoch
+    microseconds (int64). Assumes non-negative epochs (same floor-vs-
+    truncate caveat as the tumbling form)."""
+    from ray.data.aggregate import Sum
+
+    width_us = int(width_minutes * 60 * 1_000_000)
+    step_us = int(step_minutes * 60 * 1_000_000)
+    if width_us % step_us:
+        raise ValueError("width_minutes must be a multiple of step_minutes")
+    n_win = width_us // step_us
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = batch[ts_col]
+        if pa.types.is_timestamp(t.type):    # normalize ANY unit -> us
+            t = pc.cast(t, pa.timestamp("us", t.type.tz))
+        e = pc.cast(t, pa.int64()).to_numpy(zero_copy_only=False)
+        # starts: floor(e/step)*step - k*step for k in 0..n_win-1 — all
+        # and only the step-aligned windows covering e
+        s_max = (e // step_us) * step_us
+        starts = (s_max[:, None]
+                  - np.arange(n_win, dtype=np.int64)[None, :] * step_us)
+        idx = pa.array(np.repeat(np.arange(batch.num_rows), n_win), pa.int64())
+        t = pa.table({
+            key_col: batch[key_col].take(idx),
+            "window_start": pa.array(starts.reshape(-1), pa.int64()),
+            val_col: batch[val_col].take(idx),
+        })
+        g = t.group_by([key_col, "window_start"]).aggregate(
+            [(val_col, "sum"),
+             (val_col, "count", pc.CountOptions(mode="all"))])
+        return pa.table({
+            key_col: g[key_col], "window_start": g["window_start"],
+            "_psum": g[f"{val_col}_sum"],
+            "_pcnt": pc.cast(g[f"{val_col}_count"], pa.int64()),
+        })
+
+    return (ds.select_columns([ts_col, key_col, val_col])
+            .map_batches(partial, batch_format="pyarrow")
+            .groupby([key_col, "window_start"])
+            .aggregate(Sum("_pcnt", alias_name="n_events"),
+                       Sum("_psum", alias_name="sum_value")))
+
+
+def hash_sample(ds, id_col: str, rate_pct: float, seed: int = 0):
+    """Deterministic hash-based sampling: keep rows where a Knuth
+    multiplicative hash of the id falls under the rate threshold.
+
+    The dataset-pipeline sampler: unlike ``ds.random_sample`` the
+    selection is a pure function of (id, seed) — re-runs, resumed runs
+    and downstream joins all agree on the sample, and the SQL twin is
+    one WHERE clause (``((id + seed) % 2^32 * 2654435761) % 2^32 <
+    rate * 2^32``). Stateless vectorized filter; no shuffle. Sequential
+    ids are fine: multiplication by an odd constant is a bijection on
+    2^32 so the selection is equidistributed."""
+    thresh = np.uint64(int(rate_pct / 100.0 * (1 << 32)))
+    mask32 = np.uint64((1 << 32) - 1)
+    knuth = np.uint64(2654435761)
+    seed_u = np.uint64(seed)
+
+    def keep(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.uint64)
+        h = (((ids + seed_u) & mask32) * knuth) & mask32
+        return batch.filter(pa.array(h < thresh))
+
+    return ds.map_batches(keep, batch_format="pyarrow")
+
+
+def group_quantiles(ds, key_col: str, val_col: str,
+                    qs: tuple = (0.25, 0.5, 0.9, 0.99)):
+    """Per-key exact quantiles (linear interpolation, the quantile_cont
+    semantics): (key, quantile, value_e4).
+
+    Shape: ONE hash shuffle by key, then a single vectorized
+    ``np.quantile`` per group. Partitioning assumption: one key's values
+    fit a worker's heap (same unit as sessionize); at extreme per-key
+    cardinality swap in a t-digest sketch per batch + merge — exactness
+    is this operator's contract, so it keeps the per-group form.
+    ``value_e4`` is the e4-scaled int64 (repo-wide hash-stable-oracle
+    discipline)."""
+    qarr = np.asarray(sorted(qs), np.float64)
+
+    def quant(g: pd.DataFrame) -> pa.Table:
+        vals = g[val_col].to_numpy(np.float64)
+        vals = vals[~np.isnan(vals)]          # quantile_cont ignores nulls
+        if not len(vals):
+            return pa.table({key_col: pa.array([], pa.string()),
+                             "quantile": pa.array([], pa.float64()),
+                             "value_e4": pa.array([], pa.int64())})
+        v = np.quantile(vals, qarr, method="linear")
+        return pa.table({
+            key_col: pa.array([g[key_col].iloc[0]] * len(qarr)),
+            "quantile": pa.array(qarr, pa.float64()),
+            "value_e4": pa.array(np.round(v * 10000).astype(np.int64)),
+        })
+
+    return (ds.select_columns([key_col, val_col])
+            .groupby(key_col)
+            .map_groups(quant, batch_format="pandas"))
+
+
 def fingerprint(ds, id_col: str, text_col: str = "text", k: int = 8,
                 keep: int = 4):
     """Winnowing-style document fingerprint: the ``keep`` smallest k-gram
