@@ -743,6 +743,42 @@ def _q_hash_sample_docs(sf_dir: str):
     return hash_sample(ds, id_col="doc_id", rate_pct=10.0, seed=7)
 
 
+def _q_window_funcs_events(sf_dir: str):
+    """Per-user ordered window functions (running sum + lag) — the ANSI
+    window-frame analog: one hash shuffle + vectorized cumsum/shift per
+    group."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from wned_ray.pipelines.datawork import ordered_window_funcs
+
+    ds = _rd().read_parquet(f"{sf_dir}/events.parquet",
+                            columns=["event_id", "user_id", "ts", "value"])
+    out = ordered_window_funcs(ds)
+
+    def r(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "event_id": batch["event_id"],
+            "user_id": batch["user_id"],
+            "cum_value_e2": pc.cast(
+                pc.round(pc.multiply(batch["cum_value"], 100.0)), pa.int64()),
+            "prev_id": batch["prev_id"],
+        })
+
+    return out.map_batches(r, batch_format="pyarrow")
+
+
+def _q_heavy_hitter_terms(sf_dir: str):
+    """Exact heavy-hitter terms via a mergeable Misra-Gries sketch plus
+    an exact verify pass over the sketch's candidate superset — bounded
+    shuffle state regardless of vocabulary size."""
+    from wned_ray.pipelines.datawork import heavy_hitter_terms
+
+    ds = _rd().read_parquet(f"{sf_dir}/documents.parquet",
+                            columns=["text"])
+    return heavy_hitter_terms(ds, k=8192, min_freq=100)
+
+
 def _q_event_value_quantiles(sf_dir: str):
     """Per-key exact quantiles (quantile_cont semantics) over the event
     value stream: one hash shuffle + one vectorized np.quantile per key."""
@@ -885,6 +921,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "range_join_clicks": _q_range_join_clicks,
         "hash_sample_docs": _q_hash_sample_docs,
         "event_value_quantiles": _q_event_value_quantiles,
+        "heavy_hitter_terms": _q_heavy_hitter_terms,
+        "window_funcs_events": _q_window_funcs_events,
         # ER pipeline (rows-only checks; er_metrics row carries the F1)
         "er_blocking": _q_er_blocking,
         "er_pairs": _q_er_pairs,
@@ -1112,6 +1150,26 @@ def oracle_sql() -> dict[str, str]:
             "CAST(round(unnest(quantile_cont(value, [0.25, 0.5, 0.9, 0.99]))"
             " * 10000) AS BIGINT) AS value_e4 "
             "FROM events GROUP BY event_type"
+        ),
+        "heavy_hitter_terms": (
+            # the sketch+verify result is EXACT (min_freq > n/(k+1)), so
+            # the oracle is the plain full groupby it avoids at scale
+            "WITH tok AS (SELECT "
+            "unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term "
+            "FROM documents) "
+            "SELECT term, CAST(count(*) AS BIGINT) AS freq FROM tok "
+            "GROUP BY term HAVING count(*) >= 100"
+        ),
+        "window_funcs_events": (
+            # coalesce matches the engine's nancumsum (nulls add 0; a
+            # leading null row carries 0, not NULL)
+            "SELECT event_id, user_id, "
+            "CAST(round(sum(coalesce(value, 0)) OVER "
+            "(PARTITION BY user_id ORDER BY ts, event_id) * 100) AS BIGINT) "
+            "AS cum_value_e2, "
+            "lag(event_id) OVER "
+            "(PARTITION BY user_id ORDER BY ts, event_id) AS prev_id "
+            "FROM events"
         ),
         "lang_id_docs": (
             "WITH tok AS (SELECT doc_id, "

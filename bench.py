@@ -163,6 +163,19 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
     group_quantiles(ev, key_col="event_type", val_col="value").count()
     queries["event_value_quantiles"] = round(time.time() - t0, 3)
 
+    from wned_ray.pipelines.datawork import (heavy_hitter_terms,
+                                             ordered_window_funcs)
+
+    t0 = time.time()
+    heavy_hitter_terms(rd.read_parquet(f"{sf_dir}/documents.parquet",
+                                       columns=["text"]),
+                       k=8192, min_freq=100).count()
+    queries["heavy_hitter_terms"] = round(time.time() - t0, 3)
+
+    t0 = time.time()
+    ordered_window_funcs(ev).count()
+    queries["window_funcs_events"] = round(time.time() - t0, 3)
+
     ray.shutdown()
     return {
         "metric": "er_linkage_wall_sec",

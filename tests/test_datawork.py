@@ -592,3 +592,75 @@ def test_group_quantiles_matches_duckdb(ray_session):
     ).fetch_df()
     assert out["value_e4"].tolist() == want["value_e4"].tolist()
     assert out["event_type"].tolist() == want["event_type"].tolist()
+
+
+def test_heavy_hitter_terms_exact_vs_bruteforce(ray_session):
+    """Misra-Gries sketch + verify pass equals the full groupby whenever
+    min_freq > n_tokens/(k+1) — forced through MANY small batches and a
+    tiny k so the sketch actually decrements."""
+    import re
+
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from wned_ray.pipelines.datawork import heavy_hitter_terms
+
+    rng = np.random.default_rng(13)
+    vocab = [f"w{i}" for i in range(400)]
+    # zipf-ish: a few heavy terms, a long tail
+    weights = 1.0 / np.arange(1, len(vocab) + 1) ** 1.2
+    weights /= weights.sum()
+    docs = [" ".join(rng.choice(vocab, size=30, p=weights))
+            for _ in range(300)]
+    ds = rd.from_pandas(pd.DataFrame({"text": docs})).repartition(20)
+
+    n_tokens = 300 * 30
+    k, min_freq = 64, 160
+    assert min_freq > n_tokens // (k + 1)     # guarantee precondition
+    got = (heavy_hitter_terms(ds, k=k, min_freq=min_freq)
+           .to_pandas().sort_values("term").reset_index(drop=True))
+
+    toks = [t for d in docs for t in re.findall(r"[a-z0-9]+", d.lower())]
+    want = (pd.Series(toks).value_counts().rename_axis("term")
+            .reset_index(name="freq"))
+    want = (want[want["freq"] >= min_freq].sort_values("term")
+            .astype({"freq": "int64"}).reset_index(drop=True))
+    assert len(want) > 3                       # the fixture has heavy terms
+    pd.testing.assert_frame_equal(got[["term", "freq"]],
+                                  want[["term", "freq"]])
+
+    # the guarantee precondition is enforced
+    with pytest.raises(ValueError):
+        heavy_hitter_terms(ds, k=4, min_freq=10).to_pandas()
+
+
+def test_ordered_window_funcs_matches_duckdb(ray_session):
+    import duckdb
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from wned_ray.pipelines.datawork import ordered_window_funcs
+
+    rng = np.random.default_rng(21)
+    n = 2000
+    base = np.datetime64("2026-01-01T00:00:00", "us")
+    df = pd.DataFrame({
+        "event_id": np.arange(n, dtype=np.int64),
+        "user_id": rng.integers(0, 40, n),
+        "ts": base + rng.integers(0, 5000, n).astype("timedelta64[s]"),
+        "value": rng.normal(size=n).round(2),
+    })
+    got = (ordered_window_funcs(rd.from_pandas(df))
+           .to_pandas().sort_values("event_id").reset_index(drop=True))
+    want = duckdb.connect().execute(
+        "SELECT event_id, user_id, "
+        "sum(coalesce(value,0)) OVER "
+        "(PARTITION BY user_id ORDER BY ts, event_id) AS cum_value, "
+        "lag(event_id) OVER "
+        "(PARTITION BY user_id ORDER BY ts, event_id) AS prev_id "
+        "FROM df ORDER BY event_id").fetch_df()
+    assert np.allclose(got["cum_value"], want["cum_value"])
+    assert got["prev_id"].astype("Int64").equals(want["prev_id"].astype("Int64"))
+    assert got["user_id"].tolist() == want["user_id"].tolist()

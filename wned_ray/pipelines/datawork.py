@@ -839,6 +839,128 @@ def range_join_count(left_ds, right_ds, key_col: str, ts_col: str,
     return u.groupby(key_col).map_groups(sweep, batch_format="pandas")
 
 
+def ordered_window_funcs(ds, key_col: str = "user_id", ts_col: str = "ts",
+                         id_col: str = "event_id", val_col: str = "value",
+                         out_prefix: str = ""):
+    """Per-key ORDERED window functions — the ``sum(...) OVER (PARTITION
+    BY key ORDER BY ts, id)`` / ``lag(id)`` analog Ray Data lacks. Emits
+    one row per input row: (id, key, cum_value = running sum of val in
+    (ts, id) order, prev_id = previous row's id or null).
+
+    Shape: ONE hash shuffle by key + a vectorized sort/cumsum/shift per
+    group — no driver state, no per-row Python. Partitioning assumption:
+    one key's history fits a worker's heap (same unit as sessionize /
+    asof_join). The (ts, id) sort key makes results deterministic under
+    ties and any partitioning; the running sum accumulates in the same
+    order an ANSI window frame does, so floats agree with SQL engines."""
+    cum_col = f"{out_prefix}cum_value"
+    prev_col = f"{out_prefix}prev_id"
+
+    def win(g: pd.DataFrame) -> pa.Table:
+        g = g.sort_values([ts_col, id_col])
+        vals = g[val_col].to_numpy(np.float64)
+        ids = g[id_col].to_numpy()
+        prev = np.empty(len(g), dtype=object)
+        prev[0], prev[1:] = None, ids[:-1]
+        return pa.table({
+            id_col: pa.array(ids),
+            key_col: pa.array(g[key_col].to_numpy()),
+            cum_col: pa.array(np.nancumsum(vals), pa.float64()),
+            prev_col: pa.array(prev, pa.int64()),
+        })
+
+    return (ds.select_columns([id_col, key_col, ts_col, val_col])
+            .groupby(key_col)
+            .map_groups(win, batch_format="pandas"))
+
+
+def heavy_hitter_terms(ds, text_col: str = "text", k: int = 8192,
+                       min_freq: int = 100, max_candidates: int = 4_000_000):
+    """EXACT heavy-hitter terms (freq >= ``min_freq``) via a mergeable
+    Misra-Gries sketch + an exact verify pass — the bounded-state shape
+    for a vocabulary too large to groupby in full.
+
+    Pass 1 (sketch): each batch computes exact term counts, then keeps a
+    Misra-Gries summary of at most ``k`` terms (subtract the (k+1)-th
+    largest count from all, drop <= 0) — the shuffle moves at most k rows
+    per batch REGARDLESS of vocabulary size. Summaries merge by
+    groupby-SUM; total undercount per term is bounded by
+    n_tokens/(k+1). Pass 2 (verify): every term whose summed sketch count
+    could still reach ``min_freq`` (i.e. >= min_freq - n/(k+1), a small
+    set by construction) is counted EXACTLY in a second filtered pass, so
+    the result equals the full-groupby answer whenever
+    ``min_freq > n_tokens/(k+1)`` — checked at runtime, raising
+    ValueError (increase k) otherwise. The input is consumed twice;
+    at corpus scale re-reading beats materializing.
+
+    Returns Dataset (term, freq) with freq int64, exact."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    _SENTINEL = "\x00n_tokens\x00"          # can't tokenize to this
+
+    def sketch(batch: pa.Table) -> pa.Table:
+        flat, _ = _tokenize_lower(batch[text_col])
+        n = len(flat)
+        if n == 0:
+            return pa.table({"term": pa.array([_SENTINEL]),
+                             "mg": pa.array([0], pa.int64())})
+        g = pa.table({"term": flat}).group_by("term").aggregate(
+            [("term", "count")])
+        cnt = g["term_count"].to_numpy(zero_copy_only=False).astype(np.int64)
+        if len(cnt) > k:                     # MG decrement step
+            pivot = np.partition(cnt, len(cnt) - k - 1)[len(cnt) - k - 1]
+            keep = cnt > pivot
+            g = g.filter(pa.array(keep))
+            cnt = cnt[keep] - pivot
+        out = pa.table({"term": g["term"], "mg": pa.array(cnt, pa.int64())})
+        sent = pa.table({"term": pa.array([_SENTINEL]),
+                         "mg": pa.array([n], pa.int64())})
+        return pa.concat_tables([out, sent])
+
+    merged = (ds.select_columns([text_col])
+              .map_batches(sketch, batch_format="pyarrow")
+              .groupby("term").aggregate(Sum("mg", alias_name="mg"))
+              .materialize())
+
+    def _only_sentinel(batch: pa.Table) -> pa.Table:
+        return batch.filter(pc.equal(batch["term"], _SENTINEL))
+
+    sent_rows = merged.map_batches(_only_sentinel,
+                                   batch_format="pyarrow").take_all()
+    n_tokens = int(sent_rows[0]["mg"]) if sent_rows else 0
+    err_bound = n_tokens // (k + 1)
+    if min_freq <= err_bound:
+        raise ValueError(
+            f"heavy_hitter_terms: min_freq={min_freq} <= n/(k+1)="
+            f"{err_bound}; the sketch can miss true heavy hitters — "
+            "raise k or min_freq")
+
+    def _candidates(batch: pa.Table) -> pa.Table:
+        keep = pc.and_(pc.greater_equal(batch["mg"], min_freq - err_bound),
+                       pc.not_equal(batch["term"], _SENTINEL))
+        return batch.filter(keep)
+
+    cand = merged.map_batches(_candidates, batch_format="pyarrow")
+    if cand.count() > max_candidates:
+        raise ValueError("heavy_hitter_terms: candidate set exceeds "
+                         f"{max_candidates}; raise min_freq")
+    cand_ref = ray.put(pa.array([r["term"] for r in cand.take_all()]))
+
+    def exact(batch: pa.Table) -> pa.Table:
+        flat, _ = _tokenize_lower(batch[text_col])
+        flat = flat.filter(pc.is_in(flat, value_set=ray.get(cand_ref)))
+        g = pa.table({"term": flat}).group_by("term").aggregate(
+            [("term", "count")])
+        return pa.table({"term": g["term"],
+                         "freq": pc.cast(g["term_count"], pa.int64())})
+
+    return (ds.select_columns([text_col])
+            .map_batches(exact, batch_format="pyarrow")
+            .groupby("term").aggregate(Sum("freq", alias_name="freq"))
+            .filter(expr=f"freq >= {min_freq}"))
+
+
 def sliding_window_aggregate(ds, ts_col: str = "ts",
                              key_col: str = "event_type",
                              val_col: str = "value",
