@@ -743,6 +743,22 @@ def _q_hash_sample_docs(sf_dir: str):
     return hash_sample(ds, id_col="doc_id", rate_pct=10.0, seed=7)
 
 
+def _q_bloom_semi_join_orders(sf_dir: str):
+    """Bloom-pushdown semi-join: orders of BUILDING-segment customers.
+    The filter is built distributed from the key side and pre-filters
+    order batches before the hash-shuffle join (exact result — false
+    positives die in the join)."""
+    from wned_ray.pipelines.datawork import bloom_semi_join
+
+    orders = _rd().read_parquet(f"{sf_dir}/orders.parquet",
+                                columns=["o_orderkey", "o_custkey"])
+    cust = (_rd().read_parquet(f"{sf_dir}/customer.parquet",
+                               columns=["c_custkey", "c_mktsegment"])
+            .filter(expr="c_mktsegment == 'BUILDING'"))
+    return bloom_semi_join(orders, cust, on="o_custkey",
+                           key_col="c_custkey", num_partitions=8)
+
+
 def _q_window_funcs_events(sf_dir: str):
     """Per-user ordered window functions (running sum + lag) — the ANSI
     window-frame analog: one hash shuffle + vectorized cumsum/shift per
@@ -923,6 +939,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_value_quantiles": _q_event_value_quantiles,
         "heavy_hitter_terms": _q_heavy_hitter_terms,
         "window_funcs_events": _q_window_funcs_events,
+        "bloom_semi_join_orders": _q_bloom_semi_join_orders,
         # ER pipeline (rows-only checks; er_metrics row carries the F1)
         "er_blocking": _q_er_blocking,
         "er_pairs": _q_er_pairs,
@@ -1159,6 +1176,12 @@ def oracle_sql() -> dict[str, str]:
             "FROM documents) "
             "SELECT term, CAST(count(*) AS BIGINT) AS freq FROM tok "
             "GROUP BY term HAVING count(*) >= 100"
+        ),
+        "bloom_semi_join_orders": (
+            "SELECT o.o_orderkey, o.o_custkey FROM orders o "
+            "WHERE EXISTS (SELECT 1 FROM customer c "
+            "WHERE c.c_custkey = o.o_custkey "
+            "AND c.c_mktsegment = 'BUILDING')"
         ),
         "window_funcs_events": (
             # coalesce matches the engine's nancumsum (nulls add 0; a

@@ -176,6 +176,18 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
     ordered_window_funcs(ev).count()
     queries["window_funcs_events"] = round(time.time() - t0, 3)
 
+    from wned_ray.pipelines.datawork import bloom_semi_join
+
+    t0 = time.time()
+    bloom_semi_join(
+        rd.read_parquet(f"{sf_dir}/orders.parquet",
+                        columns=["o_orderkey", "o_custkey"]),
+        rd.read_parquet(f"{sf_dir}/customer.parquet",
+                        columns=["c_custkey", "c_mktsegment"])
+        .filter(expr="c_mktsegment == 'BUILDING'"),
+        on="o_custkey", key_col="c_custkey").count()
+    queries["bloom_semi_join_orders"] = round(time.time() - t0, 3)
+
     ray.shutdown()
     return {
         "metric": "er_linkage_wall_sec",

@@ -839,6 +839,63 @@ def range_join_count(left_ds, right_ds, key_col: str, ts_col: str,
     return u.groupby(key_col).map_groups(sweep, batch_format="pandas")
 
 
+def bloom_semi_join(big_ds, keys_ds, on: str, key_col: str | None = None,
+                    fp_rate: float = 0.01, num_partitions: int = 16):
+    """EXACT semi-join with Bloom-filter pushdown: rows of ``big_ds``
+    whose ``on`` value appears in ``keys_ds[key_col]``.
+
+    The 100 TB shuffle-reduction shape: the filter is built DISTRIBUTED
+    (each key batch emits its partial filter's words; the driver OR-merges
+    a few KB per batch — never the keys themselves), broadcast once via
+    ``ray.put``, and probe batches are pre-filtered BEFORE the hash-
+    shuffle join, so the all-to-all moves ~|matches| rows instead of
+    |big|. False positives just ride into the exact inner join against
+    the distinct key table, which discards them — the result is exactly
+    the semi-join; false negatives are impossible. At ~1e8+ keys the
+    Bloom wins over an exact ``is_in`` value-set broadcast (~10 bits/key
+    at 1% FP vs 64+)."""
+    import ray
+    from ray.data.aggregate import Count
+
+    from wned_ray.functions.bloom import BloomFilter
+    from wned_ray.util import safe_partitions
+
+    num_partitions = safe_partitions(num_partitions)
+    kc = key_col or on
+    keys = keys_ds.select_columns([kc]).materialize()
+    proto = BloomFilter.sized(max(keys.count(), 1), fp_rate)
+    n_bits, n_hashes = int(proto.n_bits), proto.n_hashes
+
+    def partial(batch: pa.Table) -> pa.Table:
+        bf = BloomFilter(n_bits, n_hashes)
+        bf.add(batch[kc].to_numpy(zero_copy_only=False))
+        return pa.table({"words": pa.array([bf.words.tobytes()], pa.binary())})
+
+    bf = BloomFilter(n_bits, n_hashes)
+    for b in (keys.map_batches(partial, batch_format="pyarrow")
+              .iter_batches(batch_format="pyarrow")):
+        for blob in b["words"].to_pylist():
+            bf.words |= np.frombuffer(blob, np.uint64)
+    bf_ref = ray.put(bf)
+
+    def prefilter(batch: pa.Table) -> pa.Table:
+        f = ray.get(bf_ref)                 # local zero-copy plasma read
+        mask = f.contains(batch[on].to_numpy(zero_copy_only=False))
+        return batch.filter(pa.array(mask))
+
+    out_cols = big_ds.schema().names
+
+    def _as_on(batch: pa.Table) -> pa.Table:   # rename robust to any block
+        return pa.table({on: batch[kc]})
+
+    distinct = (keys.map_batches(_as_on, batch_format="pyarrow")
+                .groupby(on).aggregate(Count(alias_name="_k")))
+    pre = big_ds.map_batches(prefilter, batch_format="pyarrow")
+    joined = pre.join(distinct, join_type="inner",
+                      num_partitions=num_partitions, on=(on,))
+    return joined.select_columns(out_cols)
+
+
 def ordered_window_funcs(ds, key_col: str = "user_id", ts_col: str = "ts",
                          id_col: str = "event_id", val_col: str = "value",
                          out_prefix: str = ""):
