@@ -743,6 +743,27 @@ def _q_hash_sample_docs(sf_dir: str):
     return hash_sample(ds, id_col="doc_id", rate_pct=10.0, seed=7)
 
 
+def _q_curated_docs(sf_dir: str):
+    """Full corpus-curation flow (lang filter -> quality filter -> exact
+    dedup -> MinHash near-dup removal -> lang-partitioned parquet).
+    Rows-only: the MinHash stage is not SQL-expressible; its building
+    blocks each have their own oracle."""
+    import os
+    import shutil
+
+    from wned_ray.pipelines.curate import curate_corpus
+
+    out_dir = os.path.join("/tmp/wned_curated",
+                           os.path.basename(os.path.normpath(sf_dir)))
+    shutil.rmtree(out_dir, ignore_errors=True)
+    curate_corpus(f"{sf_dir}/documents.parquet", out_dir,
+                  lang_keep=("en", "de", "fr"), min_tokens=5,
+                  max_punct_ratio=0.2, jaccard_threshold=0.8,
+                  num_partitions=8)
+    return (_rd().read_parquet(out_dir)
+            .select_columns(["doc_id", "lang_pred"]))
+
+
 def _q_bloom_semi_join_orders(sf_dir: str):
     """Bloom-pushdown semi-join: orders of BUILDING-segment customers.
     The filter is built distributed from the key side and pre-filters
@@ -940,6 +961,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "heavy_hitter_terms": _q_heavy_hitter_terms,
         "window_funcs_events": _q_window_funcs_events,
         "bloom_semi_join_orders": _q_bloom_semi_join_orders,
+        "curated_docs": _q_curated_docs,
         # ER pipeline (rows-only checks; er_metrics row carries the F1)
         "er_blocking": _q_er_blocking,
         "er_pairs": _q_er_pairs,

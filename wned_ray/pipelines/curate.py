@@ -1,0 +1,151 @@
+"""End-to-end corpus curation — the canonical LLM training-data flow,
+composed entirely from this repo's operators, streaming at every stage:
+
+    read -> language-ID filter -> quality filter -> exact dedup ->
+    MinHash-LSH near-dup removal -> lang-partitioned Parquet output
+
+Every stage is a Dataset transform (no driver-side row loops); the two
+dedup joins reuse the scale-hardened primitives (``bloom_semi_join`` for
+the exact-dedup keep set, hash anti-join for the near-dup drop set), and
+the final write is a partitioned Parquet directory (one subdir per
+language) so a failed run resumes per partition. With ``checkpoint_dir``
+set, the expensive dedup stages checkpoint through
+``state.checkpoint.checkpoint_dataset`` manifests and a rerun skips
+completed work (north_rule resumability).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+
+def anti_join(big_ds, drop_keys_ds, on: str, key_col: str | None = None,
+              num_partitions: int = 16, broadcast_max: int = 2_000_000):
+    """Rows of ``big_ds`` whose ``on`` does NOT appear in
+    ``drop_keys_ds[key_col]``.
+
+    Small drop sets broadcast (one ``ray.put`` value-set, vectorized
+    ``is_in`` per batch — the J7 shape); past ``broadcast_max`` keys it
+    switches to a distributed left-outer hash join + null filter, so the
+    drop side never has to fit on the driver."""
+    import ray
+
+    from wned_ray.util import safe_partitions
+
+    kc = key_col or on
+    keys = drop_keys_ds.select_columns([kc]).materialize()
+    if keys.count() <= broadcast_max:
+        vals = pa.array(sorted({r[kc] for r in keys.take_all()}))
+        if len(vals) == 0:
+            return big_ds
+        ref = ray.put(vals)
+
+        def drop(batch: pa.Table) -> pa.Table:
+            return batch.filter(pc.invert(
+                pc.is_in(batch[on], value_set=ray.get(ref))))
+
+        return big_ds.map_batches(drop, batch_format="pyarrow")
+
+    def _mark(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            on: batch[kc],
+            "_dropped": pa.array(np.ones(batch.num_rows, np.int64)),
+        })
+
+    from ray.data.aggregate import Max
+
+    marks = (keys.map_batches(_mark, batch_format="pyarrow")
+             .groupby(on).aggregate(Max("_dropped", alias_name="_dropped")))
+    out_cols = big_ds.schema().names
+    joined = big_ds.join(marks, join_type="left_outer",
+                         num_partitions=safe_partitions(num_partitions),
+                         on=(on,))
+
+    def keep_unmarked(batch: pa.Table) -> pa.Table:
+        return batch.filter(pc.is_null(batch["_dropped"]))
+
+    return (joined.map_batches(keep_unmarked, batch_format="pyarrow")
+            .select_columns(out_cols))
+
+
+def curate_corpus(docs_path: str, out_dir: str, lang_keep=("en",),
+                  min_tokens: int = 5, max_punct_ratio: float = 0.2,
+                  jaccard_threshold: float = 0.8,
+                  checkpoint_dir: str | None = None,
+                  num_partitions: int = 16) -> dict:
+    """Run the full curation flow over ``docs_path`` and write the kept
+    documents to ``out_dir`` partitioned by predicted language
+    (``out_dir/lang_pred=xx/*.parquet``). Returns the stage-by-stage
+    funnel counts plus the output layout.
+
+    Near-dup rule: a document verified (exact n-gram Jaccard >=
+    ``jaccard_threshold``) near-duplicate of a SMALLER-id document is
+    dropped — the standard LSH keep-first discipline; two documents that
+    are each near-dups of a third but never co-blocked both survive (no
+    transitive closure, matching the usual curation semantics)."""
+    import ray.data as rd
+
+    from wned_ray.pipelines.datawork import (bloom_semi_join, exact_dedup,
+                                             lang_id, minhash_candidates,
+                                             quality_scores, verify_jaccard)
+    from wned_ray.state.checkpoint import (checkpoint_dataset,
+                                           lineage_fingerprint)
+
+    docs = rd.read_parquet(docs_path, columns=["doc_id", "text"])
+    n_input = docs.count()
+
+    langs = "".join(sorted(lang_keep))
+    by_lang = lang_id(docs).filter(
+        expr=" or ".join(f"lang_pred == '{l}'" for l in lang_keep))
+
+    q = quality_scores(by_lang)
+    good = q.filter(expr=f"n_tokens >= {min_tokens} and "
+                         f"punct_ratio <= {max_punct_ratio}")
+    # slim the payload that rides through both dedup shuffles
+    good = good.select_columns(["doc_id", "text", "lang_pred"]).materialize()
+    n_good = good.count()
+
+    fp_base = lineage_fingerprint(docs_path, langs, min_tokens,
+                                  max_punct_ratio, jaccard_threshold)
+    keeps = checkpoint_dataset(
+        lambda: exact_dedup(good, id_col="doc_id"),
+        stage="curate_exact_keep", ckpt_dir=checkpoint_dir,
+        fingerprint=lineage_fingerprint("exact", fp_base))
+    exact_kept = bloom_semi_join(good, keeps, on="doc_id",
+                                 key_col="keep_id",
+                                 num_partitions=num_partitions).materialize()
+    n_exact = exact_kept.count()
+
+    def _near_drop():
+        cands = minhash_candidates(exact_kept, id_col="doc_id",
+                                   num_partitions=num_partitions)
+        verified = verify_jaccard(cands, exact_kept, id_col="doc_id",
+                                  threshold=jaccard_threshold,
+                                  num_partitions=num_partitions)
+        return verified.select_columns(["id_b"])
+
+    drops = checkpoint_dataset(
+        _near_drop, stage="curate_near_drop", ckpt_dir=checkpoint_dir,
+        fingerprint=lineage_fingerprint("near", fp_base))
+    final = anti_join(exact_kept, drops, on="doc_id", key_col="id_b",
+                      num_partitions=num_partitions)
+
+    final.write_parquet(out_dir, partition_cols=["lang_pred"])
+    n_final = rd.read_parquet(out_dir).count()
+
+    import glob
+    import os
+
+    parts = sorted(os.path.basename(p).split("=", 1)[1]
+                   for p in glob.glob(os.path.join(out_dir, "lang_pred=*")))
+    return {
+        "n_input": n_input,
+        "n_lang_quality": n_good,
+        "n_after_exact_dedup": n_exact,
+        "n_final": n_final,
+        "n_near_dup_dropped": n_exact - n_final,
+        "out_dir": out_dir,
+        "partitions": parts,
+    }

@@ -69,11 +69,18 @@ def _hot_keys_bounded(exploded, key_col: str, max_block: int,
 
 
 def add_content_hash(ds, text_col: str = "text", out_col: str = "content_hash"):
-    """Vectorized 64-bit content hash column (for hash-partitioned dedup)."""
+    """Vectorized 63-bit content hash column (for hash-partitioned dedup).
+
+    int64 with the top bit masked, NEVER uint64: Ray's hash-shuffle
+    groupby does not round-trip uint64 values >= 2^63 (they come back as
+    pickled-object extension columns on some partitions and poison every
+    downstream kernel — the round-1 segfault class)."""
     def h(batch: pa.Table) -> pa.Table:
         grams, offsets = shingle_gram_hashes(
             batch[text_col].to_pylist(), k=1 << 30)  # k>len => whole-string hash
-        return batch.append_column(out_col, pa.array(grams.astype(np.uint64)))
+        masked = (grams.astype(np.uint64)
+                  & np.uint64(0x7FFF_FFFF_FFFF_FFFF)).astype(np.int64)
+        return batch.append_column(out_col, pa.array(masked))
 
     return ds.map_batches(h, batch_format="pyarrow")
 
@@ -120,6 +127,7 @@ def minhash_candidates(ds, id_col: str, text_col: str = "text",
 
     # materialized: consumed twice (hot-band count pass + the self-join)
     exploded = ds.map_batches(explode, batch_format="pyarrow").materialize()
+    num_partitions = safe_partitions(num_partitions, rows=exploded.count())
     hot_keys = _hot_keys_bounded(exploded, "block_key", max_block)
     if hot_keys:
         exploded = exploded.map_batches(_drop_hot(hot_keys),
@@ -148,7 +156,10 @@ def verify_jaccard(pairs_ds, ds, id_col: str, text_col: str = "text",
     filtered to >= threshold."""
     from wned_ray.util import safe_partitions
 
-    num_partitions = safe_partitions(num_partitions)
+    # the pair set is the small side; clamp partitions by it so no hash
+    # partition arrives empty (schema-less) at the per-partition join
+    pairs_ds = pairs_ds.materialize()
+    num_partitions = safe_partitions(num_partitions, rows=pairs_ds.count())
     texts = ds.select_columns([id_col, text_col])
     a = pairs_ds.join(texts.rename_columns({id_col: "id_a", text_col: "text_a"}),
                       join_type="inner", num_partitions=num_partitions,
@@ -363,6 +374,7 @@ def embedding_near_dup(ds, threshold: float = 0.95, concurrency: int = 4,
 
     exploded = packed.map_batches(bucketize,
                                   batch_format="pyarrow").materialize()
+    num_partitions = safe_partitions(num_partitions, rows=exploded.count())
     hot = _hot_keys_bounded(exploded, "bucket", max_bucket)
     if hot:
         exploded = exploded.map_batches(_drop_hot(hot, col="bucket"),
@@ -860,9 +872,9 @@ def bloom_semi_join(big_ds, keys_ds, on: str, key_col: str | None = None,
     from wned_ray.functions.bloom import BloomFilter
     from wned_ray.util import safe_partitions
 
-    num_partitions = safe_partitions(num_partitions)
     kc = key_col or on
     keys = keys_ds.select_columns([kc]).materialize()
+    num_partitions = safe_partitions(num_partitions, rows=keys.count())
     proto = BloomFilter.sized(max(keys.count(), 1), fp_rate)
     n_bits, n_hashes = int(proto.n_bits), proto.n_hashes
 
