@@ -101,21 +101,35 @@ def curate_corpus(docs_path: str, out_dir: str, lang_keep=("en",),
         expr=" or ".join(f"lang_pred == '{l}'" for l in lang_keep))
 
     q = quality_scores(by_lang)
-    good = q.filter(expr=f"n_tokens >= {min_tokens} and "
-                         f"punct_ratio <= {max_punct_ratio}")
-    # slim the payload that rides through both dedup shuffles
-    good = good.select_columns(["doc_id", "text", "lang_pred"]).materialize()
-    n_good = good.count()
+    good_lazy = (q.filter(expr=f"n_tokens >= {min_tokens} and "
+                               f"punct_ratio <= {max_punct_ratio}")
+                 # slim the payload that rides through both dedup shuffles
+                 .select_columns(["doc_id", "text", "lang_pred"]))
 
     fp_base = lineage_fingerprint(docs_path, langs, min_tokens,
                                   max_punct_ratio, jaccard_threshold)
-    keeps = checkpoint_dataset(
-        lambda: exact_dedup(good, id_col="doc_id"),
-        stage="curate_exact_keep", ckpt_dir=checkpoint_dir,
-        fingerprint=lineage_fingerprint("exact", fp_base))
-    exact_kept = bloom_semi_join(good, keeps, on="doc_id",
-                                 key_col="keep_id",
-                                 num_partitions=num_partitions).materialize()
+
+    # Multi-consumer stages pin through the CHECKPOINT when one is set —
+    # partitioned parquet on disk, resumable, re-read in parallel — and
+    # through the object store (materialize) only on the un-checkpointed
+    # single-box path. At corpus scale always pass checkpoint_dir:
+    # materializing the full doc set would push the whole corpus through
+    # the object store's spill path.
+    def _pin(factory, stage):
+        if checkpoint_dir:
+            return checkpoint_dataset(
+                factory, stage=stage, ckpt_dir=checkpoint_dir,
+                fingerprint=lineage_fingerprint(stage, fp_base))
+        return factory().materialize()
+
+    good = _pin(lambda: good_lazy, "curate_good")
+    n_good = good.count()
+    keeps = _pin(lambda: exact_dedup(good, id_col="doc_id"),
+                 "curate_exact_keep")
+    exact_kept = _pin(
+        lambda: bloom_semi_join(good, keeps, on="doc_id", key_col="keep_id",
+                                num_partitions=num_partitions),
+        "curate_exact_kept")
     n_exact = exact_kept.count()
 
     def _near_drop():
@@ -126,9 +140,7 @@ def curate_corpus(docs_path: str, out_dir: str, lang_keep=("en",),
                                   num_partitions=num_partitions)
         return verified.select_columns(["id_b"])
 
-    drops = checkpoint_dataset(
-        _near_drop, stage="curate_near_drop", ckpt_dir=checkpoint_dir,
-        fingerprint=lineage_fingerprint("near", fp_base))
+    drops = _pin(_near_drop, "curate_near_drop")
     final = anti_join(exact_kept, drops, on="doc_id", key_col="id_b",
                       num_partitions=num_partitions)
 

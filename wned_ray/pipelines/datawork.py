@@ -874,8 +874,11 @@ def bloom_semi_join(big_ds, keys_ds, on: str, key_col: str | None = None,
 
     kc = key_col or on
     keys = keys_ds.select_columns([kc]).materialize()
-    num_partitions = safe_partitions(num_partitions, rows=keys.count())
-    proto = BloomFilter.sized(max(keys.count(), 1), fp_rate)
+    n_keys = keys.count()
+    if n_keys == 0:                      # empty key side -> empty semi-join
+        return big_ds.limit(0)
+    num_partitions = safe_partitions(num_partitions, rows=n_keys)
+    proto = BloomFilter.sized(n_keys, fp_rate)
     n_bits, n_hashes = int(proto.n_bits), proto.n_hashes
 
     def partial(batch: pa.Table) -> pa.Table:
@@ -1014,7 +1017,13 @@ def heavy_hitter_terms(ds, text_col: str = "text", k: int = 8192,
     if cand.count() > max_candidates:
         raise ValueError("heavy_hitter_terms: candidate set exceeds "
                          f"{max_candidates}; raise min_freq")
-    cand_ref = ray.put(pa.array([r["term"] for r in cand.take_all()]))
+    cand_terms = [r["term"] for r in cand.take_all()]
+    if not cand_terms:
+        from ray.data import from_arrow
+
+        return from_arrow(pa.table({"term": pa.array([], pa.string()),
+                                    "freq": pa.array([], pa.int64())}))
+    cand_ref = ray.put(pa.array(cand_terms, pa.string()))
 
     def exact(batch: pa.Table) -> pa.Table:
         flat, _ = _tokenize_lower(batch[text_col])
