@@ -116,18 +116,17 @@ def _q_normalize_text(sf_dir: str):
 
 
 def _q_filter_events(sf_dir: str):
-    import pyarrow as pa
-    import pyarrow.compute as pc
+    """M1 + read pruning: the predicate is pushed INTO the parquet scan
+    (row-group statistics pruning + scan-level row filtering), not
+    applied as a post-read map — at corpus scale only matching row
+    groups leave storage."""
+    import pyarrow.dataset as pads
 
-    ds = _rd().read_parquet(f"{sf_dir}/events.parquet",
-                            columns=["event_id", "user_id", "event_type", "value"])
-
-    def f(batch: pa.Table) -> pa.Table:
-        mask = pc.and_(pc.equal(batch["event_type"], "click"),
-                       pc.greater(batch["value"], 10.0))
-        return batch.filter(mask)
-
-    return ds.map_batches(f, batch_format="pyarrow")
+    return _rd().read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "user_id", "event_type", "value"],
+        filter=((pads.field("event_type") == "click")
+                & (pads.field("value") > 10.0)))
 
 
 def _q_edge_aggregate(sf_dir: str):
@@ -656,11 +655,18 @@ def _q_asof_click_before_purchase(sf_dir: str):
     hash shuffle + vectorized per-group merge)."""
     from wned_ray.pipelines.datawork import asof_join
 
-    ev = _rd().read_parquet(f"{sf_dir}/events.parquet",
-                            columns=["event_id", "user_id", "ts",
-                                     "event_type"])
-    purchases = ev.filter(expr="event_type == 'purchase'")
-    clicks = ev.filter(expr="event_type == 'click'")
+    # two pushdown reads beat one shared read: both branches of a shared
+    # lazy Dataset re-execute the full scan anyway, and the read-level
+    # filter prunes row groups before any bytes leave storage
+    import pyarrow.dataset as pads
+
+    cols = ["event_id", "user_id", "ts", "event_type"]
+    purchases = _rd().read_parquet(
+        f"{sf_dir}/events.parquet", columns=cols,
+        filter=(pads.field("event_type") == "purchase"))
+    clicks = _rd().read_parquet(
+        f"{sf_dir}/events.parquet", columns=cols,
+        filter=(pads.field("event_type") == "click"))
     return asof_join(purchases, clicks, key_col="user_id", ts_col="ts",
                      id_col="event_id", out_col="prev_click_id")
 
@@ -671,11 +677,15 @@ def _q_range_join_clicks(sf_dir: str):
     shuffle + per-group vectorized searchsorted sweep)."""
     from wned_ray.pipelines.datawork import range_join_count
 
-    ev = _rd().read_parquet(f"{sf_dir}/events.parquet",
-                            columns=["event_id", "user_id", "ts",
-                                     "event_type"])
-    purchases = ev.filter(expr="event_type == 'purchase'")
-    clicks = ev.filter(expr="event_type == 'click'")
+    import pyarrow.dataset as pads
+
+    cols = ["event_id", "user_id", "ts", "event_type"]
+    purchases = _rd().read_parquet(
+        f"{sf_dir}/events.parquet", columns=cols,
+        filter=(pads.field("event_type") == "purchase"))
+    clicks = _rd().read_parquet(
+        f"{sf_dir}/events.parquet", columns=cols,
+        filter=(pads.field("event_type") == "click"))
     return range_join_count(purchases, clicks, key_col="user_id",
                             ts_col="ts", id_col="event_id",
                             lo_minutes=60.0, hi_minutes=0.0,
@@ -771,11 +781,14 @@ def _q_bloom_semi_join_orders(sf_dir: str):
     positives die in the join)."""
     from wned_ray.pipelines.datawork import bloom_semi_join
 
+    import pyarrow.dataset as pads
+
     orders = _rd().read_parquet(f"{sf_dir}/orders.parquet",
                                 columns=["o_orderkey", "o_custkey"])
-    cust = (_rd().read_parquet(f"{sf_dir}/customer.parquet",
-                               columns=["c_custkey", "c_mktsegment"])
-            .filter(expr="c_mktsegment == 'BUILDING'"))
+    cust = _rd().read_parquet(
+        f"{sf_dir}/customer.parquet",
+        columns=["c_custkey", "c_mktsegment"],
+        filter=(pads.field("c_mktsegment") == "BUILDING"))
     return bloom_semi_join(orders, cust, on="o_custkey",
                            key_col="c_custkey", num_partitions=8)
 

@@ -134,8 +134,15 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
     queries["windowed_events"] = round(time.time() - t0, 3)
 
     t0 = time.time()
-    purchases = ev.filter(expr="event_type == 'purchase'")
-    clicks = ev.filter(expr="event_type == 'click'")
+    import pyarrow.dataset as pads
+
+    ev_cols = ["event_id", "user_id", "ts", "event_type", "value"]
+    purchases = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=ev_cols,
+        filter=(pads.field("event_type") == "purchase"))
+    clicks = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=ev_cols,
+        filter=(pads.field("event_type") == "click"))
     asof_join(purchases, clicks, key_col="user_id", ts_col="ts",
               id_col="event_id").count()
     queries["asof_join_events"] = round(time.time() - t0, 3)
@@ -183,8 +190,8 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
         rd.read_parquet(f"{sf_dir}/orders.parquet",
                         columns=["o_orderkey", "o_custkey"]),
         rd.read_parquet(f"{sf_dir}/customer.parquet",
-                        columns=["c_custkey", "c_mktsegment"])
-        .filter(expr="c_mktsegment == 'BUILDING'"),
+                        columns=["c_custkey", "c_mktsegment"],
+                        filter=(pads.field("c_mktsegment") == "BUILDING")),
         on="o_custkey", key_col="c_custkey").count()
     queries["bloom_semi_join_orders"] = round(time.time() - t0, 3)
 
