@@ -178,23 +178,27 @@ def _q_join_orders_customers(sf_dir: str):
 
     cust = pq.read_table(f"{sf_dir}/customer.parquet",
                          columns=["c_custkey", "c_mktsegment"])
-    ref = ray.put(dict(zip(cust["c_custkey"].to_pylist(),
-                           cust["c_mktsegment"].to_pylist())))
+    # broadcast the dim as parallel Arrow arrays; probe via the C++
+    # index_in/take hash kernels, zero-copy from plasma — no Python dict
+    ref = ray.put((cust["c_custkey"].combine_chunks(),
+                   cust["c_mktsegment"].combine_chunks()))
 
     class Probe:
         def __init__(self):
-            self.lut = ray.get(ref)
+            self.keys, self.segs = ray.get(ref)
 
-        def __call__(self, batch: pd.DataFrame) -> pa.Table:
-            seg = batch["o_custkey"].map(self.lut)
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+
+            idx = pc.index_in(batch["o_custkey"], value_set=self.keys)
             return pa.table({
-                "c_mktsegment": pa.array(seg.astype(object), pa.string()),
-                "o_totalprice": pa.array(batch["o_totalprice"].to_numpy()),
+                "c_mktsegment": self.segs.take(idx),
+                "o_totalprice": batch["o_totalprice"],
             })
 
     orders = _rd().read_parquet(f"{sf_dir}/orders.parquet",
                                 columns=["o_custkey", "o_totalprice"])
-    joined = orders.map_batches(Probe, batch_format="pandas", concurrency=2)
+    joined = orders.map_batches(Probe, batch_format="pyarrow", concurrency=2)
     out = (joined.groupby("c_mktsegment")
            .aggregate(Count(alias_name="n_orders"),
                       Sum("o_totalprice", alias_name="total_price")))

@@ -241,19 +241,22 @@ class EmbeddingKNN:
         self.qm = qm / np.maximum(qn, 1e-12)
         self.k = k
 
-    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-        emb = np.stack(batch["embedding"].to_numpy())
-        en = np.linalg.norm(emb, axis=1, keepdims=True)
-        emb = emb / np.maximum(en, 1e-12)
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        emb = _batch_embeddings(batch["embedding"])   # zero-copy, normalized
+        if emb.size == 0:
+            return pa.table({"vec_id": pa.array([], pa.int64()),
+                             "query_id": pa.array([], pa.int64()),
+                             "cos": pa.array([], pa.float64())})
         sims = emb @ self.qm.T                    # [batch, n_queries]
         k = min(self.k, sims.shape[1])
         idx = np.argpartition(-sims, k - 1, axis=1)[:, :k]
-        rows = np.repeat(np.arange(len(batch)), k)
+        rows = np.repeat(np.arange(batch.num_rows), k)
         cols = idx.reshape(-1)
-        return pd.DataFrame({
-            "vec_id": batch["vec_id"].to_numpy()[rows],
-            "query_id": self.q_ids[cols],
-            "cos": sims[rows, cols],
+        vec_ids = batch["vec_id"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "vec_id": pa.array(vec_ids[rows]),
+            "query_id": pa.array(self.q_ids[cols]),
+            "cos": pa.array(sims[rows, cols], pa.float64()),
         })
 
 
@@ -268,7 +271,7 @@ def knn_search(ds, query_ids: np.ndarray, query_matrix: np.ndarray, k: int,
     qref = ray.put((query_ids, query_matrix))
     per_batch = ds.map_batches(
         EmbeddingKNN, fn_constructor_kwargs={"query_ref": qref, "k": k},
-        batch_format="pandas", batch_size=batch_size,
+        batch_format="pyarrow", batch_size=batch_size,
         concurrency=safe_concurrency(concurrency))
 
     def head_k(g: pd.DataFrame) -> pd.DataFrame:
@@ -278,12 +281,27 @@ def knn_search(ds, query_ids: np.ndarray, query_matrix: np.ndarray, k: int,
 
 
 def _batch_embeddings(col) -> np.ndarray:
-    """list<float> Arrow column -> [n, d] float64 matrix, L2-normalized."""
-    m = np.asarray(col.to_pylist(), dtype=np.float64)
-    if m.ndim == 1:                                 # empty batch
-        m = m.reshape(0, 0)
-    m /= np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
-    return m
+    """list<float> Arrow column -> [n, d] float64 matrix, L2-normalized.
+
+    Zero-copy path: the list column's flat child buffer views straight
+    into numpy (``list_flatten().to_numpy()``) and reshapes — no Python
+    list materialization of the batch's heaviest column. Assumes
+    fixed-dimension, non-null embeddings (ragged rows raise)."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    t = col.type
+    if (pa.types.is_list(t) or pa.types.is_large_list(t)
+            or pa.types.is_fixed_size_list(t)):
+        n = len(col)
+        flat = (pc.list_flatten(col).to_numpy(zero_copy_only=False)
+                .astype(np.float64, copy=False))
+        m = flat.reshape(n, -1) if n else flat.reshape(0, 0)
+    else:                                           # object column fallback
+        m = np.asarray(col.to_pylist(), dtype=np.float64)
+        if m.ndim == 1:                             # empty batch
+            m = m.reshape(0, 0)
+    # out-of-place: the zero-copy view from Arrow is read-only
+    return m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
 
 
 def embedding_near_dup(ds, threshold: float = 0.95, concurrency: int = 4,
@@ -570,9 +588,12 @@ def ann_lsh(ds, query_ids: np.ndarray, query_matrix: np.ndarray, k: int,
         def __init__(self):
             self.q_ids, self.qm, self.qb, self.planes = ray.get(ref)
 
-        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-            emb = np.stack(batch["embedding"].to_numpy()).astype(np.float64)
-            emb /= np.maximum(np.linalg.norm(emb, axis=1, keepdims=True), 1e-12)
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            emb = _batch_embeddings(batch["embedding"])  # zero-copy, norm'd
+            if emb.size == 0:
+                return pa.table({"vec_id": pa.array([], pa.int64()),
+                                 "query_id": pa.array([], pa.int64()),
+                                 "cos": pa.array([], pa.float64())})
             rb = ((emb @ self.planes) > 0).astype(np.uint64) @ weights
             # Hamming distance row-bucket vs every query bucket (queries are
             # few — the broadcast side); popcount via bit tricks
@@ -583,17 +604,20 @@ def ann_lsh(ds, query_ids: np.ndarray, query_matrix: np.ndarray, k: int,
                 x >>= 1
             ii, jj = np.nonzero(ham <= 2)
             if len(ii) == 0:
-                return pd.DataFrame({"vec_id": [], "query_id": [], "cos": []})
+                return pa.table({"vec_id": pa.array([], pa.int64()),
+                                 "query_id": pa.array([], pa.int64()),
+                                 "cos": pa.array([], pa.float64())})
             cos = np.einsum("ij,ij->i", emb[ii], self.qm[jj])
-            return pd.DataFrame({
-                "vec_id": batch["vec_id"].to_numpy()[ii],
-                "query_id": self.q_ids[jj],
-                "cos": cos,
+            vec_ids = batch["vec_id"].to_numpy(zero_copy_only=False)
+            return pa.table({
+                "vec_id": pa.array(vec_ids[ii]),
+                "query_id": pa.array(self.q_ids[jj]),
+                "cos": pa.array(cos, pa.float64()),
             })
 
     from wned_ray.util import safe_concurrency
 
-    cands = ds.map_batches(Probe, batch_format="pandas",
+    cands = ds.map_batches(Probe, batch_format="pyarrow",
                            batch_size=batch_size,
                            concurrency=safe_concurrency(concurrency))
 
