@@ -757,6 +757,30 @@ def _q_hash_sample_docs(sf_dir: str):
     return hash_sample(ds, id_col="doc_id", rate_pct=10.0, seed=7)
 
 
+def _q_rollup_events(sf_dir: str):
+    """GROUP BY ROLLUP(event_type, user_id): one finest-grain shuffle,
+    coarser levels re-aggregated from the dim-sized finest result."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from wned_ray.pipelines.datawork import rollup_aggregate
+
+    ds = _rd().read_parquet(f"{sf_dir}/events.parquet",
+                            columns=["event_type", "user_id", "value"])
+    out = rollup_aggregate(ds, keys=["event_type", "user_id"])
+
+    def r(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "event_type": batch["event_type"],
+            "user_id": batch["user_id"],
+            "n_events": batch["n_events"],
+            "sum_value_e2": pc.cast(
+                pc.round(pc.multiply(batch["sum_value"], 100.0)), pa.int64()),
+        })
+
+    return out.map_batches(r, batch_format="pyarrow")
+
+
 def _q_curated_docs(sf_dir: str):
     """Full corpus-curation flow (lang filter -> quality filter -> exact
     dedup -> MinHash near-dup removal -> lang-partitioned parquet).
@@ -978,6 +1002,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "heavy_hitter_terms": _q_heavy_hitter_terms,
         "window_funcs_events": _q_window_funcs_events,
         "bloom_semi_join_orders": _q_bloom_semi_join_orders,
+        "rollup_events": _q_rollup_events,
         "curated_docs": _q_curated_docs,
         # ER pipeline (rows-only checks; er_metrics row carries the F1)
         "er_blocking": _q_er_blocking,
@@ -1221,6 +1246,11 @@ def oracle_sql() -> dict[str, str]:
             "WHERE EXISTS (SELECT 1 FROM customer c "
             "WHERE c.c_custkey = o.o_custkey "
             "AND c.c_mktsegment = 'BUILDING')"
+        ),
+        "rollup_events": (
+            "SELECT event_type, user_id, count(*) AS n_events, "
+            "CAST(round(sum(value) * 100) AS BIGINT) AS sum_value_e2 "
+            "FROM events GROUP BY ROLLUP(event_type, user_id)"
         ),
         "window_funcs_events": (
             # coalesce matches the engine's nancumsum (nulls add 0; a

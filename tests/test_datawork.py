@@ -664,3 +664,34 @@ def test_ordered_window_funcs_matches_duckdb(ray_session):
     assert np.allclose(got["cum_value"], want["cum_value"])
     assert got["prev_id"].astype("Int64").equals(want["prev_id"].astype("Int64"))
     assert got["user_id"].tolist() == want["user_id"].tolist()
+
+
+def test_rollup_aggregate_matches_duckdb(ray_session):
+    import duckdb
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from wned_ray.pipelines.datawork import rollup_aggregate
+
+    rng = np.random.default_rng(31)
+    df = pd.DataFrame({
+        "event_type": rng.choice(["a", "b", "c"], 2000),
+        "user_id": rng.integers(0, 20, 2000),
+        "value": rng.normal(size=2000).round(2),
+    })
+    out = rollup_aggregate(rd.from_pandas(df),
+                           keys=["event_type", "user_id"]).to_pandas()
+    out["sum_value"] = out["sum_value"].round(4)
+    out = (out.sort_values(["event_type", "user_id"], na_position="first")
+           .reset_index(drop=True))
+    want = duckdb.connect().execute(
+        "SELECT event_type, user_id, count(*) AS n_events, "
+        "round(sum(value), 4) AS sum_value FROM df "
+        "GROUP BY ROLLUP(event_type, user_id) "
+        "ORDER BY event_type NULLS FIRST, user_id NULLS FIRST").fetch_df()
+    assert len(out) == len(want)
+    assert out["n_events"].tolist() == want["n_events"].tolist()
+    assert np.allclose(out["sum_value"], want["sum_value"])
+    assert (out["event_type"].isna() == want["event_type"].isna()).all()
+    assert (out["user_id"].isna() == want["user_id"].isna()).all()

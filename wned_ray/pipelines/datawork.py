@@ -875,6 +875,74 @@ def range_join_count(left_ds, right_ds, key_col: str, ts_col: str,
     return u.groupby(key_col).map_groups(sweep, batch_format="pandas")
 
 
+def rollup_aggregate(ds, keys: list, val_col: str = "value"):
+    """GROUP BY ROLLUP(k1, k2, ...): count + sum(val) at every prefix
+    level, rolled-up key columns emitted as NULL (ANSI semantics).
+
+    Scale shape: the events table is shuffled ONCE, at the finest grain
+    (with a per-batch Arrow combiner, so the exchange moves |distinct
+    finest keys| partials); every coarser level re-aggregates the
+    FINEST RESULT — a dim-sized table — never a second pass over the
+    input. The grand-total level is a single global aggregate over the
+    finest result."""
+    from ray.data.aggregate import Count, Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = batch.select(list(keys) + [val_col])
+        g = t.group_by(list(keys)).aggregate(
+            [(val_col, "sum"),
+             (val_col, "count", pc.CountOptions(mode="all"))])
+        cols = {k: g[k] for k in keys}
+        cols["_psum"] = g[f"{val_col}_sum"]
+        cols["_pcnt"] = pc.cast(g[f"{val_col}_count"], pa.int64())
+        return pa.table(cols)
+
+    finest = (ds.select_columns(list(keys) + [val_col])
+              .map_batches(partial, batch_format="pyarrow")
+              .groupby(list(keys))
+              .aggregate(Sum("_pcnt", alias_name="n_events"),
+                         Sum("_psum", alias_name="sum_value"))
+              .materialize())                 # consumed once per level
+    key_types = {f.name: f.type for f in finest.schema().base_schema
+                 if f.name in keys}
+
+    def _align(level_keys):
+        """Pad a level's table to the full key set with typed nulls."""
+        def f(batch: pa.Table) -> pa.Table:
+            cols = {}
+            for k in keys:
+                cols[k] = (batch[k] if k in level_keys
+                           else pa.nulls(batch.num_rows, key_types[k]))
+            cols["n_events"] = batch["n_events"]
+            cols["sum_value"] = batch["sum_value"]
+            return pa.table(cols)
+        return f
+
+    levels = [finest.map_batches(_align(keys), batch_format="pyarrow")]
+    for i in range(len(keys) - 1, 0, -1):
+        sub = keys[:i]
+        lvl = (finest.groupby(list(sub))
+               .aggregate(Sum("n_events", alias_name="n_events"),
+                          Sum("sum_value", alias_name="sum_value")))
+        levels.append(lvl.map_batches(_align(sub), batch_format="pyarrow"))
+
+    import ray.data as rd
+
+    totals = finest.aggregate(Sum("n_events", alias_name="n_events"),
+                              Sum("sum_value", alias_name="sum_value"))
+    grand = pa.table({
+        **{k: pa.nulls(1, key_types[k]) for k in keys},
+        "n_events": pa.array([totals["n_events"]], pa.int64()),
+        "sum_value": pa.array([totals["sum_value"]], pa.float64()),
+    })
+    levels.append(rd.from_arrow(grand))
+
+    out = levels[0]
+    for lvl in levels[1:]:
+        out = out.union(lvl)
+    return out
+
+
 def bloom_semi_join(big_ds, keys_ds, on: str, key_col: str | None = None,
                     fp_rate: float = 0.01, num_partitions: int = 16):
     """EXACT semi-join with Bloom-filter pushdown: rows of ``big_ds``
