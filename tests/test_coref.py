@@ -81,3 +81,24 @@ def test_promote_mentions_stage(ray_session):
            .to_pandas().set_index("mention_id")["norm_mention"])
     assert out["c1:0"] == "varquo sotanor"        # promoted within c1
     assert out["c2:0"] == "varquo"                # no long form in c2
+
+
+def test_promotion_table_local_rules():
+    """Corpus-wide substring promotion: unique extension promotes,
+    near-dup extensions promote to the lexicographic min, genuinely
+    ambiguous extensions stay unpromoted."""
+    from wned_ray.stages.normalize import _promotion_table_local
+
+    vocab = [
+        # unique extension
+        "varquo", "varquo sotanor",
+        # typo-variant extensions (JW >= 0.9 pairwise) -> promote to min
+        "belfen", "belfen lunullin", "belfen lunullyn",
+        # ambiguous: two genuinely different extensions -> no promotion
+        "john", "john smith", "john doe",
+    ]
+    t = _promotion_table_local(vocab, max_token_block=64)
+    promo = dict(zip(t["norm_a"].to_pylist(), t["norm_promoted"].to_pylist()))
+    assert promo["varquo"] == "varquo sotanor"
+    assert promo["belfen"] == "belfen lunullin"
+    assert "john" not in promo

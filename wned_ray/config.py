@@ -64,6 +64,31 @@ class PipelineConfig:
                                  # in-degree>=200/600 hub thresholds,
                                  # SubGraphGenerator.java:30-31, and the
                                  # Lucene top-200 fuzzy budget)
+    global_promote: bool = True  # corpus-wide norm promotion: a norm whose
+                                 # token set is contained in EXACTLY ONE
+                                 # other norm's inherits that norm (the
+                                 # reference's per-document substring
+                                 # promotion, ELUtils.resolve:178-208,
+                                 # lifted to corpus scope with an
+                                 # unambiguity guard — a bare "vardosmor"
+                                 # in a conversation with no full form
+                                 # can still reach "vardosmor belullin")
+    token_blocks: bool = False   # ALSO co-block norms sharing a name TOKEN
+                                 # — the char-shingle LSH misses short⊂long
+                                 # surface pairs ("vardosmor" vs "vardosmor
+                                 # belullin", char-Jaccard ~0.35); the
+                                 # reference's fuzzy tier matches them
+                                 # because Lucene tokenizes the alias index
+                                 # (CandidateSelectionLucene
+                                 # .selectCandidatesName:271-294). Hot
+                                 # tokens fall to the same max_block_size
+                                 # discipline as hot LSH bands. Off by
+                                 # default: global_promote already routes
+                                 # unambiguous short⊂long surfaces through
+                                 # the exact tier; enable this for corpora
+                                 # where bare surfaces are AMBIGUOUS (the
+                                 # promotion guard declines) so the pair
+                                 # scorer can decide per pair instead.
 
     # --- candidate selection (J1/G2/G3) ---
     top_k_candidates: int = 20   # CandidateSelectionLucene.java:41-44

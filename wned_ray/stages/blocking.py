@@ -38,18 +38,51 @@ from wned_ray.config import PipelineConfig
 from wned_ray.functions.minhash import block_keys_with_bands
 
 
+_TOKEN_TIER = 1 << 32       # band-index salt: token keys live in their own
+                            # keyspace, disjoint from the LSH bands'
+
+
 def _explode_norms(batch: pa.Table, cfg: PipelineConfig) -> pa.Table:
+    import pyarrow.compute as pc
+
     norm = batch["norm_mention"].to_pylist()
     row_idx, keys, band_idx, _ = block_keys_with_bands(
         norm, cfg.shingle_k, cfg.num_perm, cfg.band_rows, cfg.seed)
     take = pa.array(row_idx, pa.int64())
-    return pa.table({
+    out = pa.table({
         "norm_mention": batch["norm_mention"].take(take),
         "n_mentions": batch["n_mentions"].take(take),
         "rep_id": batch["rep_id"].take(take),
         "block_key": keys,
         "band_idx": pa.array(band_idx, pa.int32()),
     })
+    if not cfg.token_blocks:
+        return out
+    # Token tier (fuzzy-lookup analog): one extra block row per (norm,
+    # name token), so "vardosmor" co-blocks with "vardosmor belullin"
+    # even though their char-shingle sets barely overlap. band_idx = -1
+    # marks the tier; hot tokens are excluded downstream by the same
+    # weighted hot_block_keys pass as hot LSH bands.
+    from wned_ray.functions.minhash import mix_band, shingle_gram_hashes
+
+    toks = pc.split_pattern(batch["norm_mention"], " ")
+    flat = pc.list_flatten(toks)
+    parents = pc.list_parent_indices(toks)
+    keep = pc.not_equal(flat, "")
+    flat, parents = flat.filter(keep), parents.filter(keep)
+    if len(flat) == 0:
+        return out
+    h, _ = shingle_gram_hashes(flat.to_pylist(), 1 << 30)
+    tkeys = mix_band(np.uint64(_TOKEN_TIER), h)
+    tp = pa.array(parents.to_numpy(zero_copy_only=False).astype(np.int64))
+    tok_rows = pa.table({
+        "norm_mention": batch["norm_mention"].take(tp),
+        "n_mentions": batch["n_mentions"].take(tp),
+        "rep_id": batch["rep_id"].take(tp),
+        "block_key": pa.array(tkeys, pa.int64()),
+        "band_idx": pa.array(np.full(len(tkeys), -1, np.int32)),
+    })
+    return pa.concat_tables([out, tok_rows])
 
 
 def norm_blocks(prepared_ds, cfg: PipelineConfig):

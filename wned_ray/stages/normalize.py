@@ -64,10 +64,13 @@ def prepare(ds, cfg: PipelineConfig):
     shuffle: it does not depend on the promoted norm, and materializing
     it before the conv_id sort would double the bytes moved through the
     pipeline's one unavoidable per-document all-to-all."""
-    if cfg.coref_promote or cfg.abbrev_expand:
+    if cfg.coref_promote or cfg.abbrev_expand or cfg.global_promote:
         out = ds.map_batches(lambda b: extract_batch(b, cfg),
                              batch_format="pyarrow")
-        out = promote_mentions(out, cfg)
+        if cfg.coref_promote or cfg.abbrev_expand:
+            out = promote_mentions(out, cfg)
+        if cfg.global_promote:
+            out = global_promote(out, cfg)
         return out.map_batches(context_batch, batch_format="pyarrow")
     return ds.map_batches(lambda b: prepare_batch(b, cfg),
                           batch_format="pyarrow")
@@ -113,3 +116,226 @@ def promote_mentions(prepared_ds, cfg: PipelineConfig):
             .groupby("conv_id")
             .map_groups(_promote_group, batch_format="pyarrow",
                         zero_copy_batch=True))
+
+
+def _promotion_table(norms_ds, max_token_block: int) -> pa.Table:
+    """Distinct norms -> (norm_orig_key, norm_promoted) promotion rows:
+    norm A promotes to norm B iff A's token set is strictly contained in
+    B's and B is the ONLY such extension (corpus-wide unambiguity guard).
+
+    All work is over the DISTINCT-norm vocabulary (dim-sized): one token
+    explode, one self-join on token with the standard hot-token
+    exclusion, one containment groupby. Returns a plain Arrow table —
+    bounded by the promotable-norm count."""
+    import numpy as np
+    from ray.data.aggregate import Count, Max
+
+    def tok(batch: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(batch["norm_mention"], " ")
+        flat = pc.list_flatten(toks)
+        parents = pc.list_parent_indices(toks)
+        keep = pc.not_equal(flat, "")
+        flat, parents = flat.filter(keep), parents.filter(keep)
+        n_tok = pc.list_value_length(toks)
+        tp = pa.array(parents.to_numpy(zero_copy_only=False).astype("int64"))
+        return pa.table({
+            "token": flat,
+            "norm": batch["norm_mention"].take(tp),
+            "n_tok": pc.cast(n_tok, pa.int64()).take(tp),
+        })
+
+    toks = norms_ds.map_batches(tok, batch_format="pyarrow").materialize()
+
+    from wned_ray.util import safe_partitions
+
+    nparts = safe_partitions(16, rows=toks.count())
+    hot = (toks.groupby("token").aggregate(Count(alias_name="_n"))
+           .filter(expr=f"_n > {max_token_block}"))
+    hot_set = {r["token"] for r in hot.take_all()}
+    if hot_set:
+        import ray
+
+        hot_ref = ray.put(pa.array(sorted(hot_set), pa.string()))
+
+        def drop(batch: pa.Table) -> pa.Table:
+            import ray as _r
+
+            return batch.filter(pc.invert(
+                pc.is_in(batch["token"], value_set=_r.get(hot_ref))))
+
+        toks = toks.map_batches(drop, batch_format="pyarrow")
+
+    left = toks.rename_columns({"norm": "norm_a", "n_tok": "na"})
+    right = toks.rename_columns({"norm": "norm_b", "n_tok": "nb"})
+    j = left.join(right, join_type="inner", num_partitions=nparts,
+                  on=("token",))
+
+    def proper(batch: pa.Table) -> pa.Table:
+        return batch.filter(pc.less(batch["na"], batch["nb"]))
+
+    # containment <=> #shared tokens == |A|; then unambiguity per A
+    shared = (j.map_batches(proper, batch_format="pyarrow")
+              .groupby(["norm_a", "norm_b"])
+              .aggregate(Count(alias_name="n_shared"),
+                         Max("na", alias_name="na")))
+
+    def contained(batch: pa.Table) -> pa.Table:
+        return batch.filter(pc.equal(batch["n_shared"], batch["na"]))
+
+    def decide(g) -> pa.Table:
+        """One bare norm's extension set -> 0 or 1 promotion row.
+
+        Promote when the extension is unique, OR when every pair of
+        extensions is itself a near-duplicate surface (JW >= 0.9 —
+        typo variants of one canonical form, which co-block and merge
+        downstream anyway, so ANY of them connects the bare mention to
+        the component; pick the lexicographic min for determinism).
+        Genuinely ambiguous bare names ("john" under "john smith" AND
+        "john doe") fail the pairwise test and stay unpromoted."""
+        import numpy as np
+
+        from wned_ray.functions.strsim import jaro_winkler_batch
+
+        exts = sorted(g["norm_b"].tolist())
+        ok = len(exts) == 1
+        if not ok and len(exts) <= 16:       # tiny by construction
+            a = np.array([exts[i] for i in range(len(exts))
+                          for j in range(i + 1, len(exts))])
+            b = np.array([exts[j] for i in range(len(exts))
+                          for j in range(i + 1, len(exts))])
+            ok = bool(jaro_winkler_batch(a, b).min() >= 0.9)
+        if not ok:
+            return pa.table({"norm_a": pa.array([], pa.string()),
+                             "norm_promoted": pa.array([], pa.string())})
+        return pa.table({
+            "norm_a": pa.array([g["norm_a"].iloc[0]], pa.string()),
+            "norm_promoted": pa.array([exts[0]], pa.string()),
+        })
+
+    uniq = (shared.map_batches(contained, batch_format="pyarrow")
+            .groupby("norm_a")
+            .map_groups(decide, batch_format="pandas")
+            .materialize())
+    return uniq
+
+
+def _collect_promotions(uniq, broadcast_max: int) -> pa.Table | None:
+    """Materialized promotion Dataset -> one Arrow table, or None when it
+    exceeds the broadcast cap (collect is guarded BEFORE take_all)."""
+    n = uniq.count()
+    if n == 0 or n > broadcast_max:
+        return pa.table({"norm_a": pa.array([], pa.string()),
+                         "norm_promoted": pa.array([], pa.string())
+                         }) if n == 0 else None
+    rows = uniq.take_all()
+    return pa.table({
+        "norm_a": pa.array([r["norm_a"] for r in rows], pa.string()),
+        "norm_promoted": pa.array([r["norm_promoted"] for r in rows],
+                                  pa.string()),
+    })
+
+
+def _promotion_table_local(norms: list[str], max_token_block: int
+                           ) -> pa.Table:
+    """Driver-side twin of ``_promotion_table`` for a driver-sized
+    vocabulary: identical rule (token containment + unique-or-near-dup
+    extensions), plain pandas/numpy — at typical vocab sizes the five
+    tiny Ray shuffles of the distributed form are all fixed overhead."""
+    import numpy as np
+    import pandas as pd
+
+    from wned_ray.functions.strsim import jaro_winkler_batch
+
+    if not norms:
+        return pa.table({"norm_a": pa.array([], pa.string()),
+                         "norm_promoted": pa.array([], pa.string())})
+    df = pd.DataFrame({"norm": norms})
+    toks = df["norm"].str.split(" ")
+    df["na"] = toks.str.len()
+    ex = df.assign(token=toks).explode("token")
+    ex = ex[ex["token"] != ""]
+    vc = ex["token"].value_counts()
+    ex = ex[~ex["token"].isin(set(vc[vc > max_token_block].index))]
+    m = ex.merge(ex, on="token", suffixes=("_a", "_b"))
+    m = m[m["na_a"] < m["na_b"]]
+    if not len(m):
+        return pa.table({"norm_a": pa.array([], pa.string()),
+                         "norm_promoted": pa.array([], pa.string())})
+    shared = (m.groupby(["norm_a", "norm_b"], as_index=False)
+              .agg(n_shared=("token", "size"), na=("na_a", "first")))
+    cont = shared[shared["n_shared"] == shared["na"]]
+    out_a, out_b = [], []
+    for norm_a, g in cont.groupby("norm_a"):
+        exts = sorted(g["norm_b"].tolist())
+        ok = len(exts) == 1
+        if not ok and len(exts) <= 16:
+            a = np.array([exts[i] for i in range(len(exts))
+                          for j in range(i + 1, len(exts))])
+            b = np.array([exts[j] for i in range(len(exts))
+                          for j in range(i + 1, len(exts))])
+            ok = bool(jaro_winkler_batch(a, b).min() >= 0.9)
+        if ok:
+            out_a.append(norm_a)
+            out_b.append(exts[0])
+    return pa.table({"norm_a": pa.array(out_a, pa.string()),
+                     "norm_promoted": pa.array(out_b, pa.string())})
+
+
+def global_promote(prepared_ds, cfg: PipelineConfig,
+                   broadcast_max: int = 10_000_000):
+    """Corpus-wide substring promotion (the reference's per-document
+    ``ELUtils.resolve:178-208`` rule lifted to corpus scope): a mention
+    whose norm's token set is strictly contained in exactly ONE other
+    distinct norm inherits that norm, so a bare surface in a conversation
+    with no co-occurring full form still reaches its canonical surface.
+    The unambiguity guard keeps real-world bare names ("john" under both
+    "john smith" and "john doe") unpromoted.
+
+    Shape: promotion pairs are computed over the DISTINCT-norm
+    vocabulary (dim-sized, hot-token capped) and applied with broadcast
+    Arrow index_in/take kernels per batch — no mention-level shuffle.
+    The table is ray.put once; past ``broadcast_max`` rows the promotion
+    is skipped with a warning (a corpus where most of the vocabulary is
+    promotable means the guard is mis-tuned, not that the driver should
+    OOM)."""
+    import ray
+    from ray.data.aggregate import Count
+
+    # Per-batch unique combiner: the driver collect (or the groupby on
+    # the distributed path) sees |batch-distinct| rows, not |mentions|.
+    def batch_distinct(batch: pa.Table) -> pa.Table:
+        return pa.table({"norm_mention": pc.unique(batch["norm_mention"])})
+
+    uniq = (prepared_ds.select_columns(["norm_mention"])
+            .map_batches(batch_distinct, batch_format="pyarrow")
+            .materialize())
+    if uniq.count() <= broadcast_max:        # vocab fits the driver
+        vocab = sorted({r["norm_mention"] for r in uniq.take_all()})
+        promo = _promotion_table_local(vocab, cfg.max_block_size)
+    else:                                    # corpus-scale vocabulary
+        norms = (uniq.groupby("norm_mention")
+                 .aggregate(Count(alias_name="_n")))
+        promo = _collect_promotions(
+            _promotion_table(norms, cfg.max_block_size), broadcast_max)
+        if promo is None:
+            import warnings
+
+            warnings.warn("global_promote: promotable norms exceed the "
+                          f"broadcast cap {broadcast_max}; skipping "
+                          "promotion")
+            return prepared_ds
+    if promo.num_rows == 0:
+        return prepared_ds
+    ref = ray.put((promo["norm_a"].combine_chunks(),
+                   promo["norm_promoted"].combine_chunks()))
+
+    def apply(batch: pa.Table) -> pa.Table:
+        keys, vals = ray.get(ref)           # zero-copy plasma read
+        idx = pc.index_in(batch["norm_mention"], value_set=keys)
+        newn = pc.coalesce(vals.take(idx), batch["norm_mention"])
+        if "norm_orig" not in batch.column_names:
+            batch = batch.append_column("norm_orig", batch["norm_mention"])
+        return batch.set_column(batch.column_names.index("norm_mention"),
+                                "norm_mention", newn)
+
+    return prepared_ds.map_batches(apply, batch_format="pyarrow")
