@@ -102,3 +102,22 @@ def test_promotion_table_local_rules():
     assert promo["varquo"] == "varquo sotanor"
     assert promo["belfen"] == "belfen lunullin"
     assert "john" not in promo
+
+
+def test_global_promote_composes_chains(ray_session):
+    """a ⊂ "a b" ⊂ "a b c": the promotion map composes to fixpoint, so
+    every variant lands on the single canonical norm."""
+    import pandas as pd
+    import ray.data as rd
+
+    from wned_ray.config import PipelineConfig
+    from wned_ray.stages.normalize import global_promote
+
+    df = pd.DataFrame({
+        "mention_id": ["m0", "m1", "m2"],
+        "norm_mention": ["varquo", "varquo sotanor", "varquo sotanor inc"],
+    })
+    out = (global_promote(rd.from_pandas(df), PipelineConfig())
+           .to_pandas().sort_values("mention_id"))
+    assert out["norm_mention"].tolist() == ["varquo sotanor inc"] * 3
+    assert out["norm_orig"].tolist() == df["norm_mention"].tolist()

@@ -326,6 +326,21 @@ def global_promote(prepared_ds, cfg: PipelineConfig,
             return prepared_ds
     if promo.num_rows == 0:
         return prepared_ds
+    # compose chains to fixpoint ("a" -> "a b", "a b" -> "a b c" becomes
+    # "a" -> "a b c"): driver dict walk over the promotion map (bounded
+    # by broadcast_max), cycle-safe via the hop cap
+    mp = dict(zip(promo["norm_a"].to_pylist(),
+                  promo["norm_promoted"].to_pylist()))
+    resolved = {}
+    for k in mp:
+        v, hops = mp[k], 0
+        while v in mp and hops < 16:
+            v, hops = mp[v], hops + 1
+        resolved[k] = v
+    promo = pa.table({
+        "norm_a": pa.array(list(resolved.keys()), pa.string()),
+        "norm_promoted": pa.array(list(resolved.values()), pa.string()),
+    })
     ref = ray.put((promo["norm_a"].combine_chunks(),
                    promo["norm_promoted"].combine_chunks()))
 
