@@ -70,6 +70,11 @@ def prepare(ds, cfg: PipelineConfig):
         if cfg.coref_promote or cfg.abbrev_expand:
             out = promote_mentions(out, cfg)
         if cfg.global_promote:
+            # materialize: global_promote consumes `out` twice (the
+            # vocabulary scan and the promotion apply) — without the pin
+            # the per-conversation promotion shuffle, the prepare path's
+            # most bandwidth-bound piece, would re-execute for each
+            out = out.materialize()
             out = global_promote(out, cfg)
         return out.map_batches(context_batch, batch_format="pyarrow")
     return ds.map_batches(lambda b: prepare_batch(b, cfg),
