@@ -74,3 +74,22 @@ def test_read_doc_dump(ray_session, source_files):
     assert df["title"].tolist() == ["Acme", "Bolt"]
     assert df["text"].tolist() == ["Acme Corp makes anvils.",
                                    "Bolt Ltd ships fasteners."]
+
+
+def test_read_jsonl_feeds_dedup(ray_session, tmp_path):
+    import json
+
+    from wned_ray.pipelines.datawork import exact_dedup
+    from wned_ray.sources import read_jsonl
+
+    p = tmp_path / "docs.jsonl"
+    rows = [{"doc_id": 0, "text": "alpha beta", "lang": "en"},
+            {"doc_id": 1, "text": "gamma delta", "lang": "en"},
+            {"doc_id": 2, "text": "alpha beta", "lang": "de"}]
+    p.write_text("\n".join(json.dumps(r) for r in rows) + "\n")
+    ds = read_jsonl(str(p), columns=["doc_id", "text"])
+    assert set(ds.schema().names) == {"doc_id", "text"}
+    out = exact_dedup(ds, id_col="doc_id").to_pandas()
+    assert len(out) == 2                      # 2 distinct texts
+    assert sorted(out["keep_id"]) == [0, 1]   # min-id keep
+    assert out["n_dups"].sum() == 3

@@ -77,6 +77,19 @@ def read_text_dir(path):
     return files.map_batches(to_rows, batch_format="pyarrow")
 
 
+def read_jsonl(paths, columns=None):
+    """JSONL document files -> Dataset, optionally column-pruned.
+
+    The de-facto interchange format for LLM training corpora; Ray's
+    native ``read_json`` handles sharded/compressed files, and the
+    optional projection keeps the read pruned the same way the parquet
+    readers pass ``columns=``."""
+    import ray.data as rd
+
+    ds = rd.read_json(paths)
+    return ds.select_columns(list(columns)) if columns else ds
+
+
 _DOC_RE = re.compile(
     r'<doc\s+id="(?P<id>[^"]*)"\s+title="(?P<title>[^"]*)"\s*>'
     r"(?P<body>.*?)</doc>", re.DOTALL)
