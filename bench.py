@@ -200,6 +200,7 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
         "metric": "er_linkage_wall_sec",
         "value": round(t_link, 3),
         "unit": "sec",
+        "stages": out.get("timings", {}),
         "queries": queries,
         "sf": os.path.basename(os.path.normpath(sf_dir)),
         "num_cpus": num_cpus,

@@ -92,6 +92,8 @@ def run_linkage(transcripts_path: str, aliases_path: str,
                                   aliases_path, graph_path or "-",
                                   redirects_path or "-")
 
+    timings: dict[str, float] = {}
+
     def persist(factory, stage):
         """Pin a fan-out point: Parquet checkpoint when ckpt_dir is set
         (disk, resumable), else object-store materialize (spillable).
@@ -109,6 +111,7 @@ def run_linkage(transcripts_path: str, aliases_path: str,
                 fingerprint=lineage_fingerprint(base_fp, stage))
         else:
             out = factory().materialize()
+        timings[stage] = round(time.time() - t0, 2)
         print(f"[profiling] linkage stage={stage} sec={time.time() - t0:.1f}",
               file=sys.stderr)
         return out
@@ -179,4 +182,4 @@ def run_linkage(transcripts_path: str, aliases_path: str,
         "clusters")
 
     return {"prepared": prepared, "blocking": blocking, "pairs": pairs,
-            "scores": scores, "clusters": clusters}
+            "scores": scores, "clusters": clusters, "timings": timings}
