@@ -125,6 +125,14 @@ class PipelineConfig:
                                  # (linear in mentions; same transitive
                                  # clusters); "all": exhaustive
                                  # within-block all-pairs (quadratic)
+    rep_broadcast_max: int = 2_000_000
+                                 # star-mode rep->context dim: broadcast
+                                 # (index_in/take per batch, no shuffle
+                                 # waves) up to this many distinct reps;
+                                 # past it every attach falls back to
+                                 # distributed hash joins so driver
+                                 # memory stays bounded at the ~1e8
+                                 # distinct-surfaces design point
 
     # --- scoring actor pool ---
     score_batch_size: int = 4096
