@@ -70,17 +70,12 @@ def prepare(ds, cfg: PipelineConfig):
         if cfg.coref_promote or cfg.abbrev_expand:
             out = promote_mentions(out, cfg)
         if cfg.global_promote:
-            # The promotion VOCABULARY comes from a separate, stateless
-            # extract lineage (one cheap re-scan, no shuffle) rather than
-            # from `out`: scanning `out` would force a full materialize
-            # of the shuffled promote output (text-sized) between promote
-            # and apply. Conversation-level promotion only rewrites norms
-            # to other norms already in the corpus, so the pre-promotion
-            # vocabulary is the same key space; an abbrev-mined norm
-            # absent from it is already a full form and needs no entry.
-            vocab_src = ds.map_batches(lambda b: extract_batch(b, cfg),
-                                       batch_format="pyarrow")
-            out = global_promote(out, cfg, vocab_ds=vocab_src)
+            # materialize: global_promote consumes `out` twice (the
+            # vocabulary scan and the promotion apply) — without the pin
+            # the per-conversation promotion shuffle, the prepare path's
+            # most bandwidth-bound piece, would re-execute for each
+            out = out.materialize()
+            out = global_promote(out, cfg)
         return out.map_batches(context_batch, batch_format="pyarrow")
     return ds.map_batches(lambda b: prepare_batch(b, cfg),
                           batch_format="pyarrow")
@@ -292,7 +287,7 @@ def _promotion_table_local(norms: list[str], max_token_block: int
 
 
 def global_promote(prepared_ds, cfg: PipelineConfig,
-                   broadcast_max: int = 10_000_000, vocab_ds=None):
+                   broadcast_max: int = 10_000_000):
     """Corpus-wide substring promotion (the reference's per-document
     ``ELUtils.resolve:178-208`` rule lifted to corpus scope): a mention
     whose norm's token set is strictly contained in exactly ONE other
@@ -316,8 +311,7 @@ def global_promote(prepared_ds, cfg: PipelineConfig,
     def batch_distinct(batch: pa.Table) -> pa.Table:
         return pa.table({"norm_mention": pc.unique(batch["norm_mention"])})
 
-    uniq = ((vocab_ds if vocab_ds is not None else prepared_ds)
-            .select_columns(["norm_mention"])
+    uniq = (prepared_ds.select_columns(["norm_mention"])
             .map_batches(batch_distinct, batch_format="pyarrow")
             .materialize())
     if uniq.count() <= broadcast_max:        # vocab fits the driver
