@@ -42,18 +42,32 @@ def _corpus_for(sf_dir: str):
 _LINKAGE_CACHE: dict[tuple, tuple] = {}
 
 
+_SESSION_FALLBACK = {"up": False, "key": "<none>"}
+
+
 def _session_key() -> str:
     """Current Ray session id — cached Datasets hold object refs that die
     with the session, so a cache hit across sessions would return handles
-    to freed object-store data (ADVICE.md round 1)."""
+    to freed object-store data (ADVICE.md round 1).
+
+    The fallback (private session_name API gone) is a uuid regenerated
+    whenever ray.is_initialized() flips False->True — never a constant
+    shared by all sessions, which would silently serve stale handles
+    (ADVICE.md round 2)."""
     import ray
 
     if not ray.is_initialized():
+        _SESSION_FALLBACK["up"] = False
         return "<none>"
+    if not _SESSION_FALLBACK["up"]:
+        import uuid
+
+        _SESSION_FALLBACK["up"] = True
+        _SESSION_FALLBACK["key"] = f"<fallback:{uuid.uuid4().hex}>"
     try:
         return ray._private.worker._global_node.session_name
     except Exception:
-        return "<unknown>"
+        return _SESSION_FALLBACK["key"]
 
 
 def _linkage(sf_dir: str):

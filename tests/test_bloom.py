@@ -36,6 +36,22 @@ def test_bloom_partial_or_merge_equals_single_build():
     assert (merged.words == whole.words).all()
 
 
+def test_bloom_bit_positions_scatter_equals_add():
+    # the distributed build's partial representation: set-bit positions
+    # (bounded by rows x hashes) scattered on the driver must reproduce
+    # the filter built by add() exactly
+    rng = np.random.default_rng(4)
+    keys = rng.integers(0, 1 << 60, 5_000).astype(np.int64)
+    whole = BloomFilter(1 << 16, 5)
+    whole.add(keys)
+    scattered = BloomFilter(1 << 16, 5)
+    for chunk in np.array_split(keys, 9):
+        pos = scattered.bit_positions(chunk)
+        assert len(pos) <= len(chunk) * 5      # bounded, never n_bits/8
+        scattered.set_bits(pos)
+    assert (scattered.words == whole.words).all()
+
+
 def test_bloom_semi_join_exact(ray_session):
     import ray.data as rd
 

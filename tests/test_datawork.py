@@ -666,6 +666,82 @@ def test_ordered_window_funcs_matches_duckdb(ray_session):
     assert got["user_id"].tolist() == want["user_id"].tolist()
 
 
+def test_ordered_window_funcs_string_ids(ray_session):
+    # prev_id must carry the input id column's type (ADVICE r2): string
+    # mention-style ids like "c0000001:3" go through unchanged
+    import pandas as pd
+    import ray.data as rd
+
+    from wned_ray.pipelines.datawork import ordered_window_funcs
+
+    base = np.datetime64("2026-01-01T00:00:00", "us")
+    df = pd.DataFrame({
+        "event_id": [f"c{i:07d}:{i % 3}" for i in range(12)],
+        "user_id": [i % 2 for i in range(12)],
+        "ts": base + np.arange(12).astype("timedelta64[s]"),
+        "value": np.ones(12),
+    })
+    # zero-padded ids sort lexically in ts order, so event_id is a valid
+    # per-key order proxy for the emitted columns (ts is not re-emitted)
+    got = (ordered_window_funcs(rd.from_pandas(df))
+           .to_pandas().sort_values(["user_id", "event_id"])
+           .reset_index(drop=True))
+    assert got["prev_id"].dtype == object
+    # first row per key is null; every later prev_id is the prior id
+    for uid, g in got.groupby("user_id"):
+        ids = g["event_id"].tolist()
+        prev = g["prev_id"].tolist()
+        assert prev[0] is None or pd.isna(prev[0])
+        assert prev[1:] == ids[:-1]
+
+
+def test_rollup_int_values_and_empty_input(ray_session):
+    # int val_col: grand-total row must carry the same int64 sum_value
+    # the finest level does (no mixed-schema union); empty input must
+    # return an empty typed table, not a null-built grand row
+    import pandas as pd
+    import ray.data as rd
+
+    from wned_ray.pipelines.datawork import rollup_aggregate
+
+    df = pd.DataFrame({
+        "event_type": ["a", "a", "b"],
+        "user_id": np.array([1, 1, 2], np.int64),
+        "value": np.array([10, 20, 5], np.int64),
+    })
+    out = rollup_aggregate(rd.from_pandas(df),
+                           keys=["event_type", "user_id"])
+    import pyarrow as pa_
+    assert out.schema().base_schema.field("sum_value").type == pa_.int64()
+    got = out.to_pandas()
+    grand = got[got["event_type"].isna() & got["user_id"].isna()]
+    assert grand["sum_value"].tolist() == [35]
+    assert grand["n_events"].tolist() == [3]
+
+    empty = rollup_aggregate(rd.from_pandas(df.head(0)),
+                             keys=["event_type", "user_id"])
+    assert empty.count() == 0
+    assert set(empty.schema().names) == {"event_type", "user_id",
+                                         "n_events", "sum_value"}
+
+
+def test_simhash_keys_are_shuffle_safe_int63(ray_session, docs):
+    # simhash exists to be grouped/joined on; uint64 >= 2^63 keys break
+    # Ray's hash shuffle (segfault class documented round 1) so the
+    # emitted column must be int63-masked int64 — and a groupby on it
+    # must actually run
+    import pyarrow as pa_
+
+    from wned_ray.pipelines.datawork import simhash
+
+    out = simhash(docs, id_col="doc_id")
+    assert out.schema().base_schema.field("simhash").type == pa_.int64()
+    vals = out.to_pandas()["simhash"].to_numpy()
+    assert (vals >= 0).all()
+    grouped = out.groupby("simhash").count().to_pandas()
+    assert grouped["count()"].sum() == len(vals)
+
+
 def test_rollup_aggregate_matches_duckdb(ray_session):
     import duckdb
     import numpy as np

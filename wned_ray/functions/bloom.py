@@ -62,7 +62,19 @@ class BloomFilter:
             return (h1[:, None] + i[None, :] * h2[:, None]) % self.n_bits
 
     def add(self, keys: np.ndarray) -> None:
-        idx = self._indices(keys).reshape(-1)
+        self.set_bits(self._indices(keys).reshape(-1))
+
+    def bit_positions(self, keys: np.ndarray) -> np.ndarray:
+        """Unique bit indices this key batch would set — the mergeable
+        partial-filter representation. Bounded by len(keys) * n_hashes
+        entries (vs n_bits/8 bytes for a full filter blob), so the
+        distributed build's merge traffic scales with the KEYS, not with
+        n_batches x filter size."""
+        return np.unique(self._indices(keys).reshape(-1))
+
+    def set_bits(self, positions: np.ndarray) -> None:
+        """Scatter bit indices (as produced by ``bit_positions``)."""
+        idx = np.ascontiguousarray(positions).astype(np.uint64, copy=False)
         np.bitwise_or.at(self.words, (idx >> np.uint64(6)).astype(np.int64),
                          np.uint64(1) << (idx & np.uint64(63)))
 

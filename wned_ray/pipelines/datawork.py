@@ -202,11 +202,18 @@ def verify_jaccard(pairs_ds, ds, id_col: str, text_col: str = "text",
 # ------------------------------------------------------------------- SimHash
 
 def simhash(ds, id_col: str, text_col: str = "text", seed: int = 42):
-    """64-bit SimHash per row — whole-batch vectorized: Arrow tokenizer
+    """SimHash per row — whole-batch vectorized: Arrow tokenizer
     flattens every row's tokens into one array with parent indices, the
     shingle kernel hashes the flat tokens, and 64 bincounts (one per bit,
     weights = ±1 signs) do the per-row sign aggregation. No Python loop
-    over rows or tokens."""
+    over rows or tokens.
+
+    The emitted key is the 64-bit simhash masked to 63 bits and cast to
+    int64: Ray's hash-shuffle does not round-trip uint64 >= 2^63 (the
+    mixed int64/pickled-extension partition segfault class documented at
+    exact_dedup/_content hash), and simhash's whole purpose is to be
+    grouped/joined on. One sign bit of Hamming resolution is an
+    acceptable price for a shuffle-safe key."""
     def sh(batch: pa.Table) -> pa.Table:
         n = batch.num_rows
         flat, parents = _tokenize_lower(batch[text_col])
@@ -220,8 +227,9 @@ def simhash(ds, id_col: str, text_col: str = "text", seed: int = 42):
                 out[:, b] = np.bincount(par, weights=signs[:, b], minlength=n)
         keys = ((out > 0).astype(np.uint64)
                 @ (np.uint64(1) << np.arange(64, dtype=np.uint64)))
+        keys = (keys & np.uint64(0x7FFF_FFFF_FFFF_FFFF)).astype(np.int64)
         return batch.select([id_col]).append_column(
-            "simhash", pa.array(keys, pa.uint64()))
+            "simhash", pa.array(keys, pa.int64()))
 
     return ds.map_batches(sh, batch_format="pyarrow")
 
@@ -903,6 +911,30 @@ def rollup_aggregate(ds, keys: list, val_col: str = "value"):
               .aggregate(Sum("_pcnt", alias_name="n_events"),
                          Sum("_psum", alias_name="sum_value"))
               .materialize())                 # consumed once per level
+    if finest.count() == 0:
+        # empty input: no groups at any level -> empty typed table (key
+        # types from the input schema; sum type follows Ray's Sum rule)
+        import ray.data as rd
+
+        sch = ds.schema()
+        base = sch.base_schema
+
+        def _pa_type(name):
+            if isinstance(base, pa.Schema):
+                return base.field(name).type
+            # pandas-backed block schema: numpy dtypes, object == string
+            dt = base.types[sch.names.index(name)]
+            return (pa.string() if getattr(dt, "kind", None) == "O"
+                    else pa.from_numpy_dtype(dt))
+
+        vt = _pa_type(val_col)
+        sum_t = pa.int64() if pa.types.is_integer(vt) else pa.float64()
+        empty = pa.table({
+            **{k: pa.nulls(0, _pa_type(k)) for k in keys},
+            "n_events": pa.nulls(0, pa.int64()),
+            "sum_value": pa.nulls(0, sum_t),
+        })
+        return rd.from_arrow(empty)
     key_types = {f.name: f.type for f in finest.schema().base_schema
                  if f.name in keys}
 
@@ -928,12 +960,23 @@ def rollup_aggregate(ds, keys: list, val_col: str = "value"):
 
     import ray.data as rd
 
+    # Grand-total row typed from finest's schema (Sum of an int val_col
+    # is int64; hardcoding float64 here made the union mixed-schema).
+    val_types = {f.name: f.type for f in finest.schema().base_schema
+                 if f.name in ("n_events", "sum_value")}
     totals = finest.aggregate(Sum("n_events", alias_name="n_events"),
                               Sum("sum_value", alias_name="sum_value"))
+    if totals is None or totals.get("n_events") is None:
+        # empty input: no finest groups -> emit the empty typed table
+        # the levels already produce, with no grand row built from nulls
+        out = levels[0]
+        for lvl in levels[1:]:
+            out = out.union(lvl)
+        return out
     grand = pa.table({
         **{k: pa.nulls(1, key_types[k]) for k in keys},
-        "n_events": pa.array([totals["n_events"]], pa.int64()),
-        "sum_value": pa.array([totals["sum_value"]], pa.float64()),
+        "n_events": pa.array([totals["n_events"]], val_types["n_events"]),
+        "sum_value": pa.array([totals["sum_value"]], val_types["sum_value"]),
     })
     levels.append(rd.from_arrow(grand))
 
@@ -949,11 +992,12 @@ def bloom_semi_join(big_ds, keys_ds, on: str, key_col: str | None = None,
     whose ``on`` value appears in ``keys_ds[key_col]``.
 
     The 100 TB shuffle-reduction shape: the filter is built DISTRIBUTED
-    (each key batch emits its partial filter's words; the driver OR-merges
-    a few KB per batch — never the keys themselves), broadcast once via
-    ``ray.put``, and probe batches are pre-filtered BEFORE the hash-
-    shuffle join, so the all-to-all moves ~|matches| rows instead of
-    |big|. False positives just ride into the exact inner join against
+    (each key batch emits the SET BIT POSITIONS of its partial filter —
+    bounded by batch_rows x n_hashes ints, NOT a full n_bits/8-byte blob
+    per batch — and the driver scatters them into one filter; raw keys
+    never reach the driver), broadcast once via ``ray.put``, and probe
+    batches are pre-filtered BEFORE the hash-shuffle join, so the
+    all-to-all moves ~|matches| rows instead of |big|. False positives just ride into the exact inner join against
     the distinct key table, which discards them — the result is exactly
     the semi-join; false negatives are impossible. At ~1e8+ keys the
     Bloom wins over an exact ``is_in`` value-set broadcast (~10 bits/key
@@ -975,14 +1019,15 @@ def bloom_semi_join(big_ds, keys_ds, on: str, key_col: str | None = None,
 
     def partial(batch: pa.Table) -> pa.Table:
         bf = BloomFilter(n_bits, n_hashes)
-        bf.add(batch[kc].to_numpy(zero_copy_only=False))
-        return pa.table({"words": pa.array([bf.words.tobytes()], pa.binary())})
+        pos = bf.bit_positions(batch[kc].to_numpy(zero_copy_only=False))
+        return pa.table(
+            {"pos": pa.array([pos.astype(np.int64).tobytes()], pa.binary())})
 
     bf = BloomFilter(n_bits, n_hashes)
     for b in (keys.map_batches(partial, batch_format="pyarrow")
               .iter_batches(batch_format="pyarrow")):
-        for blob in b["words"].to_pylist():
-            bf.words |= np.frombuffer(blob, np.uint64)
+        for blob in b["pos"].to_pylist():
+            bf.set_bits(np.frombuffer(blob, np.int64))
     bf_ref = ray.put(bf)
 
     def prefilter(batch: pa.Table) -> pa.Table:
@@ -1023,14 +1068,16 @@ def ordered_window_funcs(ds, key_col: str = "user_id", ts_col: str = "ts",
     def win(g: pd.DataFrame) -> pa.Table:
         g = g.sort_values([ts_col, id_col])
         vals = g[val_col].to_numpy(np.float64)
-        ids = g[id_col].to_numpy()
-        prev = np.empty(len(g), dtype=object)
-        prev[0], prev[1:] = None, ids[:-1]
+        ids_pa = pa.Array.from_pandas(g[id_col])
+        # lag(id): shift by one, typed from the input id column (string
+        # ids like "c0000001:3" must not be forced through int64)
+        prev_pa = pa.concat_arrays(
+            [pa.nulls(1, ids_pa.type), ids_pa.slice(0, len(ids_pa) - 1)])
         return pa.table({
-            id_col: pa.array(ids),
+            id_col: ids_pa,
             key_col: pa.array(g[key_col].to_numpy()),
             cum_col: pa.array(np.nancumsum(vals), pa.float64()),
-            prev_col: pa.array(prev, pa.int64()),
+            prev_col: prev_pa,
         })
 
     return (ds.select_columns([id_col, key_col, ts_col, val_col])
