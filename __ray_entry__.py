@@ -646,6 +646,109 @@ def _q_er_resolve_accuracy(sf_dir: str):
     }])
 
 
+_HARD_CACHE: dict[tuple, tuple] = {}
+
+
+def _hard_linkage():
+    """Run (or reuse) the flagship pipeline on the ADVERSARIAL tier —
+    shared first words across topics, ambiguous bare names, prior-trap
+    nicknames (synth.CorpusSpec.hard docs). The tier exists because the
+    friendly generator cannot produce false positives by construction
+    (round-2 VERDICT): here precision is falsifiable (~20% of labeled
+    pairs are negatives at shared blocking keys)."""
+    from wned_ray.pipelines.link import run_linkage
+    from wned_ray.synth import HARD, config_for, ensure_corpus
+
+    key = ("hard", _session_key())
+    cached = _HARD_CACHE.get(key)
+    if cached is not None:
+        return cached
+    corpus = ensure_corpus(HARD)
+    cfg = config_for(HARD)
+    out = run_linkage(corpus["transcripts"], corpus["aliases"],
+                      corpus["graph_edges"], cfg,
+                      redirects_path=corpus.get("redirects"))
+    _HARD_CACHE.clear()
+    _HARD_CACHE[key] = (corpus, cfg, out)
+    return corpus, cfg, out
+
+
+def _q_er_metrics_hard(sf_dir: str):
+    """Pairwise micro/macro P/R/F1 on the hard tier (sf_dir-independent
+    fixture, like the friendly er_metrics but with real negatives)."""
+    import pandas as pd
+
+    from wned_ray.stages.evaluate import pairwise_metrics
+
+    corpus, cfg, out = _hard_linkage()
+    labels = _rd().read_parquet(corpus["labels"])
+    return pd.DataFrame([pairwise_metrics(labels, out["clusters"])])
+
+
+def _q_er_resolve_prior_vs_full(sf_dir: str):
+    """PriorProbEL twin (``…/experiment/PriorProbEL.java:50-329``, argmax
+    prior at :133-148): resolver accuracy under prior-only scoring next
+    to the full (prior + PPR doc-signature) resolver, on the hard tier —
+    the reference's own sanity floor (SURVEY §5.2). The nickname
+    surfaces' alias rows favor the WRONG entity 2:1, so prior-only is
+    structurally below full; the row quantifies the semantic kernel's
+    lift."""
+    import pandas as pd
+    import pyarrow.parquet as pq
+    import ray
+
+    from wned_ray.stages.aliases import resolve_redirects_table
+    from wned_ray.stages.normalize import prepare
+    from wned_ray.stages.resolve import resolve_conversations
+    from wned_ray.synth import HARD, config_for, ensure_corpus
+
+    corpus = ensure_corpus(HARD)
+    cfg = config_for(HARD)
+    prepared = prepare(_rd().read_parquet(corpus["transcripts"]),
+                       cfg).materialize()
+    alias_ref = ray.put(resolve_redirects_table(
+        pq.read_table(corpus["aliases"]), pq.read_table(corpus["redirects"])))
+    graph_ref = ray.put(pq.read_table(corpus["graph_edges"]))
+    gold = _rd().read_parquet(corpus["expected_clusters"],
+                              columns=["mention_id", "entity_id"]
+                              ).rename_columns({"entity_id": "entity_want"})
+
+    def acc(prior_only: bool) -> tuple[int, int]:
+        got = resolve_conversations(
+            prepared, alias_ref, graph_ref, cfg, prior_only=prior_only
+        ).select_columns(["mention_id", "entity_id"]).rename_columns(
+            {"entity_id": "entity_got"})
+        j = got.join(gold, join_type="inner", num_partitions=8,
+                     on=("mention_id",))
+
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        from ray.data.aggregate import Sum
+
+        def tally(batch: pa.Table) -> pa.Table:
+            ok = pc.sum(pc.cast(pc.equal(batch["entity_got"],
+                                         batch["entity_want"]),
+                                pa.int64())).as_py() or 0
+            return pa.table({"ok": pa.array([ok], pa.int64()),
+                             "n": pa.array([batch.num_rows], pa.int64())})
+
+        agg = (j.map_batches(tally, batch_format="pyarrow")
+               .aggregate(Sum("ok", alias_name="ok"),
+                          Sum("n", alias_name="n")))
+        return int(agg["ok"]), int(agg["n"])
+
+    full_ok, n = acc(prior_only=False)
+    prior_ok, _ = acc(prior_only=True)
+    return pd.DataFrame([{
+        "n_total": n,
+        "full_correct": full_ok,
+        "prior_correct": prior_ok,
+        "full_acc_e4": int(round(10000 * full_ok / n)) if n else 0,
+        "prior_acc_e4": int(round(10000 * prior_ok / n)) if n else 0,
+        "sem_lift_e4": int(round(10000 * (full_ok - prior_ok) / n)) if n else 0,
+    }])
+
+
 def _q_alias_redirect_resolved(sf_dir: str):
     """J6/A4: redirect composition over the alias dim table (the Ray
     Dataset twin of the dim-table path used inside run_linkage)."""
@@ -1026,6 +1129,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "er_metrics": _q_er_metrics,
         "er_resolve": _q_er_resolve,
         "er_resolve_accuracy": _q_er_resolve_accuracy,
+        "er_metrics_hard": _q_er_metrics_hard,
+        "er_resolve_prior_vs_full": _q_er_resolve_prior_vs_full,
         "alias_redirect_resolved": _q_alias_redirect_resolved,
         "anchor_aliases": _q_anchor_aliases,
         # training-data ops (rows-only)

@@ -104,3 +104,48 @@ def test_high_bit_int64_keys_groupby_roundtrip(ray_session):
     assert got == {(1 << 62) + 13: 2, (1 << 61) - 1: 1, 5: 3}
     for r in out:
         assert isinstance(r["block_key"], int)
+
+
+def test_whole_string_hashes_arrow_matches_list():
+    import pyarrow as pa
+
+    from wned_ray.functions.minhash import whole_string_hashes
+
+    texts = ["", "a", "ab", "varquo sotanor", "x" * 500, "varquo sotanor"]
+    h_list = whole_string_hashes(texts)
+    h_arrow = whole_string_hashes(pa.array(texts, pa.string()))
+    h_chunked = whole_string_hashes(pa.chunked_array(
+        [pa.array(texts[:3]), pa.array(texts[3:])]))
+    assert (h_list == h_arrow).all()
+    assert (h_list == h_chunked).all()
+    # equal strings hash equal; distinct strings distinct
+    assert h_list[3] == h_list[5]
+    assert len({int(x) for x in h_list[:5]}) == 5
+    # order-aware (not a bag hash)
+    a, b = whole_string_hashes(["ab", "ba"])
+    assert a != b
+
+
+def test_whole_string_hashes_sliced_and_null_arrays():
+    import pyarrow as pa
+
+    from wned_ray.functions.minhash import whole_string_hashes
+
+    arr = pa.array(["aa", "bb", "cc", "dd"])
+    full = whole_string_hashes(arr)
+    sliced = whole_string_hashes(arr.slice(1, 2))
+    assert (sliced == full[1:3]).all()
+    withnull = whole_string_hashes(pa.array(["aa", None, "cc"]))
+    empty = whole_string_hashes([""])[0]
+    assert withnull[1] == empty                  # nulls hash as ""
+
+
+def test_shingle_gram_hashes_arrow_entry_matches_list():
+    import pyarrow as pa
+
+    from wned_ray.functions.minhash import shingle_gram_hashes
+
+    texts = ["abcdefgh", "ab", "", "abcdefgh xyz", "q" * 3]
+    g1, o1 = shingle_gram_hashes(texts, 4)
+    g2, o2 = shingle_gram_hashes(pa.array(texts), 4)
+    assert (o1 == o2).all() and (g1 == g2).all()

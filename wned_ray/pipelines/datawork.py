@@ -77,7 +77,8 @@ def add_content_hash(ds, text_col: str = "text", out_col: str = "content_hash"):
     downstream kernel — the round-1 segfault class)."""
     def h(batch: pa.Table) -> pa.Table:
         grams, offsets = shingle_gram_hashes(
-            batch[text_col].to_pylist(), k=1 << 30)  # k>len => whole-string hash
+            batch[text_col], k=1 << 30)   # k>len => whole-string hash;
+        # Arrow column passed directly: zero-copy UTF-8 buffer view
         masked = (grams.astype(np.uint64)
                   & np.uint64(0x7FFF_FFFF_FFFF_FFFF)).astype(np.int64)
         return batch.append_column(out_col, pa.array(masked))
@@ -119,8 +120,8 @@ def minhash_candidates(ds, id_col: str, text_col: str = "text",
     num_partitions = safe_partitions(num_partitions)
 
     def explode(batch: pa.Table) -> pa.Table:
-        texts = batch[text_col].to_pylist()
-        row_idx, keys = block_keys_for(texts, k, num_perm, band_rows, seed)
+        row_idx, keys = block_keys_for(batch[text_col], k, num_perm,
+                                       band_rows, seed)
         take = pa.array(row_idx, pa.int64())
         return pa.table({"doc_id": batch[id_col].take(take),
                          "block_key": keys})
@@ -177,8 +178,8 @@ def verify_jaccard(pairs_ds, ds, id_col: str, text_col: str = "text",
 
     def jac(batch: pa.Table) -> pa.Table:
         n = batch.num_rows
-        ga, oa = shingle_gram_hashes(batch["text_a"].to_pylist(), k)
-        gb, ob = shingle_gram_hashes(batch["text_b"].to_pylist(), k)
+        ga, oa = shingle_gram_hashes(batch["text_a"], k)
+        gb, ob = shingle_gram_hashes(batch["text_b"], k)
         a = _distinct(ga, oa)
         b = _distinct(gb, ob)
         size_a = np.bincount(a[:, 0].astype(np.int64), minlength=n)
@@ -219,7 +220,7 @@ def simhash(ds, id_col: str, text_col: str = "text", seed: int = 42):
         flat, parents = _tokenize_lower(batch[text_col])
         out = np.zeros((n, 64), np.int64)
         if len(flat):
-            g, _ = shingle_gram_hashes(flat.to_pylist(), 1 << 30)
+            g, _ = shingle_gram_hashes(flat, 1 << 30)
             par = parents.to_numpy(zero_copy_only=False).astype(np.int64)
             bits = ((g[:, None] >> np.arange(64, dtype=np.uint64)) & 1)
             signs = 2 * bits.astype(np.int64) - 1       # [tokens, 64]
@@ -1295,10 +1296,10 @@ def fingerprint(ds, id_col: str, text_col: str = "text", k: int = 8,
     """Winnowing-style document fingerprint: the ``keep`` smallest k-gram
     rolling hashes per document, hex-joined (deterministic)."""
     def fp(batch: pa.Table) -> pa.Table:
-        texts = batch[text_col].to_pylist()
-        grams, offsets = shingle_gram_hashes(texts, k)
+        n = batch.num_rows
+        grams, offsets = shingle_gram_hashes(batch[text_col], k)
         out = []
-        for i in range(len(texts)):
+        for i in range(n):
             g = np.unique(grams[offsets[i]:offsets[i + 1]])
             sel = g[:keep]
             out.append("-".join(f"{int(x):016x}" for x in sel))

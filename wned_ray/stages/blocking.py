@@ -35,19 +35,16 @@ import numpy as np
 import pyarrow as pa
 
 from wned_ray.config import PipelineConfig
+from wned_ray.functions.minhash import TOKEN_TIER as _TOKEN_TIER
 from wned_ray.functions.minhash import block_keys_with_bands
-
-
-_TOKEN_TIER = 1 << 32       # band-index salt: token keys live in their own
-                            # keyspace, disjoint from the LSH bands'
 
 
 def _explode_norms(batch: pa.Table, cfg: PipelineConfig) -> pa.Table:
     import pyarrow.compute as pc
 
-    norm = batch["norm_mention"].to_pylist()
     row_idx, keys, band_idx, _ = block_keys_with_bands(
-        norm, cfg.shingle_k, cfg.num_perm, cfg.band_rows, cfg.seed)
+        batch["norm_mention"], cfg.shingle_k, cfg.num_perm, cfg.band_rows,
+        cfg.seed)
     take = pa.array(row_idx, pa.int64())
     out = pa.table({
         "norm_mention": batch["norm_mention"].take(take),
@@ -72,7 +69,7 @@ def _explode_norms(batch: pa.Table, cfg: PipelineConfig) -> pa.Table:
     flat, parents = flat.filter(keep), parents.filter(keep)
     if len(flat) == 0:
         return out
-    h, _ = shingle_gram_hashes(flat.to_pylist(), 1 << 30)
+    h, _ = shingle_gram_hashes(flat, 1 << 30)
     tkeys = mix_band(np.uint64(_TOKEN_TIER), h)
     tp = pa.array(parents.to_numpy(zero_copy_only=False).astype(np.int64))
     tok_rows = pa.table({
@@ -138,9 +135,9 @@ def hot_block_keys(norm_blocks_ds, cfg: PipelineConfig,
 
 # mention-level explosion retained for direct inspection / er_blocking query
 def block_batch(batch: pa.Table, cfg: PipelineConfig) -> pa.Table:
-    norm = batch["norm_mention"].to_pylist()
     row_idx, keys, band_idx, mixed = block_keys_with_bands(
-        norm, cfg.shingle_k, cfg.num_perm, cfg.band_rows, cfg.seed)
+        batch["norm_mention"], cfg.shingle_k, cfg.num_perm, cfg.band_rows,
+        cfg.seed)
     take = pa.array(row_idx, pa.int64())
     return pa.table({
         "mention_id": batch["mention_id"].take(take),

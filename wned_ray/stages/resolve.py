@@ -33,7 +33,8 @@ class ConversationResolver:
     """map_groups UDF: one conversation in, one (mention_id, entity_id,
     n_candidates) frame out."""
 
-    def __init__(self, alias_ref, graph_ref, cfg: PipelineConfig):
+    def __init__(self, alias_ref, graph_ref, cfg: PipelineConfig,
+                 prior_only: bool = False):
         import ray
 
         alias_table = ray.get(alias_ref) if not isinstance(alias_ref, pa.Table) else alias_ref
@@ -41,6 +42,11 @@ class ConversationResolver:
                        if graph_ref is not None and not isinstance(graph_ref, pa.Table)
                        else graph_ref)
         self.cfg = cfg
+        # prior_only: the reference's PriorProbEL baseline — argmax prior
+        # per mention, no semantic signature, no seed feedback
+        # (``…/experiment/PriorProbEL.java:50-329``, argmax at :133-148).
+        # The sanity floor every semantic method must beat (SURVEY §5.2).
+        self.prior_only = prior_only
         self.cand = build_alias_candidates(alias_table, cfg)
         if graph_table is not None and graph_table.num_rows > 0:
             self.graph = CSRGraph.from_edges(
@@ -118,6 +124,12 @@ class ConversationResolver:
             if len(cands) == 1:
                 resolved[mid] = cands[0][0]
                 continue
+            if self.prior_only:
+                # PriorProbEL.java:133-148 — argmax prior, lexicographic
+                # entity tie-break (deterministic; the reference breaks
+                # ties by HashMap order, SURVEY §7 hard-part 4)
+                resolved[mid] = sorted(cands, key=lambda c: (-c[1], c[0]))[0][0]
+                continue
             # score = prior fused with seed-relatedness (LINEAR over the
             # available features; local ctx is a pair feature, absent here).
             # One doc-signature PPR per DECISION, not per candidate —
@@ -143,7 +155,8 @@ class ConversationResolver:
 
 
 def resolve_conversations(prepared_ds, alias_ref, graph_ref,
-                          cfg: PipelineConfig, concurrency: int = 4):
+                          cfg: PipelineConfig, concurrency: int = 4,
+                          prior_only: bool = False):
     """prepared Dataset -> (mention_id, entity_id, n_candidates).
 
     The resolver is a callable class: the alias dict + graph kernel load
@@ -164,7 +177,8 @@ def resolve_conversations(prepared_ds, alias_ref, graph_ref,
             .map_groups(ConversationResolver,
                         fn_constructor_kwargs={"alias_ref": alias_ref,
                                                "graph_ref": graph_ref,
-                                               "cfg": cfg},
+                                               "cfg": cfg,
+                                               "prior_only": prior_only},
                         batch_format="pandas",
                         concurrency=concurrency,
                         num_cpus=1))

@@ -72,7 +72,7 @@ _ROLES = ["user", "assistant", "tool"]
 # downstream stage at single-task parallelism (a parquet row group is the
 # minimum read-split unit). _FORMAT versions the on-disk fixture cache.
 _ROW_GROUP = 16_384
-_FORMAT = 9
+_FORMAT = 10     # 10: vectorized whole-string hash changed short-norm keys
 _TOOLS = ["", "search", "code", "browser"]
 
 
@@ -86,6 +86,24 @@ class CorpusSpec:
     entities_per_conv: int = 3
     nil_fraction: float = 0.05   # turns with no entity mention (NIL analog)
     with_labels: bool = True
+    # --- adversarial (hard) tier: makes precision FALSIFIABLE ---------
+    # The friendly generator's unique first words make cross-entity
+    # co-blocking structurally impossible (fp=0 by construction — round-2
+    # VERDICT "what's wrong" #2). With hard=True, ``n_shared_pairs``
+    # entity pairs (a, b) in DIFFERENT topics share their first word:
+    #  - their full surfaces co-block through the token tier but must NOT
+    #    match (prior=0, sem~0 — the scorer carries precision);
+    #  - entity a keeps the bare first word as a surface in text, b never
+    #    uses it; the bare alias maps to BOTH (a stronger) — corpus-wide
+    #    promotion must DECLINE it (two non-near-dup extensions), so a
+    #    broken unambiguity guard merges a's bares into b's cluster and
+    #    F1 collapses (the guard demonstrably carries precision);
+    #  - entity a also uses a NICKNAME surface whose alias rows favor b
+    #    2:1 — prior-only resolution (PriorProbEL) picks b (wrong); the
+    #    PPR doc-signature must override it (the reference's own
+    #    semantic-vs-prior separation, ``…/experiment/PriorProbEL.java``).
+    hard: bool = False
+    n_shared_pairs: int = 0
 
     def fingerprint(self) -> str:
         blob = json.dumps(asdict(self), sort_keys=True)
@@ -106,6 +124,27 @@ BENCH = CorpusSpec(n_entities=4000, n_convs=31250, turns_per_conv=16,  # ~500k t
 # QUADRATICALLY in mentions-per-surface — keep the same shape as BENCH.
 SCALE = CorpusSpec(n_entities=64000, n_convs=500_000, turns_per_conv=16,
                    with_labels=False)
+# HARD: the adversarial-precision tier (~20k turns, same size as T2).
+# 20 shared-first-word pairs across 40 of the 50 topics.
+HARD = CorpusSpec(n_entities=400, n_convs=1250, turns_per_conv=16,
+                  hard=True, n_shared_pairs=20)
+# HARD_T1: pytest-sized twin (~1k turns; 7 topics -> max 3 pairs)
+HARD_T1 = CorpusSpec(n_entities=60, n_convs=125, turns_per_conv=8,
+                     hard=True, n_shared_pairs=3)
+
+
+def config_for(spec: CorpusSpec, **overrides) -> PipelineConfig:
+    """The PipelineConfig a corpus tier is designed for. Hard tiers need
+    the token blocking tier (bare surfaces are AMBIGUOUS by construction,
+    so the corpus-wide promotion guard declines them and the pair scorer
+    must see the short<->long pairs — see config.token_blocks docs) and a
+    hub cap above the shared-token block weight (~2 entities x ~50
+    mentions < 256). One helper drives synth labels, pipeline queries and
+    tests so the pair universes stay aligned."""
+    if spec.hard:
+        return PipelineConfig(seed=spec.seed, token_blocks=True,
+                              max_block_size=256, **overrides)
+    return PipelineConfig(seed=spec.seed, **overrides)
 
 
 def _entity_names(n: int, rng: np.random.Generator) -> list[str]:
@@ -170,11 +209,46 @@ def generate_corpus(spec: CorpusSpec, out_dir: str,
     a fixed order (the reference's wall-clock seeding at
     ``SemanticSignatureEL.java:389`` is a documented nondeterminism we fix).
     """
-    cfg = cfg or PipelineConfig(seed=spec.seed)
+    cfg = cfg or config_for(spec)
     rng = np.random.default_rng(spec.seed)
     os.makedirs(out_dir, exist_ok=True)
 
     names = _entity_names(spec.n_entities, rng)
+
+    # ---- hard tier: shared-first-word entity pairs + nicknames (see
+    # CorpusSpec.hard docs). Pair j: a in topic 2j, b in topic 2j+1 —
+    # different topics, so no conversation ever contains both (a bare
+    # mention in a conv with BOTH extensions would be unresolvable even
+    # for the reference's per-document promotion).
+    shared_a = np.zeros(0, np.int64)
+    shared_b = np.zeros(0, np.int64)
+    nicknames: list[str] = []
+    if spec.hard and spec.n_shared_pairs:
+        n_topics_h = max(1, spec.n_entities // spec.topic_size)
+        if 2 * spec.n_shared_pairs > n_topics_h:
+            raise ValueError("hard tier needs 2 topics per shared pair")
+        j = np.arange(spec.n_shared_pairs, dtype=np.int64)
+        shared_a = (2 * j) * spec.topic_size + (j % spec.topic_size)
+        shared_b = (2 * j + 1) * spec.topic_size + (j % spec.topic_size)
+        for aj, bj in zip(shared_a, shared_b):
+            first_a, second_a = names[aj].split(" ", 1)
+            second_b = names[bj].split(" ", 1)[1]
+            # the pair must share ONLY the first word: same second-word
+            # initials would make the abbreviation surfaces ("Kippolsot
+            # J.") collide across entities — a same-norm different-entity
+            # surface in TEXT, unresolvable for any norm-level scorer
+            att = 0
+            while second_b[0].lower() == second_a[0].lower():
+                second_b = (_SYL1[(int(bj) + att) % len(_SYL1)]
+                            + _SYL2[(int(bj) + att) % len(_SYL2)]).capitalize()
+                att += 1
+            names[bj] = f"{first_a} {second_b}"
+        # single-token nickname surfaces; "Zz" prefix never occurs in the
+        # syllable-built names, so nicknames collide with nothing else
+        nicknames = [("zz" + _SYL1[int(k) % len(_SYL1)]
+                      + _SYL2[int(k) % len(_SYL2)]).capitalize()
+                     for k in range(spec.n_shared_pairs)]
+
     alias_path = os.path.join(out_dir, "aliases.parquet")
 
     # ---- transcripts
@@ -214,6 +288,19 @@ def generate_corpus(spec: CorpusSpec, out_dir: str,
     variant_p = np.array([40, 10, 5, 5, 8, 6, 4, 4], dtype=np.float64)
     variant_p /= variant_p.sum()
     variant = rng.choice(len(variant_p), size=n_turns, p=variant_p)
+    if spec.hard and len(shared_b):
+        # b-entities NEVER use the bare shared surface in text: the bare
+        # norm's mentions all belong to a, so the exact tier stays
+        # FP-free while the alias row ambiguity (a vs b) remains real
+        variant = np.where(np.isin(turn_entity, shared_b) & (variant == 6),
+                           0, variant)
+        # a-entities render their typo-variant draws as the nickname too
+        # (slot 7): the typo ALIAS row stays (slot 4 is in the dim table),
+        # but a's text exposure of the prior-trap nickname rises to
+        # ~15% of its mentions so the prior-vs-semantic separation is
+        # measured on tens of mentions, not one
+        variant = np.where(np.isin(turn_entity, shared_a) & (variant == 4),
+                           7, variant)
     # per-entity surface forms drawn with a per-entity rng: the same table
     # drives both the turn texts and the aliases dim table, so the alias
     # dictionary and the corpus agree exactly
@@ -221,13 +308,22 @@ def generate_corpus(spec: CorpusSpec, out_dir: str,
         [[v[0] for v in _alias_variants(n, np.random.default_rng(
             spec.seed + 7919 * i))] for i, n in enumerate(names)],
         dtype=object)
+    if spec.hard and len(shared_a):
+        # a-entities trade the abbrevinit variant slot for the nickname
+        # (rendered PLAIN — no parenthetical, so only the alias table
+        # links it, ambiguously, to a and b)
+        for k, aj in enumerate(shared_a):
+            surface_lut[aj, 7] = nicknames[k]
 
     mention = np.where(is_nil, "", surface_lut[np.maximum(turn_entity, 0), variant])
     # the abbrevinit variant RENDERS with its parenthetical definition
     # ("VS (Varquo Sotanor)") — the mention surface stays the initials
     # (extract_mentions stops at the paren); only the miner sees the rest
     full_name = np.array(names, dtype=object)[np.maximum(turn_entity, 0)]
-    shown = np.where((variant == 7) & ~is_nil,
+    paren = (variant == 7) & ~is_nil
+    if spec.hard and len(shared_a):
+        paren &= ~np.isin(turn_entity, shared_a)      # nicknames render plain
+    shown = np.where(paren,
                      mention.astype(object) + " (" + full_name + ")",
                      mention)
     # the "link"-sourced variants (1-3) RENDER as wiki anchors
@@ -286,6 +382,18 @@ def generate_corpus(spec: CorpusSpec, out_dir: str,
         for v in range(5):
             alias_rows2.append((name, surface_lut[i, v], src_by_variant[v],
                                 freq_by_variant[v]))
+    if spec.hard:
+        # same-alias different-entity rows — REAL prior ambiguity
+        # (CandidateSelectionLucene exists because aliases are ambiguous):
+        # the shared bare surface favors a 3:1 (a uses it in text, b owns
+        # it too); the nickname favors b 2:1 while the TEXT mentions are
+        # a's — prior-only resolution picks b, the PPR signature must not
+        for k, (aj, bj) in enumerate(zip(shared_a, shared_b)):
+            bare = names[aj].split(" ", 1)[0]
+            alias_rows2.append((names[aj], bare, "name", 12))
+            alias_rows2.append((names[bj], bare, "name", 4))
+            alias_rows2.append((names[bj], nicknames[k], "nickname", 8))
+            alias_rows2.append((names[aj], nicknames[k], "nickname", 4))
     alias_df = pd.DataFrame(alias_rows2, columns=["entity", "surface", "source", "freq"])
     alias_df["alias"] = normalize_names(pa.array(alias_df["surface"].astype(str))).to_pylist()
     alias_out = (alias_df.groupby(["entity", "alias", "source"], as_index=False)
@@ -342,8 +450,18 @@ def generate_corpus(spec: CorpusSpec, out_dir: str,
                     mention_norm[i] = p
         row_idx, keys = block_keys_for(mention_norm, cfg.shingle_k, cfg.num_perm,
                                        cfg.band_rows, cfg.seed)
-        bdf = pd.DataFrame({"row": row_idx,
-                            "key": keys.to_numpy(zero_copy_only=False)})
+        keys_np = keys.to_numpy(zero_copy_only=False)
+        if cfg.token_blocks:
+            # mirror the pipeline's token blocking tier (one extra block
+            # per (norm, name token), functions/minhash.token_block_keys
+            # drives BOTH sides) so the labeled pair universe includes the
+            # short<->long and shared-token pairs the hard tier exists for
+            from wned_ray.functions.minhash import token_block_keys
+
+            trow, tkeys = token_block_keys(mention_norm)
+            row_idx = np.concatenate([row_idx, trow])
+            keys_np = np.concatenate([keys_np, tkeys])
+        bdf = pd.DataFrame({"row": row_idx, "key": keys_np})
         bdf = bdf.drop_duplicates()                      # one row per (turn, key)
         sizes = bdf.groupby("key")["row"].transform("size")
         bdf = bdf[sizes <= cfg.max_block_size]           # hub filter, same as pipeline
