@@ -178,3 +178,36 @@ def test_token_block_keys_align_with_pipeline(ray_session):
     want = {(norms[r], k) for r, k in zip(trow, tkeys)}
     got = set(zip(tok["norm_mention"], tok["block_key"]))
     assert got == want
+
+
+def test_norm_pairs_driver_matches_distributed(ray_session, tmp_path_factory):
+    """The vocabulary-sized driver fast path and the distributed
+    join/groupby path must produce the IDENTICAL norm-pair set."""
+    import pandas as pd
+    import ray.data as rd
+
+    from dataclasses import replace
+
+    from wned_ray.config import PipelineConfig
+    from wned_ray.stages.blocking import hot_block_keys, norm_blocks
+    from wned_ray.stages.normalize import prepare
+    from wned_ray.stages.pairs import NP_COLS, norm_pairs
+    from wned_ray.synth import HARD_T1, config_for, generate_corpus
+
+    out = tmp_path_factory.mktemp("npcorpus")
+    corpus = generate_corpus(HARD_T1, str(out))
+    cfg = config_for(HARD_T1)
+    prepared = prepare(rd.read_parquet(corpus["transcripts"]), cfg).materialize()
+    blocking = norm_blocks(prepared, cfg).materialize()
+    hot = hot_block_keys(blocking, cfg)
+
+    def run(c):
+        df = (norm_pairs(blocking, hot, c, num_partitions=4)
+              .to_pandas()[NP_COLS]
+              .sort_values(NP_COLS).reset_index(drop=True))
+        return df
+
+    local = run(cfg)
+    dist = run(replace(cfg, norm_pairs_driver_max_rows=0))
+    pd.testing.assert_frame_equal(local, dist)
+    assert len(local) > 0

@@ -134,6 +134,17 @@ class PipelineConfig:
                                  # memory stays bounded at the ~1e8
                                  # distinct-surfaces design point
 
+    # --- pair generation ---
+    # Blocking tables at or under this many exploded rows generate their
+    # norm pairs on the DRIVER in one vectorized pass (profiled: the
+    # distributed form's three hash-shuffle waves of aggregator-actor
+    # spawn dominate at vocabulary scale — ~half the scores stage at
+    # 500k turns). Past the cap (the 1e8-distinct-surfaces design point
+    # and the 8M-turn scaling corpus) the distributed join/groupby path
+    # runs — same driver/distributed switch discipline as global_promote
+    # and cc_driver_max_pairs.
+    norm_pairs_driver_max_rows: int = 1_000_000
+
     # --- scoring actor pool ---
     score_batch_size: int = 4096
     score_concurrency: int | None = None  # None => auto: cluster CPUs - 2

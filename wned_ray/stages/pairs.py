@@ -61,6 +61,49 @@ def _drop_hot(hot_keys: set[int], col: str = "block_key"):
 NP_COLS = ["norm_a", "norm_b", "rep_a", "rep_b", "block_key"]
 
 
+def _norm_pairs_local(df, cfg: PipelineConfig) -> pa.Table:
+    """Driver-side twin of the fuzzy + exact norm-pair generation for
+    VOCABULARY-sized blocking tables: identical semantics (canonical
+    norm_a < norm_b, cross-band dedup by min block_key, exact self pairs
+    for multi-mention norms), plain pandas — the distributed form costs
+    three hash-shuffle waves of aggregator-actor spawn that dwarf the
+    data at |distinct norms| scale (profiled: the norm-pair join +
+    aggregates owned ~half the scores stage at 500k turns while the
+    scorer itself ran 1.8s). The distributed path remains for blocking
+    tables past the driver cap (the ~1e8-distinct-surfaces design
+    point) — same switch discipline as global_promote and the CC driver
+    path."""
+    import pandas as pd
+
+    m = df.merge(df, on="block_key", suffixes=("_a", "_b"))
+    m = m[m["norm_mention_a"] < m["norm_mention_b"]]
+    if len(m):
+        fuzzy = (m.groupby(["norm_mention_a", "norm_mention_b"],
+                           as_index=False)
+                 .agg(rep_a=("rep_id_a", "min"), rep_b=("rep_id_b", "min"),
+                      block_key=("block_key", "min"))
+                 .rename(columns={"norm_mention_a": "norm_a",
+                                  "norm_mention_b": "norm_b"}))
+    else:
+        fuzzy = pd.DataFrame(columns=NP_COLS)
+    ex = df[df["n_mentions"] > 1]
+    exact = (ex.groupby("norm_mention", as_index=False)
+             .agg(rep_a=("rep_id", "min"), block_key=("block_key", "min")))
+    exact = pd.DataFrame({
+        "norm_a": exact["norm_mention"], "norm_b": exact["norm_mention"],
+        "rep_a": exact["rep_a"], "rep_b": exact["rep_a"],
+        "block_key": exact["block_key"],
+    })
+    out = pd.concat([fuzzy[NP_COLS], exact[NP_COLS]], ignore_index=True)
+    return pa.table({
+        "norm_a": pa.array(out["norm_a"], pa.string()),
+        "norm_b": pa.array(out["norm_b"], pa.string()),
+        "rep_a": pa.array(out["rep_a"], pa.string()),
+        "rep_b": pa.array(out["rep_b"], pa.string()),
+        "block_key": pa.array(out["block_key"], pa.int64()),
+    })
+
+
 def norm_pairs(norm_blocks_ds, hot_keys: set[int], cfg: PipelineConfig,
                num_partitions: int = 16):
     """Distinct-norm blocking rows -> Dataset (norm_a, norm_b, rep_a,
@@ -75,6 +118,19 @@ def norm_pairs(norm_blocks_ds, hot_keys: set[int], cfg: PipelineConfig,
             _drop_hot(hot_keys), batch_format="pyarrow")
     slim = norm_blocks_ds.select_columns(
         ["norm_mention", "n_mentions", "rep_id", "block_key"]).materialize()
+
+    # Vocabulary-sized fast path: under the row cap AND the join-product
+    # bound (hub-capped, but the guard is explicit), generate the pairs
+    # on the driver in one vectorized pass — no shuffle waves. The pair
+    # table this produces is |distinct surface pairs| (tiny) either way.
+    n_rows = slim.count()
+    if n_rows <= cfg.norm_pairs_driver_max_rows:
+        import ray.data as rd
+
+        df = slim.to_pandas()
+        sizes = df["block_key"].value_counts()
+        if float((sizes * (sizes - 1)).sum()) / 2 <= 50_000_000:
+            return rd.from_arrow(_norm_pairs_local(df, cfg))
 
     left = (slim.select_columns(["norm_mention", "rep_id", "block_key"])
             .rename_columns({"norm_mention": "norm_a", "rep_id": "rep_a"}))
