@@ -7,7 +7,12 @@ turns/sec. Side queries cover the other operator families over
 ``$GRAFT_SF_DIR`` tables.
 
 Usage:
-    python bench.py                 # one run at $RAY_GRAFT_CPUS (default 32)
+    python bench.py                 # headline = MEDIAN of 3 linkage runs at
+                                    # $RAY_GRAFT_CPUS (default 32) — this VM's
+                                    # wall time drifts +-35% run-to-run
+                                    # (BASELINE.md), so single runs are
+                                    # uninformative; min/median/max reported
+    python bench.py --once          # single linkage run (fast iteration)
     python bench.py --scaling       # fresh processes at 8 and 32 CPUs on the
                                     # same input; reports scaling efficiency
                                     # (the in-sandbox stand-in for N vs 4N
@@ -68,12 +73,24 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
     queries: dict[str, float] = {}
     cfg = PipelineConfig()
 
-    t0 = time.time()
-    out = run_linkage(corpus["transcripts"], corpus["aliases"],
-                      corpus["graph_edges"], cfg,
-                      redirects_path=corpus.get("redirects"))
-    n_clusters = out["clusters"].count()
-    t_link = time.time() - t0
+    # Headline = median of 3 end-to-end linkage runs (round-2 VERDICT
+    # task 9: single runs are uninformative under this VM's documented
+    # +-35% wall drift). The scaling tier stays single-run: its legs are
+    # minutes long and the efficiency ratio comes from a back-to-back
+    # fresh-process pair, which is the comparable unit there.
+    reps = 1 if (os.environ.get("GRAFT_BENCH_ONCE")
+                 or os.environ.get("GRAFT_SCALING_TIER")) else 3
+    runs: list[tuple[float, dict, int]] = []
+    for _ in range(reps):
+        t0 = time.time()
+        out = run_linkage(corpus["transcripts"], corpus["aliases"],
+                          corpus["graph_edges"], cfg,
+                          redirects_path=corpus.get("redirects"))
+        n_clusters = out["clusters"].count()
+        runs.append((time.time() - t0, out, n_clusters))
+    runs.sort(key=lambda r: r[0])
+    t_link, out, n_clusters = runs[len(runs) // 2]      # median run
+    runs_sec = [round(r[0], 3) for r in runs]
     queries["er_linkage"] = round(t_link, 3)
 
     if os.environ.get("GRAFT_SCALING_TIER"):
@@ -200,6 +217,7 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
         "metric": "er_linkage_wall_sec",
         "value": round(t_link, 3),
         "unit": "sec",
+        "linkage_runs_sec": runs_sec,          # sorted: [min, median, max]
         "stages": out.get("timings", {}),
         "queries": queries,
         "sf": os.path.basename(os.path.normpath(sf_dir)),
@@ -247,6 +265,8 @@ def main() -> None:
             "sf": r_lo["sf"],
         }))
         return
+    if "--once" in sys.argv:
+        os.environ["GRAFT_BENCH_ONCE"] = "1"
     ncpu = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
     print(json.dumps(run_bench(sf_dir, ncpu)))
 

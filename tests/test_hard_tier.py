@@ -211,3 +211,30 @@ def test_norm_pairs_driver_matches_distributed(ray_session, tmp_path_factory):
     dist = run(replace(cfg, norm_pairs_driver_max_rows=0))
     pd.testing.assert_frame_equal(local, dist)
     assert len(local) > 0
+
+
+def test_fitted_weights_match_hand_tuned_f1(hard_run):
+    """A5 learned-ranker e2e: weights fitted from the labels + scored
+    pairs (fusion.fit_config) must reach the same F1 gate as the
+    hand-tuned defaults on the adversarial tier."""
+    import ray.data as rd
+
+    from wned_ray.functions.fusion import fit_config
+    from wned_ray.pipelines.link import run_linkage
+    from wned_ray.stages.evaluate import pairwise_metrics
+
+    corpus, cfg, result = hard_run
+    labels_df = rd.read_parquet(corpus["labels"]).to_pandas()
+    scores_df = result["scores"].to_pandas()
+    fitted = fit_config(scores_df, labels_df, cfg)
+    assert fitted.rank_scheme == "LINEAR"
+
+    refit = run_linkage(corpus["transcripts"], corpus["aliases"],
+                        corpus["graph_edges"], fitted,
+                        redirects_path=corpus["redirects"])
+    m = pairwise_metrics(rd.read_parquet(corpus["labels"]),
+                         refit["clusters"])
+    assert m["micro_f1"] >= 0.99, (m, {"prior": fitted.prior_weight,
+                                       "local": fitted.local_weight,
+                                       "name": fitted.name_weight,
+                                       "thr": fitted.match_threshold})

@@ -54,6 +54,67 @@ def fuse(scheme: str, prior: np.ndarray, local: np.ndarray, sem: np.ndarray,
     return (1.0 - name_weight) * base + name_weight * name_sim
 
 
+def fit_weights(features: np.ndarray, is_match: np.ndarray):
+    """Fit the LINEAR fusion weights from labeled pairs (the A5 learned-
+    ranker tail — the reference trains a RankLib model offline and takes
+    argmax at inference, ``…/disambiguation/L2RPredictor.java:43-62``;
+    the pairwise graft's analog is a least-squares fit of the 4-feature
+    score onto is_match, projected onto the fusion form's simplex).
+
+    ``features``: [n, 4] columns (prior, local, sem, name_sim);
+    ``is_match``: [n] bool/0-1. Returns (prior_weight, local_weight,
+    name_weight, match_threshold) for ``PipelineConfig`` — the fused
+    LINEAR score under these knobs equals the normalized fitted weights:
+      score = (1-nw)*(a*prior + b*local + (1-a-b)*sem) + nw*name
+    with nw=w_name, a=w_prior/(1-nw), b=w_local/(1-nw). The threshold is
+    the F1-maximizing cut on the training pairs (vectorized sweep)."""
+    X = np.column_stack([features.astype(np.float64),
+                         np.ones(len(features))])
+    y = is_match.astype(np.float64)
+    w, *_ = np.linalg.lstsq(X, y, rcond=None)
+    w4 = np.clip(w[:4], 0.0, None)
+    if w4.sum() <= 0:                      # degenerate: fall back to name
+        w4 = np.array([0.0, 0.0, 0.0, 1.0])
+    w4 = w4 / w4.sum()
+    nw = float(w4[3])
+    rest = max(1.0 - nw, 1e-12)
+    a, b = float(w4[0] / rest), float(w4[1] / rest)
+
+    fused = fuse("LINEAR", features[:, 0], features[:, 1], features[:, 2],
+                 features[:, 3], a, b, nw)
+    order = np.argsort(-fused, kind="stable")
+    ys = y[order]
+    tp = np.cumsum(ys)
+    fp = np.cumsum(1.0 - ys)
+    pos = ys.sum()
+    f1 = 2 * tp / np.maximum(2 * tp + fp + (pos - tp), 1e-12)
+    best = int(np.argmax(f1))
+    s_sorted = fused[order]
+    hi = s_sorted[best]
+    lo = s_sorted[best + 1] if best + 1 < len(s_sorted) else hi - 1e-6
+    threshold = float((hi + lo) / 2.0)
+    return a, b, nw, threshold
+
+
+def fit_config(scores_df, labels_df, cfg):
+    """Join scored pairs to gold labels on the canonical (id_a, id_b)
+    key and fit a LINEAR PipelineConfig (fit_weights docstring). Driver-
+    side by design: the labels table is an evaluation fixture (small);
+    pass pandas frames (``Dataset.to_pandas()`` of the scores intersect
+    is caller's choice of sample)."""
+    from dataclasses import replace
+
+    d = labels_df.merge(
+        scores_df[["id_a", "id_b", "prior", "local", "sem_sim", "name_sim"]],
+        on=["id_a", "id_b"], how="inner")
+    if not len(d):
+        raise ValueError("no labeled pairs intersect the scored pairs")
+    feats = d[["prior", "local", "sem_sim", "name_sim"]].to_numpy()
+    a, b, nw, thr = fit_weights(feats, d["is_match"].to_numpy())
+    return replace(cfg, rank_scheme="LINEAR", prior_weight=a,
+                   local_weight=b, name_weight=nw, match_threshold=thr)
+
+
 def normalize_columns(features: np.ndarray) -> np.ndarray:
     """Sum-normalize each feature column (SemanticSignatureEL.
     normalizeFeatures:725-744): each column is divided by its sum when > 0."""
