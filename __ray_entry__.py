@@ -1085,6 +1085,58 @@ def _q_media_features(sf_dir: str):
     return out.select_columns(["media_id", "kind", "feature_dim"])
 
 
+def _q_media_wav_features(sf_dir: str):
+    """REAL multimodal decode (not the fake path): synthesize a
+    deterministic per-doc WAV payload (stdlib wave; tone frequency keyed
+    by doc_id) and extract physical audio features — duration, rate,
+    RMS, peak, zero-crossing rate — through the actor-pool stage with
+    fake=False."""
+    import io
+    import wave
+
+    import numpy as np
+    import pyarrow as pa
+
+    from wned_ray.pipelines.datawork import decode_media
+
+    ds = _rd().read_parquet(f"{sf_dir}/documents.parquet",
+                            columns=["doc_id"])
+
+    def to_wav(batch: pa.Table) -> pa.Table:
+        payloads = []
+        for did in batch["doc_id"].to_pylist():
+            sr = 4000
+            freq = 200 + (int(did) % 17) * 50
+            t = np.arange(sr // 4) / sr           # 0.25 s tone
+            pcm = (np.sin(2 * np.pi * freq * t) * 16383).astype(np.int16)
+            buf = io.BytesIO()
+            with wave.open(buf, "wb") as w:
+                w.setnchannels(1)
+                w.setsampwidth(2)
+                w.setframerate(sr)
+                w.writeframes(pcm.tobytes())
+            payloads.append(buf.getvalue())
+        return pa.table({"media_id": batch["doc_id"],
+                         "payload": pa.array(payloads, pa.binary()),
+                         "kind": pa.array(["audio"] * batch.num_rows)})
+
+    media = ds.map_batches(to_wav, batch_format="pyarrow")
+    out = decode_media(media, feature_dim=8, fake=False)
+
+    def project(batch):
+        import pandas as pd
+
+        f = np.stack([np.asarray(x) for x in batch["features"]])
+        return pd.DataFrame({
+            "media_id": batch["media_id"],
+            "duration_e3": np.round(f[:, 0] * 1000).astype("int64"),
+            "rms_e4": np.round(f[:, 3] * 10000).astype("int64"),
+            "zcr_e4": np.round(f[:, 5] * 10000).astype("int64"),
+        })
+
+    return out.map_batches(project, batch_format="pandas")
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # relational / operator coverage (SQL-checked)
@@ -1141,6 +1193,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_id_docs": _q_lang_id,
         "embedding_near_dup": _q_embedding_near_dup,
         "media_features": _q_media_features,
+        "media_wav_features": _q_media_wav_features,
     }
 
 

@@ -127,10 +127,61 @@ def test_multimodal_stub_plumbing(ray_session):
     out2 = decode_media(ds, feature_dim=4).to_pandas()
     assert out.sort_values("media_id")["features"].tolist() == \
         out2.sort_values("media_id")["features"].tolist()
-    # the real decode path is explicitly stubbed
+    # codec-library formats remain explicitly stubbed
     stub = MultimodalDecodeStub(fake=False)
     with pytest.raises(NotImplementedError):
         stub.decode_payload(b"\x89PNG")
+
+
+def test_multimodal_real_wav_and_ppm_decode(ray_session):
+    """The REAL decode paths (round-2 VERDICT task 7): stdlib WAV and
+    binary PPM payloads produce verifiable physical features, and run
+    end-to-end through the actor-pool stage with fake=False."""
+    import io
+    import wave
+
+    import ray.data as rd
+
+    from wned_ray.pipelines.datawork import MultimodalDecodeStub, decode_media
+
+    # 1 second of a 440 Hz sine at 8 kHz mono, int16 full scale * 0.5
+    sr, amp = 8000, 0.5
+    t = np.arange(sr) / sr
+    pcm = (np.sin(2 * np.pi * 440 * t) * amp * 32767).astype(np.int16)
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(sr)
+        w.writeframes(pcm.tobytes())
+    wav_payload = buf.getvalue()
+
+    stub = MultimodalDecodeStub(feature_dim=8, fake=False)
+    f = stub.decode_payload(wav_payload)
+    assert abs(f[0] - 1.0) < 1e-3               # duration 1 s
+    assert abs(f[3] - amp / np.sqrt(2)) < 0.01  # sine RMS = A/sqrt(2)
+    assert abs(f[4] - amp) < 0.01               # peak = A
+    assert 0.05 < f[5] < 0.2                    # zcr ~ 2*440/8000 = 0.11
+
+    # 2x2 pure-red PPM (P6), maxval 255
+    ppm_payload = b"P6\n2 2\n255\n" + bytes([255, 0, 0] * 4)
+    g = stub.decode_payload(ppm_payload)
+    assert g[2] == 3.0                          # channels
+    assert abs(g[3] - 1.0) < 1e-6               # mean R
+    assert g[4] == 0.0 and g[5] == 0.0          # mean G, B
+
+    # PGM (P5) with a comment line in the header
+    pgm = b"P5\n# a comment\n2 1\n255\n" + bytes([0, 255])
+    h = stub.decode_payload(pgm)
+    assert h[2] == 1.0 and abs(h[3] - 0.5) < 1e-6
+
+    # end-to-end through the actor pool with the REAL path only
+    ds = rd.from_items([
+        {"media_id": 0, "payload": wav_payload, "kind": "audio"},
+        {"media_id": 1, "payload": ppm_payload, "kind": "image"},
+    ])
+    out = decode_media(ds, feature_dim=8, fake=False).to_pandas()
+    assert len(out) == 2 and all(len(x) == 8 for x in out["features"])
 
 
 def test_idf_and_tfidf_top_terms(ray_session):

@@ -106,3 +106,21 @@ def test_resume_from_checkpoint(ray_session, t1_corpus, tmp_path):
     # manifests exist for every checkpointed stage
     for stage in ["blocking", "scores", "clusters"]:
         assert os.path.exists(os.path.join(ckpt, stage, "_MANIFEST.json")), stage
+    # per-partition metrics ride the manifests (north_rule): every scores
+    # partition carries pair/matched counts, every clusters partition
+    # carries mention/singleton counts, and the stage rollup agrees
+    import json
+
+    with open(os.path.join(ckpt, "scores", "_MANIFEST.json")) as f:
+        sm = json.load(f)
+    assert sm["partitions"] and all(
+        "pairs" in p["metrics"] and "matched" in p["metrics"]
+        for p in sm["partitions"])
+    assert sm["metrics"]["pairs"] == sum(
+        p["metrics"]["pairs"] for p in sm["partitions"])
+    assert sm["metrics"]["matched"] > 0
+
+    with open(os.path.join(ckpt, "clusters", "_MANIFEST.json")) as f:
+        cm = json.load(f)
+    assert cm["metrics"]["mentions"] == len(c1)
+    assert all("singletons" in p["metrics"] for p in cm["partitions"])

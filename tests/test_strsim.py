@@ -117,3 +117,46 @@ def test_abbrev_sim_orders():
     assert scrambled == 1.0      # letter-sorted comparison is order-free
     assert wrong < exact
     assert abbrev_sim("", "Whatever Name") == 0.0
+
+
+def test_soft_tfidf_batch_matches_scalar_fuzz():
+    """Fuzz: batch SoftTFIDF agrees with the scalar on random multi-token
+    strings, with and without an IDF table."""
+    import numpy as np
+
+    from wned_ray.functions.strsim import soft_tfidf_batch, soft_tfidf_scalar
+
+    rng = np.random.default_rng(17)
+    vocab = ["varquo", "sotanor", "kipenik", "inc", "dr", "gul", "morrin",
+             "sotnor", "v", ""]
+    pairs = []
+    for _ in range(200):
+        na, nb = rng.integers(0, 4), rng.integers(0, 4)
+        a = " ".join(rng.choice(vocab, na))
+        b = " ".join(rng.choice(vocab, nb))
+        pairs.append((a, b))
+    pairs += [("", ""), ("varquo", ""), ("", "varquo"),
+              ("varquo sotanor", "sotanor varquo"),
+              ("varquo varquo", "varquo")]
+    a = np.array([p[0] for p in pairs], object)
+    b = np.array([p[1] for p in pairs], object)
+    idf = {"varquo": 2.0, "sotanor": 3.0, "inc": 0.1}
+    for table in (None, idf):
+        got = soft_tfidf_batch(a, b, idf=table)
+        want = np.array([soft_tfidf_scalar(x, y, idf=table)
+                         for x, y in pairs])
+        assert np.allclose(got, want), np.abs(got - want).max()
+
+
+def test_soft_tfidf_reorder_beats_jw():
+    """The motivating case: token reorder is identity for SoftTFIDF but
+    poison for char-level JW."""
+    import numpy as np
+
+    from wned_ray.functions.strsim import (jaro_winkler_batch,
+                                           soft_tfidf_batch)
+
+    a = np.array(["varquo sotanor holdings international"], object)
+    b = np.array(["international holdings sotanor varquo"], object)
+    assert soft_tfidf_batch(a, b)[0] == 1.0
+    assert jaro_winkler_batch(a, b)[0] < soft_tfidf_batch(a, b)[0]

@@ -104,6 +104,12 @@ class PipelineConfig:
 
     # --- feature fusion (K10) + match decision (K12 analog) ---
     rank_scheme: str = "LINEAR"
+    # name-similarity kernel for the pair scorer's name_sim feature:
+    # "jw" (Jaro-Winkler, the default re-ranker the reference unions,
+    # AliasLuceneIndex.java:381-404) or "soft_tfidf" (the SoftTFIDF
+    # re-ranker, StringSim.java:111-115 — better on multi-token surfaces
+    # with reordered/extra tokens; uniform token weights, theta=0.8)
+    name_sim_kernel: str = "jw"
     # NOTE on defaults: the reference's el.config ships priorWeight=0.08 /
     # localWeight=0.10, which weights semSim 0.82 — right for ranking
     # candidates of ONE mention (semantic context picks among same-name
@@ -168,6 +174,8 @@ class PipelineConfig:
             raise ValueError(f"rank_scheme must be one of {RANK_SCHEMES}")
         if self.pair_mode not in ("star", "all"):
             raise ValueError("pair_mode must be 'star' or 'all'")
+        if self.name_sim_kernel not in ("jw", "soft_tfidf"):
+            raise ValueError("name_sim_kernel must be 'jw' or 'soft_tfidf'")
         if self.num_perm % self.band_rows != 0:
             raise ValueError("num_perm must be divisible by band_rows")
         if not (0.0 < self.ppr_alpha < 1.0):

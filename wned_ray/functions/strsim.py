@@ -314,6 +314,57 @@ def soft_tfidf_scalar(s: str, t: str, theta: float = 0.8,
     return min(score, 1.0)
 
 
+def soft_tfidf_batch(a: np.ndarray, b: np.ndarray, theta: float = 0.8,
+                     idf: "dict[str, float] | None" = None) -> np.ndarray:
+    """Batch SoftTFIDF over aligned string arrays — exact semantics of
+    ``soft_tfidf_scalar`` (unique-token weight vectors, best inner-JW
+    match per s-token, theta gate), with ALL cross-token Jaro-Winkler
+    computed in ONE flattened ``jaro_winkler_batch`` call (the same
+    flatten-then-slice shape as ``monge_elkan_batch``)."""
+    n = len(a)
+    out = np.zeros(n)
+    flat_a: list[str] = []
+    flat_b: list[str] = []
+    metas: list[tuple[int, list, np.ndarray, list, np.ndarray]] = []
+    for i in range(n):
+        ws, wt = a[i].split(), b[i].split()
+        if not ws or not wt:
+            out[i] = 1.0 if not ws and not wt else 0.0
+            metas.append((len(flat_a), [], np.zeros(0), [], np.zeros(0)))
+            continue
+
+        def weights(tokens):
+            w: dict[str, float] = {}
+            for tok in tokens:
+                w[tok] = w.get(tok, 0.0) + ((idf or {}).get(tok, 1.0))
+            keys = list(w)
+            vals = np.array([w[k] for k in keys])
+            norm = float(np.sqrt((vals * vals).sum()))
+            return keys, (vals / norm if norm else vals)
+
+        ka, va = weights(ws)
+        kb, vb = weights(wt)
+        metas.append((len(flat_a), ka, va, kb, vb))
+        for x in ka:
+            for y in kb:
+                flat_a.append(x)
+                flat_b.append(y)
+    if flat_a:
+        sims = jaro_winkler_batch(np.asarray(flat_a, object),
+                                  np.asarray(flat_b, object))
+    for i, (start, ka, va, kb, vb) in enumerate(metas):
+        if not ka:
+            continue
+        block = sims[start:start + len(ka) * len(kb)].reshape(len(ka),
+                                                              len(kb))
+        best = block.argmax(axis=1)
+        best_sim = block[np.arange(len(ka)), best]
+        ok = best_sim >= theta
+        out[i] = min(float((va[ok] * vb[best[ok]] * best_sim[ok]).sum()),
+                     1.0)
+    return out
+
+
 def lcs_length_scalar(s: str, t: str) -> int:
     """Longest common substring *length* (StringSim.lcs_distance:136-160 —
     the reference returns the raw length, unnormalized)."""

@@ -1314,23 +1314,104 @@ def fingerprint(ds, id_col: str, text_col: str = "text", k: int = 8,
 class MultimodalDecodeStub:
     """Actor-pool stage for opaque binary media columns.
 
-    The real decode (image resize / audio resample / frame sampling) needs
-    libs not present in this container — ``decode_payload`` raises
-    NotImplementedError unless ``fake=True``, in which case a
-    deterministic fake feature vector (hash-seeded) is produced so the
-    Ray-side plumbing (schema, batch size, actor signature, output
-    layout) is real and testable.
+    REAL decode paths exist for two container-format-free cases
+    (round-2 VERDICT task 7):
+
+    - WAV (RIFF/WAVE) via the stdlib ``wave`` module: duration, sample
+      rate, channels, RMS, peak, zero-crossing rate, mean, std over the
+      normalized PCM samples;
+    - PNM images (binary PGM ``P5`` / PPM ``P6``): width, height and
+      per-channel mean / std over the normalized pixels.
+
+    Everything else (PNG/JPEG/MP4/...) needs codec libraries not present
+    in this container — ``decode_payload`` raises NotImplementedError
+    for those unless ``fake=True``, in which case a deterministic
+    hash-seeded fake vector keeps the Ray-side plumbing (schema, batch
+    size, actor signature, output layout) real and testable.
+
+    The per-row decode loop is inherent (variable-size binary payloads);
+    the interiors are numpy over the decoded samples/pixels — the
+    actor-pool ``map_batches`` contract for stateful media stages.
     """
 
     def __init__(self, feature_dim: int = 8, fake: bool = True):
         self.dim = feature_dim
         self.fake = fake
 
+    def _pad(self, vals: "list[float]") -> np.ndarray:
+        out = np.zeros(self.dim, np.float32)
+        v = np.asarray(vals[: self.dim], np.float32)
+        out[: len(v)] = v
+        return out
+
+    def _wav_features(self, payload: bytes) -> np.ndarray:
+        import io
+        import wave
+
+        with wave.open(io.BytesIO(payload), "rb") as w:
+            nch = w.getnchannels()
+            sw = w.getsampwidth()
+            fr = w.getframerate()
+            nf = w.getnframes()
+            raw = w.readframes(nf)
+        dtype = {1: np.uint8, 2: np.int16, 4: np.int32}.get(sw)
+        if dtype is None:
+            raise NotImplementedError(f"WAV sample width {sw} unsupported")
+        x = np.frombuffer(raw, dtype).astype(np.float64)
+        if sw == 1:
+            x = x - 128.0
+        x = x / float(1 << (8 * sw - 1))
+        if not len(x):
+            x = np.zeros(1)
+        zcr = float((np.signbit(x[1:]) != np.signbit(x[:-1])).mean()) \
+            if len(x) > 1 else 0.0
+        return self._pad([
+            nf / max(fr, 1),                 # duration sec
+            fr / 48_000.0, float(nch),
+            float(np.sqrt((x * x).mean())),  # RMS
+            float(np.abs(x).max()), zcr,
+            float(x.mean()), float(x.std()),
+        ])
+
+    def _pnm_features(self, payload: bytes) -> np.ndarray:
+        # binary PGM (P5, 1 channel) / PPM (P6, 3 channels); header =
+        # magic, width, height, maxval as whitespace-separated tokens
+        # (comment lines starting '#' allowed), then raw pixel bytes
+        toks: list[bytes] = []
+        i = 2
+        while len(toks) < 3 and i < len(payload):
+            while i < len(payload) and payload[i: i + 1].isspace():
+                i += 1
+            if payload[i: i + 1] == b"#":
+                while i < len(payload) and payload[i: i + 1] != b"\n":
+                    i += 1
+                continue
+            j = i
+            while j < len(payload) and not payload[j: j + 1].isspace():
+                j += 1
+            toks.append(payload[i:j])
+            i = j
+        i += 1                                # single whitespace after maxval
+        width, height, maxval = (int(t) for t in toks)
+        nch = 3 if payload[:2] == b"P6" else 1
+        n = width * height * nch
+        px = np.frombuffer(payload, np.uint8, count=n, offset=i)
+        px = px.reshape(-1, nch).astype(np.float64) / max(maxval, 1)
+        feats = [width / 1000.0, height / 1000.0, float(nch)]
+        feats += [float(m) for m in px.mean(axis=0)]
+        feats += [float(s) for s in px.std(axis=0)]
+        return self._pad(feats)
+
     def decode_payload(self, payload: bytes) -> np.ndarray:
+        if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+            return self._wav_features(payload)
+        if payload[:2] in (b"P5", b"P6"):
+            return self._pnm_features(payload)
         if not self.fake:
             raise NotImplementedError(
-                "media decoding requires image/audio libraries not present "
-                "in this environment; run with fake=True for plumbing tests")
+                "only WAV and binary PGM/PPM decode without codec "
+                "libraries; run with fake=True for plumbing tests of "
+                "other formats")
         rng = np.random.default_rng(
             np.frombuffer(payload[:8].ljust(8, b"\0"), np.uint64)[0])
         return rng.random(self.dim, dtype=np.float32)

@@ -94,6 +94,33 @@ def run_linkage(transcripts_path: str, aliases_path: str,
 
     timings: dict[str, float] = {}
 
+    # Per-partition manifest metrics (north_rule: per-partition pair /
+    # score / cluster metrics ride the lineage manifests). Computed from
+    # a slim column re-read of each written part file — never a second
+    # full pass over the stage output.
+    def _scores_metrics(t) -> dict:
+        import pyarrow.compute as pc
+
+        n = t.num_rows
+        matched = int(pc.sum(pc.cast(t["matched"], pa.int64())).as_py() or 0)
+        return {"pairs": n, "matched": matched,
+                "matched_rate": round(matched / n, 6) if n else 0.0}
+
+    def _clusters_metrics(t) -> dict:
+        import pyarrow.compute as pc
+
+        n = t.num_rows
+        singles = int(pc.sum(pc.cast(
+            pc.equal(t["mention_id"], t["cluster_id"]),
+            pa.int64())).as_py() or 0)
+        return {"mentions": n, "singletons": singles,
+                "matched_mentions": n - singles}
+
+    stage_metrics = {
+        "scores": (_scores_metrics, ["matched"]),
+        "clusters": (_clusters_metrics, ["mention_id", "cluster_id"]),
+    }
+
     def persist(factory, stage):
         """Pin a fan-out point: Parquet checkpoint when ckpt_dir is set
         (disk, resumable), else object-store materialize (spillable).
@@ -106,9 +133,11 @@ def run_linkage(transcripts_path: str, aliases_path: str,
 
         t0 = time.time()
         if ckpt:
+            pm, cols = stage_metrics.get(stage, (None, None))
             out = checkpoint_dataset(
                 factory, stage=stage, ckpt_dir=ckpt,
-                fingerprint=lineage_fingerprint(base_fp, stage))
+                fingerprint=lineage_fingerprint(base_fp, stage),
+                partition_metrics=pm, metrics_columns=cols)
         else:
             out = factory().materialize()
         timings[stage] = round(time.time() - t0, 2)

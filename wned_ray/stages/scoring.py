@@ -222,7 +222,12 @@ class NormPairScorer:
     def __call__(self, batch: pa.Table) -> pa.Table:
         norm_a = np.asarray(batch["norm_a"].to_pylist(), dtype=object)
         norm_b = np.asarray(batch["norm_b"].to_pylist(), dtype=object)
-        name_sim = jaro_winkler_batch(norm_a, norm_b)
+        if self.cfg.name_sim_kernel == "soft_tfidf":
+            from wned_ray.functions.strsim import soft_tfidf_batch
+
+            name_sim = soft_tfidf_batch(norm_a, norm_b)
+        else:
+            name_sim = jaro_winkler_batch(norm_a, norm_b)
         lev_sim = levenshtein_sim_batch(norm_a, norm_b)
         ia = self.alias_index.get_indexer(norm_a)
         ib = self.alias_index.get_indexer(norm_b)

@@ -66,10 +66,19 @@ def read_manifest(ckpt_dir: str, stage: str) -> dict[str, Any] | None:
 
 def checkpoint_dataset(ds_factory: Callable[[], "Any"], *, stage: str,
                        ckpt_dir: str | None, fingerprint: str,
-                       metrics: dict[str, Any] | None = None) -> "Any":
+                       metrics: dict[str, Any] | None = None,
+                       partition_metrics: "Callable[[Any], dict] | None" = None,
+                       metrics_columns: "list[str] | None" = None) -> "Any":
     """Materialize ``ds_factory()`` to a per-stage Parquet checkpoint and
     return a Dataset streaming from it; skip recompute when a complete
     manifest with the same lineage fingerprint exists.
+
+    ``partition_metrics`` (north_rule: per-partition pair/score/cluster
+    metrics in the lineage manifest): a callable applied to each written
+    part file — only ``metrics_columns`` are read back, so the pass
+    costs one slim column scan, not a second full write-size read. Its
+    dict lands in that partition's manifest entry, and numeric values
+    are summed into a stage-level ``metrics`` rollup.
 
     With ``ckpt_dir=None`` the factory's Dataset is returned untouched
     (fully streaming, no checkpoint).
@@ -94,13 +103,22 @@ def checkpoint_dataset(ds_factory: Callable[[], "Any"], *, stage: str,
     import pyarrow.parquet as pq
 
     partitions = []
+    rollup: dict[str, float] = {}
     for f in files:
         md = pq.read_metadata(f)
-        partitions.append({
+        entry = {
             "file": os.path.basename(f),
             "rows": md.num_rows,
             "bytes": os.path.getsize(f),
-        })
+        }
+        if partition_metrics is not None:
+            t = pq.read_table(f, columns=metrics_columns)
+            pm = partition_metrics(t)
+            entry["metrics"] = pm
+            for k, v in pm.items():
+                if isinstance(v, (int, float)) and not isinstance(v, bool):
+                    rollup[k] = rollup.get(k, 0) + v
+        partitions.append(entry)
     rows = sum(p["rows"] for p in partitions)
     man = {
         "stage": stage,
@@ -110,7 +128,7 @@ def checkpoint_dataset(ds_factory: Callable[[], "Any"], *, stage: str,
         "num_files": len(files),
         "written_at": time.strftime("%Y-%m-%dT%H:%M:%S"),
         "partitions": partitions,       # per-partition lineage + metrics
-        "metrics": metrics or {},
+        "metrics": {**rollup, **(metrics or {})},
     }
     with open(manifest_path(ckpt_dir, stage), "w") as f:
         json.dump(man, f, indent=2)
