@@ -41,3 +41,20 @@ def test_zero_kl_reference_semantics():
 def test_sem_sim_bounds():
     assert sem_sim_from_kl(0.0) == 1.0
     assert 0 < sem_sim_from_kl(100.0) < 0.01 + 1e-9
+
+
+def test_sparse_cosine_batch_arrow_matches_object():
+    """Arrow entry (zero-copy) and object-array entry agree exactly."""
+    import numpy as np
+    import pyarrow as pa
+
+    from wned_ray.functions.vectorsim import sparse_cosine_batch
+
+    a = ["check status update", "", "ledger orbit", "a a b", "x"]
+    b = ["status check done", "x", "ledger orbit", "a b b", ""]
+    obj = sparse_cosine_batch(np.asarray(a, object), np.asarray(b, object))
+    arr = sparse_cosine_batch(pa.array(a), pa.array(b))
+    chk = sparse_cosine_batch(
+        pa.chunked_array([pa.array(a[:2]), pa.array(a[2:])]),
+        pa.chunked_array([pa.array(b[:3]), pa.array(b[3:])]))
+    assert np.allclose(obj, arr) and np.allclose(obj, chk)

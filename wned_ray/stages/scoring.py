@@ -264,9 +264,9 @@ def score_norm_pairs(norm_pairs_ds, alias_ref, graph_ref, cfg: PipelineConfig):
 
 
 def _finalize_batch(batch: pa.Table, cfg: PipelineConfig) -> pa.Table:
-    ctx_a = np.asarray(batch["ctx_a"].to_pylist(), dtype=object)
-    ctx_b = np.asarray(batch["ctx_b"].to_pylist(), dtype=object)
-    local = sparse_cosine_batch(ctx_a, ctx_b)
+    # Arrow columns go straight into the cosine kernel — no to_pylist of
+    # the batch's two heaviest columns on the mention-pair hot path
+    local = sparse_cosine_batch(batch["ctx_a"], batch["ctx_b"])
     prior = batch["prior"].to_numpy(zero_copy_only=False)
     sem = batch["sem_sim"].to_numpy(zero_copy_only=False)
     name_sim = batch["name_sim"].to_numpy(zero_copy_only=False)
