@@ -1015,6 +1015,17 @@ def _q_simhash(sf_dir: str):
     return simhash(ds, id_col="doc_id")
 
 
+def _q_simhash_dups(sf_dir: str):
+    """Banded simhash near-dup pairs (Manku-style, Hamming <= 3) — the
+    band groupby/join on simhash-derived keys is the caller shape the
+    int63 key masking exists for."""
+    from wned_ray.pipelines.datawork import simhash_near_dup
+
+    ds = _rd().read_parquet(f"{sf_dir}/documents.parquet",
+                            columns=["doc_id", "text"])
+    return simhash_near_dup(ds, id_col="doc_id")
+
+
 def _q_fingerprint(sf_dir: str):
     from wned_ray.pipelines.datawork import fingerprint
 
@@ -1194,6 +1205,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_near_dup": _q_embedding_near_dup,
         "media_features": _q_media_features,
         "media_wav_features": _q_media_wav_features,
+        "simhash_near_dup": _q_simhash_dups,
     }
 
 

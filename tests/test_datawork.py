@@ -822,3 +822,31 @@ def test_rollup_aggregate_matches_duckdb(ray_session):
     assert np.allclose(out["sum_value"], want["sum_value"])
     assert (out["event_type"].isna() == want["event_type"].isna()).all()
     assert (out["user_id"].isna() == want["user_id"].isna()).all()
+
+
+def test_simhash_near_dup(ray_session):
+    """Banded simhash near-dup (Manku-style): exact and one-word-changed
+    duplicates pair with small Hamming distance; unrelated docs do not.
+    Also exercises groupby/join on simhash-derived keys — the int63
+    masking's reason to exist."""
+    import ray.data as rd
+
+    from wned_ray.pipelines.datawork import simhash_near_dup
+
+    base = ("the quick brown fox jumps over the lazy dog near the river "
+            "bank while the miller watches the water wheel turn slowly "
+            ) * 10                                   # long doc: one changed
+    near = base.replace("miller", "sailor", 1)       # token flips few bits
+    rows = [{"doc_id": 0, "text": base},
+            {"doc_id": 1, "text": base},                     # exact dup
+            {"doc_id": 2, "text": near},                     # near dup
+            {"doc_id": 3, "text": "completely different content here now "
+                                  "about orbital mechanics and cheese"},
+            {"doc_id": 4, "text": "another unrelated document body text "
+                                  "regarding harvest yields this season"}]
+    out = (simhash_near_dup(rd.from_items(rows), id_col="doc_id")
+           .to_pandas().sort_values(["id_a", "id_b"]).reset_index(drop=True))
+    got = dict(zip(zip(out["id_a"], out["id_b"]), out["hamming"]))
+    assert got.get((0, 1)) == 0                      # exact dup: hamming 0
+    assert (0, 2) in got and got[(0, 2)] <= 3        # near dup within radius
+    assert not any(3 in p or 4 in p for p in got)    # unrelated stay out

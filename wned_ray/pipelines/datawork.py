@@ -235,6 +235,73 @@ def simhash(ds, id_col: str, text_col: str = "text", seed: int = 42):
     return ds.map_batches(sh, batch_format="pyarrow")
 
 
+def simhash_near_dup(ds, id_col: str, text_col: str = "text",
+                     seed: int = 42, n_bands: int = 4, max_hamming: int = 3,
+                     max_block: int = 256, num_partitions: int = 8):
+    """SimHash near-duplicate pairs, banded (Manku et al., WWW'07
+    "Detecting Near-Duplicates for Web Crawling" — the public simhash
+    dedup recipe): two documents within ``max_hamming`` of each other on
+    the 63-bit simhash must agree EXACTLY on at least one of ``n_bands``
+    16-bit bands (pigeonhole, for max_hamming < n_bands), so candidates
+    come from per-band bucket groupbys and an exact vectorized popcount
+    verify prunes them. The band groupby/join on derived int63 keys is
+    the usage class the simhash int63 masking exists for.
+
+    Same skew discipline as minhash_candidates: hot bands (boilerplate
+    sign patterns) are dropped by a bounded pre-count, residual fan-out
+    is cap^2 per bucket. Returns (id_a, id_b, hamming), canonical
+    id_a < id_b, deduped across bands."""
+    from ray.data.aggregate import Min
+
+    from wned_ray.functions.minhash import mix_band
+    from wned_ray.stages.pairs import _drop_hot
+    from wned_ray.util import safe_partitions
+
+    keys = simhash(ds, id_col=id_col, text_col=text_col, seed=seed)
+
+    def explode(batch: pa.Table) -> pa.Table:
+        k = batch["simhash"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        parts = []
+        for b in range(n_bands):
+            band_val = (k >> np.uint64(16 * b)) & np.uint64(0xFFFF)
+            bk = mix_band(np.uint64(b + 1), band_val)
+            parts.append(pa.table({
+                id_col: batch[id_col], "simhash": batch["simhash"],
+                "block_key": pa.array(bk, pa.int64())}))
+        return pa.concat_tables(parts)
+
+    exploded = keys.map_batches(explode, batch_format="pyarrow").materialize()
+    num_partitions = safe_partitions(num_partitions, rows=exploded.count())
+    hot = _hot_keys_bounded(exploded, "block_key", max_block)
+    if hot:
+        exploded = exploded.map_batches(_drop_hot(hot),
+                                        batch_format="pyarrow")
+
+    left = exploded.rename_columns({id_col: "id_a", "simhash": "sh_a"})
+    right = exploded.rename_columns({id_col: "id_b", "simhash": "sh_b"})
+    joined = left.join(right, join_type="inner",
+                       num_partitions=num_partitions, on=("block_key",))
+
+    def verify(batch: pa.Table) -> pa.Table:
+        keep = pc.less(batch["id_a"], batch["id_b"])
+        b = batch.filter(keep)
+        if b.num_rows == 0:
+            return pa.table({"id_a": b["id_a"], "id_b": b["id_b"],
+                             "hamming": pa.array([], pa.int64())})
+        x = (b["sh_a"].to_numpy(zero_copy_only=False).astype(np.uint64)
+             ^ b["sh_b"].to_numpy(zero_copy_only=False).astype(np.uint64))
+        ham = np.unpackbits(x.view(np.uint8)).reshape(len(x), 64).sum(axis=1)
+        t = pa.table({"id_a": b["id_a"], "id_b": b["id_b"],
+                      "hamming": pa.array(ham.astype(np.int64))})
+        return t.filter(pc.less_equal(t["hamming"], max_hamming))
+
+    # cross-band dedup: a pair agreeing on several bands collides several
+    # times — groupby-min keeps one row (same shape as the LSH pair dedup)
+    return (joined.map_batches(verify, batch_format="pyarrow")
+            .groupby(["id_a", "id_b"])
+            .aggregate(Min("hamming", alias_name="hamming")))
+
+
 # --------------------------------------------------------- embedding near-dup
 
 class EmbeddingKNN:
