@@ -749,6 +749,31 @@ def _q_er_resolve_prior_vs_full(sf_dir: str):
     }])
 
 
+def _q_er_fit_weights(sf_dir: str):
+    """A5 learned ranker through the driver: fit the LINEAR fusion
+    weights + threshold from the hard tier's labeled pairs x scored
+    pairs (fusion.fit_config — the L2RPredictor training analog) and
+    report them with the training-pair count. The pytest twin re-runs
+    the pipeline under the fitted config and asserts the F1 gate."""
+    import pandas as pd
+
+    from wned_ray.functions.fusion import fit_config
+
+    corpus, cfg, out = _hard_linkage()
+    labels_df = _rd().read_parquet(corpus["labels"]).to_pandas()
+    scores_df = out["scores"].to_pandas()
+    fitted = fit_config(scores_df, labels_df, cfg)
+    n = len(labels_df.merge(scores_df[["id_a", "id_b"]],
+                            on=["id_a", "id_b"]))
+    return pd.DataFrame([{
+        "train_pairs": n,
+        "prior_weight_e4": int(round(fitted.prior_weight * 10000)),
+        "local_weight_e4": int(round(fitted.local_weight * 10000)),
+        "name_weight_e4": int(round(fitted.name_weight * 10000)),
+        "threshold_e4": int(round(fitted.match_threshold * 10000)),
+    }])
+
+
 def _q_alias_redirect_resolved(sf_dir: str):
     """J6/A4: redirect composition over the alias dim table (the Ray
     Dataset twin of the dim-table path used inside run_linkage)."""
@@ -1194,6 +1219,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "er_resolve_accuracy": _q_er_resolve_accuracy,
         "er_metrics_hard": _q_er_metrics_hard,
         "er_resolve_prior_vs_full": _q_er_resolve_prior_vs_full,
+        "er_fit_weights": _q_er_fit_weights,
         "alias_redirect_resolved": _q_alias_redirect_resolved,
         "anchor_aliases": _q_anchor_aliases,
         # training-data ops (rows-only)

@@ -2,13 +2,15 @@
 
 Replicates the reference's exact semantics:
 
-- ``sparse_cosine``: the asymmetric sparse cosine of
-  ``…/utils/similarity/VectorSimilarity.java:22-43`` — the dot product is
-  accumulated over v1 ∩ v2 while norm1 is over v1's keys and norm2 over
-  v2's keys (i.e. a true cosine, but computed in that key order; the quirk
-  to preserve is that *missing keys contribute nothing to the dot but fully
-  to the norms*). Zero norms => 0 (the Java version would produce NaN; the
-  callers only feed non-empty vectors).
+- ``sparse_cosine``: the sparse cosine of
+  ``…/utils/similarity/VectorSimilarity.java:22-43``. K6 PARITY NOTE
+  (SURVEY §7 hard-part 3 flagged an "asymmetric norm quirk"): read
+  closely, the reference accumulates sum1 over v1's keys and sum2 over
+  v2's keys — i.e. BOTH full norms — and the dot over v1 ∩ v2, which IS
+  the standard symmetric cosine. This kernel is therefore exactly
+  identical to the reference, not a documented deviation; the only real
+  difference is zero-norm handling (=> 0 here; the Java version would
+  produce NaN, but its callers only feed non-empty vectors).
 - ``zero_kl_divergence``: ``VectorSimilarity.ZeroKLDivergence:87-104``:
   skip i where p_i == 0; if q_i <= 1e-6 add gamma*p_i (gamma=10), else
   p_i * log2(p_i/q_i).
