@@ -124,3 +124,43 @@ def test_resume_from_checkpoint(ray_session, t1_corpus, tmp_path):
         cm = json.load(f)
     assert cm["metrics"]["mentions"] == len(c1)
     assert all("singletons" in p["metrics"] for p in cm["partitions"])
+
+
+def test_presorted_promotion_equals_shuffle_path(ray_session, t1_corpus):
+    """cfg.presorted_conversations must produce EXACTLY the shuffle
+    path's (mention_id, norm_mention, norm_orig) — the no-shuffle
+    promotion is an optimization, never a semantics change."""
+    import ray.data as rd
+    from dataclasses import replace
+
+    from wned_ray.stages.normalize import prepare
+
+    cfg = PipelineConfig()
+    cols = ["mention_id", "norm_mention", "norm_orig"]
+
+    def run(c):
+        # narrow read blocks so conversations genuinely span blocks
+        ds = rd.read_parquet(t1_corpus["transcripts"],
+                             override_num_blocks=16)
+        return (prepare(ds, c).to_pandas()[cols]
+                .sort_values("mention_id").reset_index(drop=True))
+
+    base = run(cfg)
+    fast = run(replace(cfg, presorted_conversations=True))
+    assert base.equals(fast)
+
+
+def test_presorted_linkage_f1(ray_session, t1_corpus):
+    """Full pipeline under the presorted fast path hits the same F1."""
+    import ray.data as rd
+    from dataclasses import replace
+
+    from wned_ray.stages.evaluate import pairwise_metrics
+
+    cfg = replace(PipelineConfig(), presorted_conversations=True)
+    out = run_linkage(t1_corpus["transcripts"], t1_corpus["aliases"],
+                      t1_corpus["graph_edges"], cfg,
+                      redirects_path=t1_corpus["redirects"])
+    m = pairwise_metrics(rd.read_parquet(t1_corpus["labels"]),
+                         out["clusters"])
+    assert m["micro_f1"] >= 0.99, m

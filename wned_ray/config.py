@@ -140,6 +140,19 @@ class PipelineConfig:
                                  # memory stays bounded at the ~1e8
                                  # distinct-surfaces design point
 
+    # --- prepare stage ---
+    # Input rows of one conversation are CONTIGUOUS in file order (e.g.
+    # transcripts written sorted by (conv_id, turn_idx) — true of the
+    # synthetic corpus and of most real transcript dumps). When set, the
+    # per-conversation promotion runs BLOCK-LOCALLY: Ray Data blocks are
+    # contiguous row ranges, so any conversation that is neither the
+    # first nor the last conv of its block is complete inside it; only
+    # the ~2-convs-per-block boundary set takes the per-document shuffle.
+    # This removes the prepare stage's full-text all-to-all (its one
+    # bandwidth-bound exchange). Results are EXACTLY equal to the shuffle
+    # path (equivalence-tested); leave False when contiguity is unknown.
+    presorted_conversations: bool = False
+
     # --- pair generation ---
     # Blocking tables at or under this many exploded rows generate their
     # norm pairs on the DRIVER in one vectorized pass (profiled: the

@@ -68,7 +68,9 @@ def prepare(ds, cfg: PipelineConfig):
         out = ds.map_batches(lambda b: extract_batch(b, cfg),
                              batch_format="pyarrow")
         if cfg.coref_promote or cfg.abbrev_expand:
-            out = promote_mentions(out, cfg)
+            out = (promote_mentions_presorted(out, cfg)
+                   if cfg.presorted_conversations
+                   else promote_mentions(out, cfg))
         if cfg.global_promote:
             # materialize: global_promote consumes `out` twice (the
             # vocabulary scan and the promotion apply) — without the pin
@@ -111,7 +113,8 @@ def promote_mentions(prepared_ds, cfg: PipelineConfig):
         raw = t["mention"].to_pylist() if mine else [""] * len(norms)
         texts = t["text"].to_pylist() if mine else []
         out = promote_norms(raw, texts, norms, coref=coref, abbrev=mine)
-        t = t.append_column("norm_orig", t["norm_mention"])
+        if "norm_orig" not in t.column_names:      # presorted boundary rows
+            t = t.append_column("norm_orig", t["norm_mention"])
         if out != norms:
             t = t.set_column(t.column_names.index("norm_mention"),
                              "norm_mention", pa.array(out, pa.string()))
@@ -121,6 +124,77 @@ def promote_mentions(prepared_ds, cfg: PipelineConfig):
             .groupby("conv_id")
             .map_groups(_promote_group, batch_format="pyarrow",
                         zero_copy_batch=True))
+
+
+def promote_mentions_presorted(prepared_ds, cfg: PipelineConfig):
+    """No-shuffle per-conversation promotion for conversation-contiguous
+    inputs (``cfg.presorted_conversations``): Ray Data blocks are
+    contiguous row ranges in file order, so any conversation that is
+    neither the FIRST nor the LAST conv_id of its block is complete
+    inside the block and promotes locally; the boundary conversations
+    (~2 per block — a conv split across blocks is first-of-one and
+    last-of-the-other, so its full row set lands in the boundary subset)
+    go through the ordinary per-document shuffle. Exactly equal results
+    to ``promote_mentions`` (equivalence-tested); the full-text
+    all-to-all shrinks from |corpus| to |boundary convs|."""
+    coref, abbrev = cfg.coref_promote, cfg.abbrev_expand
+
+    def tag_and_promote(batch: pa.Table) -> pa.Table:
+        import numpy as np
+
+        from wned_ray.functions.coref import promote_norms
+
+        n = batch.num_rows
+        if n == 0:
+            return (batch
+                    .append_column("norm_orig", batch["norm_mention"])
+                    .append_column("_conv_boundary",
+                                   pa.array([], pa.bool_())))
+        conv = batch["conv_id"]
+        first, last = conv[0].as_py(), conv[n - 1].as_py()
+        is_b_arr = pc.or_(pc.equal(conv, first), pc.equal(conv, last))
+        is_b = is_b_arr.to_numpy(zero_copy_only=False)
+
+        norms = batch["norm_mention"].to_pylist()
+        mine = (abbrev and "mention" in batch.column_names
+                and "text" in batch.column_names)
+        raw = batch["mention"].to_pylist() if mine else [""] * n
+        texts = batch["text"].to_pylist() if mine else []
+        convs = np.asarray(conv.to_pylist(), dtype=object)
+        change = np.ones(n, bool)
+        change[1:] = convs[1:] != convs[:-1]
+        starts = np.flatnonzero(change)
+        ends = np.append(starts[1:], n)
+        out = list(norms)
+        for s, e in zip(starts.tolist(), ends.tolist()):
+            if is_b[s]:
+                continue                      # boundary conv: shuffled below
+            out[s:e] = promote_norms(
+                raw[s:e], texts[s:e] if mine else [], norms[s:e],
+                coref=coref, abbrev=mine)
+        t = batch.append_column("norm_orig", batch["norm_mention"])
+        if out != norms:
+            t = t.set_column(t.column_names.index("norm_mention"),
+                             "norm_mention", pa.array(out, pa.string()))
+        return t.append_column("_conv_boundary", is_b_arr)
+
+    # batch_size=None => one call per BLOCK (the contiguity unit);
+    # materialized because two filtered consumers follow
+    tagged = prepared_ds.map_batches(tag_and_promote,
+                                     batch_format="pyarrow",
+                                     batch_size=None).materialize()
+
+    def keep(boundary: bool):
+        def f(batch: pa.Table) -> pa.Table:
+            mask = (batch["_conv_boundary"] if boundary
+                    else pc.invert(batch["_conv_boundary"]))
+            return batch.filter(mask).drop_columns(["_conv_boundary"])
+        return f
+
+    interior = tagged.map_batches(keep(False), batch_format="pyarrow")
+    boundary = tagged.map_batches(keep(True), batch_format="pyarrow")
+    promoted_boundary = promote_mentions(boundary, cfg)
+    return interior.union(promoted_boundary)
 
 
 def _promotion_table(norms_ds, max_token_block: int) -> pa.Table:
