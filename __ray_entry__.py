@@ -923,6 +923,72 @@ def _q_rollup_events(sf_dir: str):
     return out.map_batches(r, batch_format="pyarrow")
 
 
+def _q_cube_events(sf_dir: str):
+    """GROUP BY CUBE(event_type, user_id): all key subsets from ONE
+    finest-grain shuffle + dim-sized re-aggregation."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from wned_ray.pipelines.datawork import cube_aggregate
+
+    ds = _rd().read_parquet(f"{sf_dir}/events.parquet",
+                            columns=["event_type", "user_id", "value"])
+    out = cube_aggregate(ds, keys=["event_type", "user_id"])
+
+    def r(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "event_type": batch["event_type"],
+            "user_id": batch["user_id"],
+            "n_events": batch["n_events"],
+            "sum_value_e2": pc.cast(
+                pc.round(pc.multiply(batch["sum_value"], 100.0)), pa.int64()),
+        })
+
+    return out.map_batches(r, batch_format="pyarrow")
+
+
+def _q_pivot_events(sf_dir: str):
+    """PIVOT: per-user counts, one column per event type (the SQL
+    count-FILTER shape; fixed value list keeps the schema static)."""
+    from wned_ray.pipelines.datawork import pivot_counts
+
+    ds = _rd().read_parquet(f"{sf_dir}/events.parquet",
+                            columns=["user_id", "event_type"])
+    return pivot_counts(ds, key_col="user_id", pivot_col="event_type",
+                        values=["click", "view", "purchase", "signup", "error"])
+
+
+def _q_row_numbers(sf_dir: str):
+    """ROW_NUMBER() OVER (PARTITION BY user ORDER BY ts, id)."""
+    from wned_ray.pipelines.datawork import row_numbers
+
+    ds = _rd().read_parquet(f"{sf_dir}/events.parquet",
+                            columns=["event_id", "user_id", "ts"])
+    return row_numbers(ds)
+
+
+def _q_hll_distinct_terms(sf_dir: str):
+    """Approximate distinct-term count via mergeable HyperLogLog register
+    blobs (values never leave the workers). Rows-only: the estimate is
+    deterministic but not SQL-reproducible; the pytest twin asserts the
+    relative error against the exact distinct count."""
+    import pandas as pd
+    import pyarrow as pa
+
+    from wned_ray.pipelines.datawork import _tokenize_lower, hll_count_distinct
+
+    ds = _rd().read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
+
+    def toks(batch: pa.Table) -> pa.Table:
+        flat, _ = _tokenize_lower(batch["text"])
+        return pa.table({"term": flat})
+
+    terms = ds.map_batches(toks, batch_format="pyarrow")
+    est = hll_count_distinct(terms, "term")
+    return pd.DataFrame([{"estimate_int": int(round(est["estimate"])),
+                          "p": est["p"]}])
+
+
 def _q_curated_docs(sf_dir: str):
     """Full corpus-curation flow (lang filter -> quality filter -> exact
     dedup -> MinHash near-dup removal -> lang-partitioned parquet).
@@ -1208,6 +1274,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "window_funcs_events": _q_window_funcs_events,
         "bloom_semi_join_orders": _q_bloom_semi_join_orders,
         "rollup_events": _q_rollup_events,
+        "cube_events": _q_cube_events,
+        "pivot_events": _q_pivot_events,
+        "row_number_events": _q_row_numbers,
+        "hll_distinct_terms": _q_hll_distinct_terms,
         "curated_docs": _q_curated_docs,
         # ER pipeline (rows-only checks; er_metrics row carries the F1)
         "er_blocking": _q_er_blocking,
@@ -1461,6 +1531,26 @@ def oracle_sql() -> dict[str, str]:
             "SELECT event_type, user_id, count(*) AS n_events, "
             "CAST(round(sum(value) * 100) AS BIGINT) AS sum_value_e2 "
             "FROM events GROUP BY ROLLUP(event_type, user_id)"
+        ),
+        "cube_events": (
+            "SELECT event_type, user_id, count(*) AS n_events, "
+            "CAST(round(sum(value) * 100) AS BIGINT) AS sum_value_e2 "
+            "FROM events GROUP BY CUBE(event_type, user_id)"
+        ),
+        "pivot_events": (
+            "SELECT user_id, "
+            "count(*) FILTER (WHERE event_type = 'click') AS n_click, "
+            "count(*) FILTER (WHERE event_type = 'view') AS n_view, "
+            "count(*) FILTER (WHERE event_type = 'purchase') AS n_purchase, "
+            "count(*) FILTER (WHERE event_type = 'signup') AS n_signup, "
+            "count(*) FILTER (WHERE event_type = 'error') AS n_error "
+            "FROM events GROUP BY user_id"
+        ),
+        "row_number_events": (
+            "SELECT event_id, user_id, "
+            "CAST(row_number() OVER "
+            "(PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT) AS rn "
+            "FROM events"
         ),
         "window_funcs_events": (
             # coalesce matches the engine's nancumsum (nulls add 0; a

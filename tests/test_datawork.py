@@ -850,3 +850,41 @@ def test_simhash_near_dup(ray_session):
     assert got.get((0, 1)) == 0                      # exact dup: hamming 0
     assert (0, 2) in got and got[(0, 2)] <= 3        # near dup within radius
     assert not any(3 in p or 4 in p for p in got)    # unrelated stay out
+
+
+def test_hll_accuracy_and_merge(ray_session):
+    """HyperLogLog: relative error within ~4 standard errors at p=12 on
+    100k distinct values, and register-max merge == single build."""
+    from wned_ray.pipelines.datawork import HyperLogLog
+
+    rng = np.random.default_rng(5)
+    vals = rng.integers(0, 1 << 62, 300_000).astype(np.uint64)
+    exact = len(np.unique(vals))
+    h = HyperLogLog(p=12)
+    h.add_hashes(vals)
+    est = h.estimate()
+    rel = abs(est - exact) / exact
+    assert rel < 0.065, (est, exact, rel)      # 4 * 1.04/sqrt(4096) ~ 6.5%
+
+    merged = HyperLogLog(p=12)
+    for chunk in np.array_split(vals, 7):
+        part = HyperLogLog(p=12)
+        part.add_hashes(chunk)
+        merged.merge(part)
+    assert (merged.registers == h.registers).all()
+    assert merged.estimate() == est
+
+
+def test_hll_count_distinct_dataset(ray_session):
+    import ray.data as rd
+
+    from wned_ray.pipelines.datawork import hll_count_distinct
+
+    n = 50_000
+    df = pd.DataFrame({"k": np.arange(n, dtype=np.int64) % 10_000})
+    out = hll_count_distinct(rd.from_pandas(df), "k")
+    assert abs(out["estimate"] - 10_000) / 10_000 < 0.065, out
+    # string column path (hashes via whole_string_hashes)
+    sdf = pd.DataFrame({"s": [f"tok{i % 500}" for i in range(20_000)]})
+    out2 = hll_count_distinct(rd.from_pandas(sdf), "s")
+    assert abs(out2["estimate"] - 500) / 500 < 0.05, out2

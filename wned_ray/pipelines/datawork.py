@@ -1073,6 +1073,205 @@ def rollup_aggregate(ds, keys: list, val_col: str = "value"):
     return out
 
 
+def cube_aggregate(ds, keys: list, val_col: str = "value"):
+    """GROUP BY CUBE(k1, k2, ...): count + sum(val) at EVERY subset of
+    the key set (ANSI semantics, rolled-up keys emitted as NULL).
+
+    Same scale shape as ``rollup_aggregate``: the input is shuffled ONCE
+    at the finest grain with a per-batch Arrow combiner; every coarser
+    subset re-aggregates the FINEST RESULT (dim-sized), never the input.
+    2^len(keys) levels — keys lists are short by construction."""
+    import itertools
+
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = batch.select(list(keys) + [val_col])
+        g = t.group_by(list(keys)).aggregate(
+            [(val_col, "sum"),
+             (val_col, "count", pc.CountOptions(mode="all"))])
+        cols = {k: g[k] for k in keys}
+        cols["_psum"] = g[f"{val_col}_sum"]
+        cols["_pcnt"] = pc.cast(g[f"{val_col}_count"], pa.int64())
+        return pa.table(cols)
+
+    finest = (ds.select_columns(list(keys) + [val_col])
+              .map_batches(partial, batch_format="pyarrow")
+              .groupby(list(keys))
+              .aggregate(Sum("_pcnt", alias_name="n_events"),
+                         Sum("_psum", alias_name="sum_value"))
+              .materialize())
+    if finest.count() == 0:
+        # reuse rollup's empty-input shape (same output schema)
+        return rollup_aggregate(ds, keys, val_col)
+    key_types = {f.name: f.type for f in finest.schema().base_schema
+                 if f.name in keys}
+    val_types = {f.name: f.type for f in finest.schema().base_schema
+                 if f.name in ("n_events", "sum_value")}
+
+    def _align(level_keys):
+        def f(batch: pa.Table) -> pa.Table:
+            cols = {}
+            for k in keys:
+                cols[k] = (batch[k] if k in level_keys
+                           else pa.nulls(batch.num_rows, key_types[k]))
+            cols["n_events"] = batch["n_events"]
+            cols["sum_value"] = batch["sum_value"]
+            return pa.table(cols)
+        return f
+
+    import ray.data as rd
+    from ray.data.aggregate import Sum as _Sum
+
+    levels = [finest.map_batches(_align(set(keys)), batch_format="pyarrow")]
+    for r in range(len(keys) - 1, 0, -1):
+        for sub in itertools.combinations(keys, r):
+            lvl = (finest.groupby(list(sub))
+                   .aggregate(_Sum("n_events", alias_name="n_events"),
+                              _Sum("sum_value", alias_name="sum_value")))
+            levels.append(lvl.map_batches(_align(set(sub)),
+                                          batch_format="pyarrow"))
+    totals = finest.aggregate(_Sum("n_events", alias_name="n_events"),
+                              _Sum("sum_value", alias_name="sum_value"))
+    grand = pa.table({
+        **{k: pa.nulls(1, key_types[k]) for k in keys},
+        "n_events": pa.array([totals["n_events"]], val_types["n_events"]),
+        "sum_value": pa.array([totals["sum_value"]], val_types["sum_value"]),
+    })
+    levels.append(rd.from_arrow(grand))
+    out = levels[0]
+    for lvl in levels[1:]:
+        out = out.union(lvl)
+    return out
+
+
+def pivot_counts(ds, key_col: str, pivot_col: str, values: list):
+    """PIVOT: one row per key, one count column per pivot value (the
+    fixed ``values`` list keeps the output schema static — the SQL
+    ``count(*) FILTER (WHERE pivot = v)`` shape). Per-batch Arrow
+    combiner, then ONE groupby-sum over |keys x values| partials."""
+    from ray.data.aggregate import Sum
+
+    vset = list(values)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        g = (batch.select([key_col, pivot_col])
+             .group_by([key_col, pivot_col])
+             .aggregate([(pivot_col, "count", pc.CountOptions(mode="all"))]))
+        cols = {key_col: g[key_col]}
+        cnt = pc.cast(g[f"{pivot_col}_count"], pa.int64())
+        for v in vset:
+            mask = pc.equal(g[pivot_col], v)
+            cols[f"n_{v}"] = pc.if_else(mask, cnt, pa.scalar(0, pa.int64()))
+        return pa.table(cols)
+
+    aggs = [Sum(f"n_{v}", alias_name=f"n_{v}") for v in vset]
+    return (ds.map_batches(partial, batch_format="pyarrow")
+            .groupby(key_col).aggregate(*aggs))
+
+
+def row_numbers(ds, key_col: str = "user_id", ts_col: str = "ts",
+                id_col: str = "event_id"):
+    """ROW_NUMBER() OVER (PARTITION BY key ORDER BY ts, id) — one hash
+    shuffle by key + a vectorized argsort per group (the deterministic
+    (ts, id) sort key matches the ANSI frame under ties)."""
+    def rn(g: pd.DataFrame) -> pa.Table:
+        g = g.sort_values([ts_col, id_col])
+        ids_pa = pa.Array.from_pandas(g[id_col])
+        return pa.table({
+            id_col: ids_pa,
+            key_col: pa.array(g[key_col].to_numpy()),
+            "rn": pa.array(np.arange(1, len(g) + 1, dtype=np.int64)),
+        })
+
+    return (ds.select_columns([id_col, key_col, ts_col])
+            .groupby(key_col)
+            .map_groups(rn, batch_format="pandas"))
+
+
+class HyperLogLog:
+    """HyperLogLog distinct-count sketch (Flajolet et al. 2007), pure
+    numpy: 2^p uint8 registers, splitmix64-mixed hashes; mergeable by
+    element-wise register max — the bounded-state shape for COUNT
+    (DISTINCT) over columns whose exact value set cannot be shuffled.
+    Standard error ~= 1.04 / sqrt(2^p) (~1.6% at p=12)."""
+
+    def __init__(self, p: int = 12):
+        self.p = p
+        self.m = 1 << p
+        self.registers = np.zeros(self.m, np.uint8)
+
+    def add_hashes(self, h: np.ndarray) -> None:
+        from wned_ray.functions.bloom import _splitmix64
+
+        h = _splitmix64(np.ascontiguousarray(h).astype(np.uint64,
+                                                       copy=False))
+        idx = (h >> np.uint64(64 - self.p)).astype(np.int64)
+        rest = h << np.uint64(self.p)           # top (64-p) payload bits
+        # rho = leading-zero count of the payload + 1, capped at 64-p+1
+        rho = np.full(len(h), 64 - self.p + 1, np.uint8)
+        nz = rest != 0
+        if nz.any():
+            # leading-zero count via bit-length: floor(log2) is exact on
+            # 32-bit halves (values < 2^53 are exact in float64)
+            r = rest[nz]
+            hi = (r >> np.uint64(32)).astype(np.uint64)
+            lo = (r & np.uint64(0xFFFFFFFF)).astype(np.uint64)
+            bl_hi = np.zeros(len(r), np.int64)
+            m_hi = hi != 0
+            bl_hi[m_hi] = np.floor(np.log2(hi[m_hi].astype(np.float64))).astype(np.int64) + 1
+            bl_lo = np.zeros(len(r), np.int64)
+            m_lo = lo != 0
+            bl_lo[m_lo] = np.floor(np.log2(lo[m_lo].astype(np.float64))).astype(np.int64) + 1
+            bitlen = np.where(m_hi, 32 + bl_hi, bl_lo)
+            rho[nz] = (64 - bitlen + 1).astype(np.uint8)
+        np.maximum.at(self.registers, idx, rho)
+
+    def merge(self, other: "HyperLogLog") -> None:
+        np.maximum(self.registers, other.registers, out=self.registers)
+
+    def estimate(self) -> float:
+        m = float(self.m)
+        alpha = 0.7213 / (1 + 1.079 / m)
+        inv = np.power(2.0, -self.registers.astype(np.float64))
+        e = alpha * m * m / inv.sum()
+        zeros = int((self.registers == 0).sum())
+        if e <= 2.5 * m and zeros:
+            e = m * np.log(m / zeros)           # small-range correction
+        return float(e)
+
+
+def hll_count_distinct(ds, col: str, p: int = 12) -> dict:
+    """Approximate COUNT(DISTINCT col) via mergeable HyperLogLog
+    sketches: each batch emits its 2^p-byte register blob, the driver
+    max-merges (register traffic = n_batches x 4 KB — never the values).
+    Returns {"estimate": float, "p": p}. Accuracy is unit-tested against
+    exact distinct counts (~1.6% standard error at p=12)."""
+    from wned_ray.functions.minhash import whole_string_hashes
+
+    def partial(batch: pa.Table) -> pa.Table:
+        h = HyperLogLog(p)
+        c = batch[col]
+        if pa.types.is_string(c.type) or pa.types.is_large_string(c.type):
+            hashes = whole_string_hashes(c)
+        else:
+            hashes = c.to_numpy(zero_copy_only=False).astype(np.uint64)
+        if len(hashes):
+            h.add_hashes(hashes)
+        return pa.table({"regs": pa.array([h.registers.tobytes()],
+                                          pa.binary())})
+
+    merged = HyperLogLog(p)
+    for b in (ds.select_columns([col])
+              .map_batches(partial, batch_format="pyarrow")
+              .iter_batches(batch_format="pyarrow")):
+        for blob in b["regs"].to_pylist():
+            other = HyperLogLog(p)
+            other.registers = np.frombuffer(blob, np.uint8).copy()
+            merged.merge(other)
+    return {"estimate": merged.estimate(), "p": p}
+
+
 def bloom_semi_join(big_ds, keys_ds, on: str, key_col: str | None = None,
                     fp_rate: float = 0.01, num_partitions: int = 16):
     """EXACT semi-join with Bloom-filter pushdown: rows of ``big_ds``
