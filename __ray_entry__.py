@@ -698,14 +698,12 @@ def _q_er_resolve_prior_vs_full(sf_dir: str):
     import ray
 
     from wned_ray.stages.aliases import resolve_redirects_table
-    from wned_ray.stages.normalize import prepare
     from wned_ray.stages.resolve import resolve_conversations
-    from wned_ray.synth import HARD, config_for, ensure_corpus
 
-    corpus = ensure_corpus(HARD)
-    cfg = config_for(HARD)
-    prepared = prepare(_rd().read_parquet(corpus["transcripts"]),
-                       cfg).materialize()
+    # reuse the cached hard-tier linkage's materialized prepared stage —
+    # no second full prepare pass per driver sweep
+    corpus, cfg, out = _hard_linkage()
+    prepared = out["prepared"]
     alias_ref = ray.put(resolve_redirects_table(
         pq.read_table(corpus["aliases"]), pq.read_table(corpus["redirects"])))
     graph_ref = ray.put(pq.read_table(corpus["graph_edges"]))
