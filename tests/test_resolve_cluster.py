@@ -70,3 +70,37 @@ def test_resolve_conversations(ray_session, t1_corpus):
     m = res.merge(exp, on="mention_id", suffixes=("_got", "_want"))
     acc = (m["entity_id_got"] == m["entity_id_want"]).mean()
     assert acc >= 0.95, acc
+
+
+def test_pref_strategy_uniform_still_resolves(ray_session, t1_corpus):
+    """PrefStrategy surface (WNEDConfig.java:25-33): UNIFORM seed
+    weighting must still resolve the friendly tier correctly (the two
+    strategies only differ on skewed seed masses)."""
+    from dataclasses import replace
+
+    import pyarrow.parquet as pq
+    import ray
+    import ray.data as rd
+
+    from wned_ray.config import PipelineConfig
+    from wned_ray.stages.aliases import resolve_redirects_table
+    from wned_ray.stages.normalize import prepare
+    from wned_ray.stages.resolve import resolve_conversations
+
+    cfg = replace(PipelineConfig(), pref_strategy="UNIFORM")
+    prepared = prepare(rd.read_parquet(t1_corpus["transcripts"]),
+                       cfg).materialize()
+    alias_ref = ray.put(resolve_redirects_table(
+        pq.read_table(t1_corpus["aliases"]),
+        pq.read_table(t1_corpus["redirects"])))
+    graph_ref = ray.put(pq.read_table(t1_corpus["graph_edges"]))
+    got = (resolve_conversations(prepared, alias_ref, graph_ref, cfg)
+           .to_pandas().set_index("mention_id")["entity_id"])
+    gold = (pq.read_table(t1_corpus["expected_clusters"])
+            .to_pandas().set_index("mention_id")["entity_id"])
+    assert (got == gold.reindex(got.index)).mean() >= 0.95
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        PipelineConfig(pref_strategy="RANDOM")

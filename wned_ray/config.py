@@ -94,6 +94,18 @@ class PipelineConfig:
     top_k_candidates: int = 20   # CandidateSelectionLucene.java:41-44
     prior_floor: float = 2e-5    # CSUtils.java:190-199
 
+    # Restart-vector preference strategy for the resolver's document
+    # signature (the reference's PrefStrategy, WNEDConfig.java:25-33):
+    # PRIOR_PROB weights each unambiguous seed by its accumulated prior
+    # mass (the shipped el.config default); UNIFORM weights every seed
+    # equally. RANDOM is deliberately NOT implemented — it is the
+    # reference's wall-clock-seeded nondeterminism (SemanticSignatureEL
+    # .java:386-399), a documented defect this engine fixes; TFIDF /
+    # CTX_SIM weighting needs per-mention context vectors inside the
+    # resolver and is out of scope (the pairwise path carries the local
+    # ctx cosine instead).
+    pref_strategy: str = "PRIOR_PROB"
+
     # --- PPR semantic kernel (K2/K4/K5) ---
     ppr_alpha: float = 0.85
     ppr_max_iter: int = 3
@@ -189,6 +201,8 @@ class PipelineConfig:
             raise ValueError("pair_mode must be 'star' or 'all'")
         if self.name_sim_kernel not in ("jw", "soft_tfidf"):
             raise ValueError("name_sim_kernel must be 'jw' or 'soft_tfidf'")
+        if self.pref_strategy not in ("PRIOR_PROB", "UNIFORM"):
+            raise ValueError("pref_strategy must be PRIOR_PROB or UNIFORM")
         if self.num_perm % self.band_rows != 0:
             raise ValueError("num_perm must be divisible by band_rows")
         if not (0.0 < self.ppr_alpha < 1.0):

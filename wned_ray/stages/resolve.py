@@ -106,12 +106,18 @@ class ConversationResolver:
                    for mid, norm, orig in rows}
         rows = [(mid, norm) for mid, norm, _ in rows]
 
-        # seeds: unambiguous mentions (single candidate) — K11 seed step
+        # seeds: unambiguous mentions (single candidate) — K11 seed step.
+        # Weighting follows cfg.pref_strategy (the reference's
+        # PrefStrategy restart preference, WNEDConfig.java:25-33):
+        # PRIOR_PROB accumulates the candidate's prior mass, UNIFORM
+        # counts each unambiguous mention once.
+        uniform = cfg.pref_strategy == "UNIFORM"
         seeds: dict[str, float] = {}
         for mid, _ in rows:
             c = cand_of[mid]
             if len(c) == 1:
-                seeds[c[0][0]] = seeds.get(c[0][0], 0.0) + c[0][1]
+                w = 1.0 if uniform else c[0][1]
+                seeds[c[0][0]] = seeds.get(c[0][0], 0.0) + w
 
         resolved: dict[str, str] = {}
         # ascending ambiguity order, mention order as tie-break (G4)

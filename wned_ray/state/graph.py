@@ -133,23 +133,32 @@ class CSRGraph:
     def induced_csr(self, nodes: np.ndarray
                     ) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
         """Induced subgraph as (indptr, indices, weights, node_ids) with
-        local ids 0..len(nodes)-1 (SubGraphGenerator.java:105-120)."""
+        local ids 0..len(nodes)-1 (SubGraphGenerator.java:105-120).
+
+        Vectorized (round-3): one flat gather of every member's adjacency
+        range + one mask, instead of a Python loop per subgraph node —
+        this sits on the large-graph scorer's per-pair path (K1), where
+        the reference's own subgraph extraction is the hot step."""
+        n_sub = len(nodes)
         remap = np.full(self.num_nodes, -1, np.int64)
-        remap[nodes] = np.arange(len(nodes))
-        indptr = [0]
-        idx: list[np.ndarray] = []
-        wts: list[np.ndarray] = []
-        for u in nodes:
-            lo, hi = self.indptr[u], self.indptr[u + 1]
-            cols = remap[self.indices[lo:hi]]
-            m = cols >= 0
-            idx.append(cols[m])
-            wts.append(self.weights[lo:hi][m])
-            indptr.append(indptr[-1] + int(m.sum()))
-        return (np.asarray(indptr, np.int64),
-                np.concatenate(idx) if idx else np.zeros(0, np.int64),
-                np.concatenate(wts) if wts else np.zeros(0, np.float32),
-                nodes)
+        remap[nodes] = np.arange(n_sub)
+        lo = self.indptr[nodes]
+        lens = self.indptr[nodes + 1] - lo
+        total = int(lens.sum())
+        if total == 0:
+            return (np.zeros(n_sub + 1, np.int64), np.zeros(0, np.int64),
+                    np.zeros(0, np.float32), nodes)
+        ends = np.cumsum(lens)
+        flat = np.repeat(lo, lens) + (np.arange(total, dtype=np.int64)
+                                      - np.repeat(ends - lens, lens))
+        rows = np.repeat(np.arange(n_sub, dtype=np.int64), lens)
+        cols = remap[self.indices[flat]]
+        m = cols >= 0
+        rows, cols = rows[m], cols[m]
+        wts = self.weights[flat][m]
+        indptr = np.zeros(n_sub + 1, np.int64)
+        np.cumsum(np.bincount(rows, minlength=n_sub), out=indptr[1:])
+        return indptr, cols, wts, nodes
 
 
 def ppr(indptr: np.ndarray, indices: np.ndarray, weights: np.ndarray,
