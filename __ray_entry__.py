@@ -1096,6 +1096,30 @@ def _q_minhash_dedup(sf_dir: str):
                           num_partitions=8).select_columns(["id_a", "id_b"])
 
 
+def _q_ngram_jaccard_dedup(sf_dir: str):
+    """Exact all-pairs word-trigram Jaccard near-dups — the SQL-oracled
+    member of the dedup family (minhash/simhash are its approximations)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from wned_ray.pipelines.datawork import ngram_jaccard_dedup
+
+    ds = _rd().read_parquet(f"{sf_dir}/documents.parquet",
+                            columns=["doc_id", "text"])
+    out = ngram_jaccard_dedup(ds, id_col="doc_id", n=3, threshold=0.8,
+                              num_partitions=8)
+
+    def micro(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "id_a": batch["id_a"], "id_b": batch["id_b"],
+            "jaccard_micro": pc.cast(
+                pc.round(pc.multiply(batch["jaccard"], 1_000_000.0)),
+                pa.int64()),
+        })
+
+    return out.map_batches(micro, batch_format="pyarrow").sort(["id_a", "id_b"])
+
+
 def _q_simhash(sf_dir: str):
     from wned_ray.pipelines.datawork import simhash
 
@@ -1143,6 +1167,22 @@ def _q_ann_lsh(sf_dir: str):
     q_ids = np.asarray(head["vec_id"].to_pylist())
     qm = np.asarray(head["embedding"].to_pylist(), dtype=np.float64)
     return ann_lsh(ds, q_ids, qm, k=5).select_columns(
+        ["query_id", "vec_id"])
+
+
+def _q_ann_ivf(sf_dir: str):
+    """IVF (k-means coarse quantizer) ANN — the second scale path;
+    rows-only check — approximate by construction, unit-tested for
+    recall vs brute force on clustered data."""
+    import pyarrow.parquet as pq
+
+    from wned_ray.pipelines.datawork import ann_ivf
+
+    ds = _rd().read_parquet(f"{sf_dir}/embeddings.parquet")
+    head = pq.read_table(f"{sf_dir}/embeddings.parquet").slice(0, 3)
+    q_ids = np.asarray(head["vec_id"].to_pylist())
+    qm = np.asarray(head["embedding"].to_pylist(), dtype=np.float64)
+    return ann_ivf(ds, q_ids, qm, k=5).select_columns(
         ["query_id", "vec_id"])
 
 
@@ -1292,7 +1332,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "anchor_aliases": _q_anchor_aliases,
         # training-data ops (rows-only)
         "ann_lsh_embeddings": _q_ann_lsh,
+        "ann_ivf_embeddings": _q_ann_ivf,
         "minhash_dedup_docs": _q_minhash_dedup,
+        "ngram_jaccard_dedup": _q_ngram_jaccard_dedup,
         "simhash_docs": _q_simhash,
         "fingerprint_docs": _q_fingerprint,
         "lang_id_docs": _q_lang_id,
@@ -1442,6 +1484,27 @@ def oracle_sql() -> dict[str, str]:
             "FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id "
             "WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), "
             "CAST(b.embedding AS DOUBLE[])) >= 0.4"
+        ),
+        "ngram_jaccard_dedup": (
+            r"WITH w AS (SELECT doc_id, string_split(lower(trim("
+            r"regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS ws "
+            "FROM documents), "
+            "g AS (SELECT doc_id, unnest(list_distinct("
+            "[array_to_string(ws[i:i+2], ' ') "
+            "for i in generate_series(1, len(ws)-2)])) AS gram "
+            "FROM w WHERE len(ws) >= 3), "
+            "s AS (SELECT doc_id, count(*) AS sz FROM g GROUP BY doc_id), "
+            "i AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, "
+            "count(*) AS inter FROM g a "
+            "JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id "
+            "GROUP BY 1, 2) "
+            "SELECT i.id_a, i.id_b, "
+            "CAST(round(1000000.0 * inter / (sa.sz + sb.sz - inter)) "
+            "AS BIGINT) AS jaccard_micro "
+            "FROM i JOIN s sa ON sa.doc_id = i.id_a "
+            "JOIN s sb ON sb.doc_id = i.id_b "
+            "WHERE 1.0 * inter / (sa.sz + sb.sz - inter) >= 0.8 "
+            "ORDER BY 1, 2"
         ),
         "alias_redirect_resolved": _redirect_oracle_sql(),
         "anchor_aliases": _anchor_oracle_sql(),

@@ -115,6 +115,13 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
                        num_partitions=max(2, num_cpus // 2)).count()
     queries["minhash_candidates_docs"] = round(time.time() - t0, 3)
 
+    from wned_ray.pipelines.datawork import ngram_jaccard_dedup
+
+    t0 = time.time()
+    ngram_jaccard_dedup(docs, id_col="doc_id",
+                        num_partitions=max(2, num_cpus // 2)).count()
+    queries["ngram_jaccard_dedup"] = round(time.time() - t0, 3)
+
     t0 = time.time()
     import numpy as np
     import pyarrow.parquet as pq

@@ -888,3 +888,101 @@ def test_hll_count_distinct_dataset(ray_session):
     sdf = pd.DataFrame({"s": [f"tok{i % 500}" for i in range(20_000)]})
     out2 = hll_count_distinct(rd.from_pandas(sdf), "s")
     assert abs(out2["estimate"] - 500) / 500 < 0.05, out2
+
+
+def test_ngram_jaccard_dedup_matches_duckdb(docs):
+    import duckdb
+
+    from wned_ray.pipelines.datawork import ngram_jaccard_dedup
+
+    got = (ngram_jaccard_dedup(docs, id_col="doc_id", n=3, threshold=0.8,
+                               num_partitions=4)
+           .to_pandas().sort_values(["id_a", "id_b"]).reset_index(drop=True))
+    want = duckdb.sql(rf"""
+        WITH w AS (SELECT doc_id, string_split(lower(trim(
+            regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS ws
+          FROM read_parquet('{SF}/documents.parquet')),
+        g AS (SELECT doc_id, unnest(list_distinct(
+            [array_to_string(ws[i:i+2], ' ')
+             for i in generate_series(1, len(ws)-2)])) AS gram
+          FROM w WHERE len(ws) >= 3),
+        s AS (SELECT doc_id, count(*) AS sz FROM g GROUP BY doc_id),
+        i AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+          FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id
+          GROUP BY 1, 2)
+        SELECT i.id_a, i.id_b,
+               1.0 * inter / (sa.sz + sb.sz - inter) AS jaccard
+        FROM i JOIN s sa ON sa.doc_id = i.id_a
+               JOIN s sb ON sb.doc_id = i.id_b
+        WHERE 1.0 * inter / (sa.sz + sb.sz - inter) >= 0.8
+        ORDER BY 1, 2""").df()
+    assert len(got) > 0                       # planted near-dups exist
+    assert got[["id_a", "id_b"]].values.tolist() == \
+        want[["id_a", "id_b"]].values.tolist()
+    assert np.allclose(got["jaccard"].values, want["jaccard"].values)
+
+
+def test_ngram_jaccard_short_and_empty_docs(ray_session):
+    """Docs with < n tokens emit no grams (SQL generate_series parity);
+    identical short docs therefore do NOT pair here (exact_dedup's job)."""
+    import ray.data as rd
+
+    from wned_ray.pipelines.datawork import ngram_jaccard_dedup
+
+    ds = rd.from_items([
+        {"doc_id": 1, "text": "a b"},
+        {"doc_id": 2, "text": "a b"},
+        {"doc_id": 3, "text": ""},
+        {"doc_id": 4, "text": "x y z w x y z"},
+        {"doc_id": 5, "text": "x y z w x y z"},
+    ])
+    got = (ngram_jaccard_dedup(ds, id_col="doc_id", n=3, threshold=0.8,
+                               num_partitions=2)
+           .to_pandas().sort_values(["id_a", "id_b"]))
+    assert got[["id_a", "id_b"]].values.tolist() == [[4, 5]]
+    assert np.allclose(got["jaccard"].values, [1.0])
+
+
+def test_ann_ivf_matches_bruteforce_on_clusters(ray_session):
+    import numpy as np
+    import ray.data as rd
+
+    from wned_ray.pipelines.datawork import ann_ivf, knn_search
+
+    rng = np.random.default_rng(7)
+    centers = rng.standard_normal((4, 16)) * 5
+    vecs = np.concatenate([c + 0.05 * rng.standard_normal((50, 16))
+                           for c in centers])
+    ids = np.arange(len(vecs))
+    ds = rd.from_items([{"vec_id": int(i), "embedding": v.tolist()}
+                        for i, v in zip(ids, vecs)])
+    q_ids = np.array([0, 50, 100])
+    qm = vecs[q_ids]
+    exact = knn_search(ds, q_ids, qm, k=5).to_pandas()
+    approx = ann_ivf(ds, q_ids, qm, k=5, n_cells=8, nprobe=2,
+                     train_sample=200).to_pandas()
+    # the quantizer separates the planted clusters; probed cells keep
+    # the true neighbors
+    e = exact.groupby("query_id")["vec_id"].apply(set)
+    a = approx.groupby("query_id")["vec_id"].apply(set)
+    recalls = [len(e[q] & a.get(q, set())) / len(e[q]) for q in q_ids]
+    assert np.mean(recalls) >= 0.8, recalls
+
+
+def test_ann_ivf_deterministic(ray_session):
+    import numpy as np
+    import ray.data as rd
+
+    from wned_ray.pipelines.datawork import ann_ivf
+
+    rng = np.random.default_rng(3)
+    vecs = rng.standard_normal((60, 8))
+    ds = rd.from_items([{"vec_id": int(i), "embedding": v.tolist()}
+                        for i, v in enumerate(vecs)])
+    q_ids = np.array([1, 2])
+    qm = vecs[q_ids]
+    a = (ann_ivf(ds, q_ids, qm, k=3, n_cells=4, train_sample=60)
+         .to_pandas().sort_values(["query_id", "vec_id"]).values.tolist())
+    b = (ann_ivf(ds, q_ids, qm, k=3, n_cells=4, train_sample=60)
+         .to_pandas().sort_values(["query_id", "vec_id"]).values.tolist())
+    assert a == b

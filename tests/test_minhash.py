@@ -149,3 +149,25 @@ def test_shingle_gram_hashes_arrow_entry_matches_list():
     g1, o1 = shingle_gram_hashes(texts, 4)
     g2, o2 = shingle_gram_hashes(pa.array(texts), 4)
     assert (o1 == o2).all() and (g1 == g2).all()
+
+
+def test_word_ngram_hashes_equal_iff_same_gram():
+    """Equal token windows hash equal; order matters; short rows emit 0."""
+    import numpy as np
+
+    from wned_ray.functions.minhash import (whole_string_hashes,
+                                            word_ngram_hashes)
+
+    rows = [["a", "b", "c", "d"],          # grams: abc, bcd
+            ["b", "c", "d"],               # gram: bcd
+            ["c", "b", "a"],               # gram: cba (order differs)
+            ["a", "b"],                    # too short: none
+            []]                            # empty: none
+    flat = [t for r in rows for t in r]
+    th = whole_string_hashes(flat)
+    off = np.cumsum([0] + [len(r) for r in rows]).astype(np.int64)
+    g, go = word_ngram_hashes(th, off, 3)
+    assert go.tolist() == [0, 2, 3, 4, 4, 4]
+    assert g[1] == g[2]                    # bcd == bcd
+    assert g[0] != g[1] and g[3] != g[0]   # abc != bcd, cba != abc
+    assert len(set(g.tolist())) == 3

@@ -175,6 +175,13 @@ class PipelineConfig:
     # runs — same driver/distributed switch discipline as global_promote
     # and cc_driver_max_pairs.
     norm_pairs_driver_max_rows: int = 1_000_000
+    # Hot-block-key detection reduces (block_key, n_mentions) — two int64
+    # columns — on the DRIVER below this row count (np.unique/bincount,
+    # ~16 bytes/row transient): a distributed SUM-groupby over the
+    # vocabulary-sized blocking table costs a full aggregator-actor spawn
+    # wave (~20 s of non-scaling wall at the 8M-turn tier). Above the cap
+    # the hash-shuffle groupby remains the multi-node scale path.
+    hot_keys_driver_max_rows: int = 16_000_000
 
     # --- scoring actor pool ---
     score_batch_size: int = 4096

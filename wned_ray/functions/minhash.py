@@ -165,6 +165,40 @@ def shingle_gram_hashes(texts, k: int) -> tuple[np.ndarray, np.ndarray]:
     return grams, offsets
 
 
+def word_ngram_hashes(token_hashes: np.ndarray, row_offsets: np.ndarray,
+                      n: int) -> tuple[np.ndarray, np.ndarray]:
+    """Word-level n-gram hashes from per-token hashes.
+
+    ``token_hashes`` is a flat uint64 array of one hash per token;
+    ``row_offsets`` is int64 [nrows+1] giving each row's token segment.
+    Returns (gram_hashes uint64 flat, offsets int64 [nrows+1]) where a
+    row with fewer than ``n`` tokens contributes ZERO grams (matching
+    SQL's ``generate_series(1, len(ws)-n+1)`` emitting nothing).
+
+    Same one-shot vectorized shape as :func:`shingle_gram_hashes`: the
+    rolling combine runs once over the flat token-hash array, then a
+    repeat/arange gather pulls each row's valid window positions —
+    no per-row Python."""
+    nrows = len(row_offsets) - 1
+    lens = row_offsets[1:] - row_offsets[:-1]
+    counts = np.maximum(lens - n + 1, 0)
+    offsets = np.zeros(nrows + 1, np.int64)
+    np.cumsum(counts, out=offsets[1:])
+    total = int(offsets[-1])
+    if total == 0 or len(token_hashes) < n:
+        return np.zeros(0, np.uint64), offsets
+    with np.errstate(over="ignore"):
+        win = len(token_hashes) - n + 1
+        h = np.zeros(win, np.uint64)
+        for j in range(n):
+            h = h * _P + token_hashes[j: win + j]
+        h = (h ^ (h >> np.uint64(33))) * _MIX
+    # flat gram g of row i reads h[row_offsets[i] + (g - offsets[i])]
+    src = (np.repeat(row_offsets[:-1] - offsets[:-1], counts)
+           + np.arange(total, dtype=np.int64))
+    return h[src], offsets
+
+
 def minhash_signatures(gram_hashes: np.ndarray, offsets: np.ndarray,
                        num_perm: int, seed: int) -> np.ndarray:
     """MinHash signature matrix [n, num_perm] (uint64)."""

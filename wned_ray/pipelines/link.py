@@ -158,12 +158,20 @@ def run_linkage(transcripts_path: str, aliases_path: str,
     # blocking runs over DISTINCT normalized surfaces (see stages/blocking.py)
     blocking = persist(lambda: norm_blocks(prepared, cfg), "blocking")
 
+    import sys
+    import time as _time
+
+    _t0 = _time.time()
     hot = hot_block_keys(blocking, cfg)
+    timings["hot_keys"] = round(_time.time() - _t0, 2)
+    print(f"[profiling] linkage stage=hot_keys sec={timings['hot_keys']:.1f}",
+          file=sys.stderr)
 
     # broadcast dim tables once (zero-copy object-store reads per actor).
     # Redirect composition (J6, KBExtractor.resolveRedirect) happens here,
     # on the vocabulary-sized dim table, before the broadcast — variant
     # surfaces that only exist as redirects reach their canonical entity.
+    _t0 = _time.time()
     alias_table = pq.read_table(aliases_path)
     if redirects_path:
         from wned_ray.stages.aliases import resolve_redirects_table
@@ -186,6 +194,9 @@ def run_linkage(transcripts_path: str, aliases_path: str,
             pa.Table.from_pandas(mined.to_pandas(), preserve_index=False))
     alias_ref = ray.put(alias_table)
     graph_ref = ray.put(pq.read_table(graph_path)) if graph_path else None
+    timings["broadcast"] = round(_time.time() - _t0, 2)
+    print(f"[profiling] linkage stage=broadcast "
+          f"sec={timings['broadcast']:.1f}", file=sys.stderr)
 
     # Pair expansion and scoring run FUSED: gen_pairs scores the norm-level
     # features (prior/sem/name/lev) on the tiny DISTINCT-norm pair set, the

@@ -88,14 +88,28 @@ def norm_blocks(prepared_ds, cfg: PipelineConfig):
     One groupby yields both the distinct norms and, per norm, the mention
     count (hot-key weights) and the lexicographic min mention id — the
     deterministic REPRESENTATIVE used by star-mode pair expansion
-    (stages/pairs.py); no extra shuffle."""
-    from ray.data.aggregate import Count, Min
+    (stages/pairs.py); no extra shuffle.
+
+    Combiner discipline: a per-batch Arrow ``group_by`` (C++ hash
+    aggregate) pre-reduces each block to its distinct norms BEFORE the
+    hash-shuffle groupby, so the all-to-all moves |per-block distinct
+    norms| partial rows instead of |mentions| — mention surfaces repeat
+    heavily (Zipfian), which is the whole reason blocking over distinct
+    norms pays. Sum-of-partial-counts + min-of-partial-mins is exactly
+    the unpartitioned aggregate."""
+    from ray.data.aggregate import Min, Sum
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        g = (batch.group_by("norm_mention")
+             .aggregate([("mention_id", "count"), ("mention_id", "min")]))
+        return g.rename_columns(["norm_mention", "n_mentions", "rep_id"])
 
     norms = (prepared_ds
              .select_columns(["norm_mention", "mention_id"])
+             .map_batches(_partial, batch_format="pyarrow")
              .groupby("norm_mention")
-             .aggregate(Count(alias_name="n_mentions"),
-                        Min("mention_id", alias_name="rep_id")))
+             .aggregate(Sum("n_mentions", alias_name="n_mentions"),
+                        Min("rep_id", alias_name="rep_id")))
     return norms.map_batches(lambda b: _explode_norms(b, cfg),
                              batch_format="pyarrow")
 
@@ -115,11 +129,47 @@ def hot_block_keys(norm_blocks_ds, cfg: PipelineConfig,
     are excluded (sort desc + limit — distributed, never an unbounded
     take_all) and a warning notes the truncation; the remaining warm keys
     stay subject to the pair stage's per-block cap^2 bound.
+
+    Fast path (same discipline as the pair stage's
+    ``norm_pairs_driver_max_rows``): the blocking table is vocabulary-
+    sized, and a hash-shuffle SUM-groupby over it costs a full wave of
+    aggregator-actor spawns — ~20 s of NON-SCALING wall at the 8M-turn
+    tier, identical at 8 and 32 CPUs. Under
+    ``cfg.hot_keys_driver_max_rows`` the two slim int64 columns are
+    gathered zero-copy to the driver and reduced with one
+    ``np.unique``/``bincount`` pass (~1 s at 8M rows, bounded memory);
+    past the cap the distributed groupby remains the scale path.
     """
+    import ray
     from ray.data.aggregate import Sum
 
-    totals = (norm_blocks_ds
-              .select_columns(["block_key", "n_mentions"])
+    slim = norm_blocks_ds.select_columns(["block_key", "n_mentions"])
+    n_rows = norm_blocks_ds.count()          # free: stage is persisted
+    if n_rows <= cfg.hot_keys_driver_max_rows:
+        # empty blocks carry a schemaless 0-column table; drop them or
+        # concat_tables raises "Schema at index N was different"
+        blocks = [b for b in ray.get(slim.to_arrow_refs())
+                  if b.num_columns > 0 and b.num_rows > 0]
+        if not blocks:
+            return set()
+        t = pa.concat_tables(blocks)
+        keys = t["block_key"].combine_chunks().to_numpy(
+            zero_copy_only=False)
+        w = t["n_mentions"].combine_chunks().to_numpy(zero_copy_only=False)
+        uk, inv = np.unique(keys, return_inverse=True)
+        sums = np.bincount(inv, weights=w)   # float64: exact below 2^53
+        hot_mask = sums > cfg.max_block_size
+        if int(hot_mask.sum()) > max_keys:
+            import warnings
+
+            warnings.warn(
+                f"hot_block_keys: >{max_keys} hot keys; excluding only "
+                f"the hottest {max_keys} (driver-memory bound)")
+            order = np.argsort(-sums[hot_mask])[:max_keys]
+            return set(uk[hot_mask][order].tolist())
+        return set(uk[hot_mask].tolist())
+
+    totals = (slim
               .groupby("block_key")
               .aggregate(Sum("n_mentions", alias_name="n")))
     hot = totals.filter(expr=f"n > {cfg.max_block_size}").materialize()
