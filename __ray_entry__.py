@@ -897,6 +897,53 @@ def _q_hash_sample_docs(sf_dir: str):
     return hash_sample(ds, id_col="doc_id", rate_pct=10.0, seed=7)
 
 
+def _q_stratified_sample_docs(sf_dir: str):
+    """Deterministic stratified sample: 10 docs per lang with the
+    smallest Knuth id-hash — the row_number()-OVER SQL twin agrees on
+    the exact rows."""
+    from wned_ray.pipelines.datawork import stratified_sample_k
+
+    ds = _rd().read_parquet(f"{sf_dir}/documents.parquet",
+                            columns=["doc_id", "lang", "n_chars"])
+    return stratified_sample_k(ds, key_col="lang", id_col="doc_id",
+                               k=10, seed=7)
+
+
+def _q_bm25_docs(sf_dir: str):
+    """Okapi BM25 top-20 over documents for a fixed term query —
+    shuffle-free two-pass ranking (dim-sized stats exchange only)."""
+    from wned_ray.pipelines.datawork import bm25_topk
+
+    ds = _rd().read_parquet(f"{sf_dir}/documents.parquet",
+                            columns=["doc_id", "text"])
+    return bm25_topk(ds, ["hash", "join", "vector", "stream"], k=20)
+
+
+def _q_corr_lineitem(sf_dir: str):
+    """Per-returnflag Pearson corr(quantity, extendedprice) via the
+    six-sums combiner — one dim-sized exchange, input never shuffled."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from wned_ray.pipelines.datawork import grouped_corr
+
+    ds = _rd().read_parquet(f"{sf_dir}/lineitem.parquet",
+                            columns=["l_returnflag", "l_quantity",
+                                     "l_extendedprice"])
+    out = grouped_corr(ds, "l_returnflag", "l_quantity", "l_extendedprice")
+
+    def e6(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "l_returnflag": batch["l_returnflag"],
+            "n": batch["n"],
+            "corr_e6": pc.cast(pc.round(pc.multiply(batch["corr"],
+                                                    1_000_000.0)),
+                               pa.int64()),
+        })
+
+    return out.map_batches(e6, batch_format="pyarrow")
+
+
 def _q_rollup_events(sf_dir: str):
     """GROUP BY ROLLUP(event_type, user_id): one finest-grain shuffle,
     coarser levels re-aggregated from the dim-sized finest result."""
@@ -1307,6 +1354,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sliding_window_events": _q_sliding_window_events,
         "range_join_clicks": _q_range_join_clicks,
         "hash_sample_docs": _q_hash_sample_docs,
+        "stratified_sample_docs": _q_stratified_sample_docs,
+        "bm25_docs": _q_bm25_docs,
+        "corr_lineitem": _q_corr_lineitem,
         "event_value_quantiles": _q_event_value_quantiles,
         "heavy_hitter_terms": _q_heavy_hitter_terms,
         "window_funcs_events": _q_window_funcs_events,
@@ -1565,6 +1615,44 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, lang, n_chars FROM documents "
             "WHERE (CAST((doc_id + 7) % 4294967296 AS HUGEINT) "
             "* 2654435761) % 4294967296 < 429496729"
+        ),
+        "stratified_sample_docs": (
+            "SELECT doc_id, lang, n_chars FROM ("
+            "SELECT doc_id, lang, n_chars, row_number() OVER ("
+            "PARTITION BY lang ORDER BY "
+            "(CAST((doc_id + 7) % 4294967296 AS HUGEINT) "
+            "* 2654435761) % 4294967296, doc_id) AS rn "
+            "FROM documents) WHERE rn <= 10"
+        ),
+        "bm25_docs": (
+            # Okapi BM25, Lucene idf = ln(1 + (N-df+.5)/(df+.5)),
+            # k1=1.2 b=0.75; N/avgdl over ALL docs; [a-z0-9]+ tokens
+            "WITH d AS (SELECT doc_id, "
+            "regexp_extract_all(lower(text), '[a-z0-9]+') AS ts "
+            "FROM documents), "
+            "dl AS (SELECT doc_id, len(ts) AS dlen FROM d), "
+            "st AS (SELECT count(*) AS n, "
+            "1.0 * sum(dlen) / count(*) AS avgdl FROM dl), "
+            "tf AS (SELECT doc_id, term, count(*) AS tf FROM ("
+            "SELECT doc_id, unnest(ts) AS term FROM d) "
+            "WHERE term IN ('hash', 'join', 'vector', 'stream') "
+            "GROUP BY 1, 2), "
+            "df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1), "
+            "sc AS (SELECT tf.doc_id, sum("
+            "ln(1 + (st.n - df.df + 0.5) / (df.df + 0.5)) "
+            "* tf.tf * 2.2 / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dlen "
+            "/ st.avgdl))) AS score "
+            "FROM tf JOIN df USING (term) JOIN dl USING (doc_id) "
+            "CROSS JOIN st GROUP BY 1) "
+            "SELECT doc_id, CAST(round(score * 10000) AS BIGINT) "
+            "AS score_e4 FROM sc "
+            "ORDER BY score_e4 DESC, doc_id LIMIT 20"
+        ),
+        "corr_lineitem": (
+            "SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n, "
+            "CAST(round(corr(l_extendedprice, l_quantity) * 1000000) "
+            "AS BIGINT) AS corr_e6 "
+            "FROM lineitem GROUP BY l_returnflag"
         ),
         "event_value_quantiles": (
             "SELECT event_type, "

@@ -71,7 +71,14 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
     rd.read_parquet(corpus["transcripts"]).count()
 
     queries: dict[str, float] = {}
-    cfg = PipelineConfig()
+    # ensure_corpus writes transcripts conversation-contiguous (synth.py
+    # np.repeat conv layout), so the no-shuffle promotion path applies:
+    # conversations complete within a block promote locally and only the
+    # ~2 boundary convs per block go through the per-document shuffle.
+    # Equivalence to the shuffled path is pytest-gated
+    # (test_presorted_promotion_*); on non-contiguous input leave this
+    # False and pay the one per-document all-to-all.
+    cfg = PipelineConfig(presorted_conversations=True)
 
     # Headline = median of 3 end-to-end linkage runs (round-2 VERDICT
     # task 9: single runs are uninformative under this VM's documented
@@ -102,6 +109,7 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
             "num_cpus": num_cpus, "turns": n_turns,
             "turns_per_sec": round(n_turns / t_link, 1),
             "clusters": n_clusters,
+            "stages": out.get("timings", {}),
         }
 
     t0 = time.time()
@@ -121,6 +129,12 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
     ngram_jaccard_dedup(docs, id_col="doc_id",
                         num_partitions=max(2, num_cpus // 2)).count()
     queries["ngram_jaccard_dedup"] = round(time.time() - t0, 3)
+
+    from wned_ray.pipelines.datawork import bm25_topk
+
+    t0 = time.time()
+    bm25_topk(docs, ["hash", "join", "vector", "stream"], k=20).count()
+    queries["bm25_docs"] = round(time.time() - t0, 3)
 
     t0 = time.time()
     import numpy as np
@@ -270,6 +284,8 @@ def main() -> None:
             "turns_per_sec_hi": r_hi["turns_per_sec"],
             "turns": r_lo["turns"],
             "sf": r_lo["sf"],
+            "stages_lo": r_lo.get("stages", {}),
+            "stages_hi": r_hi.get("stages", {}),
         }))
         return
     if "--once" in sys.argv:

@@ -986,3 +986,124 @@ def test_ann_ivf_deterministic(ray_session):
     b = (ann_ivf(ds, q_ids, qm, k=3, n_cells=4, train_sample=60)
          .to_pandas().sort_values(["query_id", "vec_id"]).values.tolist())
     assert a == b
+
+
+def test_stratified_sample_k_matches_duckdb(docs):
+    import duckdb
+
+    from wned_ray.pipelines.datawork import stratified_sample_k
+
+    got = (stratified_sample_k(docs.select_columns(
+        ["doc_id", "lang", "n_chars"]), key_col="lang", id_col="doc_id",
+        k=10, seed=7)
+        .to_pandas().sort_values(["lang", "doc_id"]).reset_index(drop=True))
+    want = duckdb.sql(f"""
+        SELECT doc_id, lang, n_chars FROM (
+          SELECT doc_id, lang, n_chars, row_number() OVER (
+            PARTITION BY lang ORDER BY
+            (CAST((doc_id + 7) % 4294967296 AS HUGEINT)
+             * 2654435761) % 4294967296, doc_id) AS rn
+          FROM read_parquet('{SF}/documents.parquet')) WHERE rn <= 10
+        ORDER BY lang, doc_id""").df()
+    assert got[["doc_id", "lang", "n_chars"]].values.tolist() == \
+        want.values.tolist()
+
+
+def test_stratified_sample_k_small_groups(ray_session):
+    """Groups smaller than k keep every row; combiner never drops one."""
+    import ray.data as rd
+
+    from wned_ray.pipelines.datawork import stratified_sample_k
+
+    ds = rd.from_items([{"g": "a", "id": i} for i in range(3)]
+                       + [{"g": "b", "id": i} for i in range(40)])
+    out = stratified_sample_k(ds, key_col="g", id_col="id", k=5,
+                              seed=1).to_pandas()
+    assert (out.groupby("g").size().to_dict()) == {"a": 3, "b": 5}
+
+
+def test_bm25_topk_matches_duckdb(docs):
+    import duckdb
+
+    from wned_ray.pipelines.datawork import bm25_topk
+
+    got = bm25_topk(docs.select_columns(["doc_id", "text"]),
+                    ["hash", "join", "vector", "stream"],
+                    k=20).to_pandas()
+    want = duckdb.sql(f"""
+        WITH d AS (SELECT doc_id,
+            regexp_extract_all(lower(text), '[a-z0-9]+') AS ts
+          FROM read_parquet('{SF}/documents.parquet')),
+        dl AS (SELECT doc_id, len(ts) AS dlen FROM d),
+        st AS (SELECT count(*) AS n,
+            1.0 * sum(dlen) / count(*) AS avgdl FROM dl),
+        tf AS (SELECT doc_id, term, count(*) AS tf FROM (
+            SELECT doc_id, unnest(ts) AS term FROM d)
+          WHERE term IN ('hash', 'join', 'vector', 'stream')
+          GROUP BY 1, 2),
+        df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+        sc AS (SELECT tf.doc_id, sum(
+            ln(1 + (st.n - df.df + 0.5) / (df.df + 0.5))
+            * tf.tf * 2.2 / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dlen
+            / st.avgdl))) AS score
+          FROM tf JOIN df USING (term) JOIN dl USING (doc_id)
+          CROSS JOIN st GROUP BY 1)
+        SELECT doc_id, CAST(round(score * 10000) AS BIGINT) AS score_e4
+        FROM sc ORDER BY score_e4 DESC, doc_id LIMIT 20""").df()
+    assert len(got) == 20
+    assert got[["doc_id", "score_e4"]].values.tolist() == \
+        want.values.tolist()
+
+
+def test_bm25_absent_term_and_ordering(ray_session):
+    """A term in no doc contributes nothing; tf saturation orders a
+    doc with a rarer term above one stuffed with a common term."""
+    import ray.data as rd
+
+    from wned_ray.pipelines.datawork import bm25_topk
+
+    ds = rd.from_items([
+        {"doc_id": 1, "text": "cat cat cat cat cat cat"},
+        {"doc_id": 2, "text": "zebra cat"},
+        {"doc_id": 3, "text": "dog dog"},
+    ])
+    out = (bm25_topk(ds, ["zebra", "cat", "unicorn"], k=3)
+           .to_pandas().set_index("doc_id")["score_e4"])
+    assert 3 not in out.index            # no query term -> no row
+    assert out[2] > out[1]               # rare zebra beats stuffed cat
+
+
+def test_grouped_corr_matches_duckdb(ray_session):
+    import duckdb
+    import ray.data as rd
+
+    from wned_ray.pipelines.datawork import grouped_corr
+
+    ds = rd.read_parquet(f"{SF}/lineitem.parquet")
+    got = (grouped_corr(ds, "l_returnflag", "l_quantity",
+                        "l_extendedprice")
+           .to_pandas().sort_values("l_returnflag").reset_index(drop=True))
+    want = duckdb.sql(f"""
+        SELECT l_returnflag, count(*) AS n,
+               corr(l_extendedprice, l_quantity) AS c
+        FROM read_parquet('{SF}/lineitem.parquet')
+        GROUP BY 1 ORDER BY 1""").df()
+    assert got["l_returnflag"].tolist() == want["l_returnflag"].tolist()
+    assert got["n"].tolist() == want["n"].tolist()
+    assert np.allclose(got["corr"].values, want["c"].values, atol=1e-9)
+
+
+def test_grouped_corr_degenerate(ray_session):
+    """Constant column -> zero denominator -> NaN (ANSI corr NULL)."""
+    import ray.data as rd
+
+    from wned_ray.pipelines.datawork import grouped_corr
+
+    ds = rd.from_items([{"g": "a", "x": 1.0, "y": float(i)}
+                        for i in range(5)]
+                       + [{"g": "b", "x": float(i), "y": 2.0 * i + 1}
+                          for i in range(5)])
+    out = (grouped_corr(ds, "g", "x", "y").to_pandas()
+           .set_index("g")["corr"])
+    assert np.isnan(out["a"])
+    assert abs(out["b"] - 1.0) < 1e-12

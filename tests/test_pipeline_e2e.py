@@ -164,3 +164,24 @@ def test_presorted_linkage_f1(ray_session, t1_corpus):
     m = pairwise_metrics(rd.read_parquet(t1_corpus["labels"]),
                          out["clusters"])
     assert m["micro_f1"] >= 0.99, m
+
+
+def test_star_member_broadcast_equals_join_fallback(ray_session, t1_corpus):
+    """The broadcast member attach (rep_broadcast_max path) must emit
+    EXACTLY the pairs of the distributed-join fallback."""
+    from dataclasses import replace
+
+    def pairs(cfg):
+        out = run_linkage(t1_corpus["transcripts"], t1_corpus["aliases"],
+                          t1_corpus["graph_edges"], cfg,
+                          redirects_path=t1_corpus["redirects"])
+        return (out["scores"].select_columns(["id_a", "id_b", "block_key",
+                                              "score", "matched"])
+                .to_pandas()
+                .sort_values(["id_a", "id_b"]).reset_index(drop=True))
+
+    base = PipelineConfig()
+    bc = pairs(base)                              # broadcast path
+    jn = pairs(replace(base, rep_broadcast_max=0))  # join fallback
+    assert bc.values.tolist() == jn.values.tolist()
+    assert len(bc) > 0

@@ -1710,6 +1710,195 @@ def hash_sample(ds, id_col: str, rate_pct: float, seed: int = 0):
     return ds.map_batches(keep, batch_format="pyarrow")
 
 
+def stratified_sample_k(ds, key_col: str, id_col: str, k: int,
+                        seed: int = 0):
+    """Deterministic stratified sample: the ``k`` rows per ``key_col``
+    group with the SMALLEST Knuth hash of ``id_col`` (ties by id) — the
+    per-stratum twin of :func:`hash_sample`, SQL-expressible as
+    ``row_number() OVER (PARTITION BY key ORDER BY hash, id) <= k``.
+
+    Scale shape: a per-batch COMBINER keeps each batch's k smallest
+    hashes per key before the hash shuffle, so the all-to-all moves at
+    most ``k x |keys-per-batch|`` rows regardless of input size; the
+    final per-group selection then sees at most ``k x n_batches`` rows
+    per key. Selection is a pure function of (id, seed): re-runs,
+    resumed runs and two engines agree on the exact sample."""
+    mask32 = np.uint64((1 << 32) - 1)
+    knuth = np.uint64(2654435761)
+    seed_u = np.uint64(seed)
+
+    def add_hash(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.uint64)
+        h = (((ids + seed_u) & mask32) * knuth) & mask32
+        t = batch.append_column("_h", pa.array(h.astype(np.int64)))
+        # combiner: per-key k smallest within the batch (vectorized
+        # lexsort + segment rank, no per-key Python)
+        order = pc.sort_indices(
+            t, sort_keys=[(key_col, "ascending"), ("_h", "ascending"),
+                          (id_col, "ascending")])
+        t = t.take(order)
+        keys = t[key_col]
+        first = np.r_[True, keys.slice(1).to_numpy(zero_copy_only=False)
+                      != keys.slice(0, t.num_rows - 1)
+                      .to_numpy(zero_copy_only=False)] \
+            if t.num_rows else np.zeros(0, bool)
+        starts = np.flatnonzero(first)
+        seg = np.diff(np.r_[starts, t.num_rows])
+        rank = np.arange(t.num_rows) - np.repeat(starts, seg)
+        return t.filter(pa.array(rank < k))
+
+    def head_k(g: pd.DataFrame) -> pd.DataFrame:
+        return (g.sort_values(["_h", id_col]).head(k)
+                .drop(columns=["_h"]))
+
+    return (ds.map_batches(add_hash, batch_format="pyarrow")
+            .groupby(key_col)
+            .map_groups(head_k, batch_format="pandas"))
+
+
+def bm25_topk(ds, query_terms: list, k: int = 20, id_col: str = "doc_id",
+              text_col: str = "text", k1: float = 1.2, b: float = 0.75):
+    """Okapi BM25 top-k full-text search over a document table — the
+    inverted-index ranking the reference front-ends with Lucene
+    (CandidateSelectionLucene), re-expressed shuffle-free.
+
+    Two streaming passes, no inverted index materialized:
+    1. stats — each batch emits per-query-term partial document
+       frequencies plus (n_docs, len_sum) partials; a tiny groupby-SUM
+       reduces them to |query_terms|+1 rows (the only exchange, dim-
+       sized regardless of corpus size).
+    2. score — idf/avgdl broadcast in the closure; each batch tokenizes
+       ([a-z0-9]+ lowercase, the repo-wide SQL-twin tokenizer), counts
+       query-term tf by bincount and emits BM25 scores vectorized.
+    Top-k orders by the e4-scaled int score (hash-stable-oracle
+    discipline: both engines cut the limit on exact ints, so float
+    summation-order noise below 1e-4 cannot flip the boundary).
+
+    idf = ln(1 + (N - df + 0.5)/(df + 0.5)) (Lucene's non-negative
+    variant); N and avgdl count ALL docs, including token-less ones."""
+    from ray.data.aggregate import Sum
+
+    terms = sorted(set(query_terms))
+    term_idx = {t: i for i, t in enumerate(terms)}
+    nt = len(terms)
+
+    term_arr = pa.array(terms, pa.string())
+
+    def stats(batch: pa.Table) -> pa.Table:
+        flat, parents = _tokenize_lower(batch[text_col])
+        n = batch.num_rows
+        code = pc.fill_null(pc.index_in(flat, term_arr), -1).to_numpy(
+            zero_copy_only=False).astype(np.int64) \
+            if len(flat) else np.zeros(0, np.int64)
+        dfs = np.zeros(nt, np.int64)
+        if len(code):
+            m = code >= 0
+            par = parents.to_numpy(zero_copy_only=False).astype(np.int64)
+            # df: distinct (doc, term) presence
+            pairs = np.unique(par[m] * nt + code[m])
+            np.add.at(dfs, pairs % nt, 1)
+        return pa.table({
+            "term": pa.array(terms + ["\x00stats\x00"], pa.string()),
+            "df": pa.array(np.r_[dfs, 0], pa.int64()),
+            "n_docs": pa.array([0] * nt + [n], pa.int64()),
+            "len_sum": pa.array([0] * nt + [len(flat)], pa.int64()),
+        })
+
+    agg = (ds.map_batches(stats, batch_format="pyarrow")
+           .groupby("term")
+           .aggregate(Sum("df", alias_name="df"),
+                      Sum("n_docs", alias_name="n_docs"),
+                      Sum("len_sum", alias_name="len_sum"))
+           .take_all())                      # |terms|+1 rows: dim-sized
+    n_docs = sum(r["n_docs"] for r in agg)
+    len_sum = sum(r["len_sum"] for r in agg)
+    avgdl = (len_sum / n_docs) if n_docs else 1.0
+    df = np.zeros(nt, np.float64)
+    for r in agg:
+        i = term_idx.get(r["term"])
+        if i is not None:
+            df[i] = r["df"]
+    idf = np.log1p((n_docs - df + 0.5) / (df + 0.5))
+
+    def score(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        flat, parents = _tokenize_lower(batch[text_col])
+        par = parents.to_numpy(zero_copy_only=False).astype(np.int64) \
+            if len(flat) else np.zeros(0, np.int64)
+        dlen = np.bincount(par, minlength=n).astype(np.float64)
+        code = pc.fill_null(pc.index_in(flat, term_arr), -1).to_numpy(
+            zero_copy_only=False).astype(np.int64) \
+            if len(flat) else np.zeros(0, np.int64)
+        m = code >= 0
+        tf = np.zeros(n * nt, np.float64)
+        if m.any():
+            np.add.at(tf, par[m] * nt + code[m], 1)
+        tf = tf.reshape(n, nt)
+        norm = k1 * (1 - b + b * dlen / avgdl)
+        s = (tf * (k1 + 1) / (tf + norm[:, None]) * idf).sum(axis=1)
+        keep = s > 0
+        return pa.table({
+            id_col: batch[id_col].filter(pa.array(keep)),
+            "score_e4": pa.array(
+                np.round(s[keep] * 10_000).astype(np.int64)),
+        })
+
+    return (ds.map_batches(score, batch_format="pyarrow")
+            .sort(["score_e4", id_col], descending=[True, False])
+            .limit(k))
+
+
+def grouped_corr(ds, key_col: str, x_col: str, y_col: str):
+    """Per-key Pearson correlation (sample covariance denominators, the
+    ANSI ``corr(y, x)`` semantics) via the six-sums decomposition.
+
+    Shape: a per-batch combiner reduces each batch to one
+    (n, Σx, Σy, Σx², Σy², Σxy) row per key, the groupby-SUM exchange
+    moves |keys-per-batch| rows, and the dim-sized finalize computes
+    ``(nΣxy − ΣxΣy) / sqrt((nΣx² − Σx²)(nΣy² − Σy²))`` — the input is
+    read once and never shuffled."""
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        key = batch[key_col]
+        x = batch[x_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        y = batch[y_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        t = pa.table({key_col: key,
+                      "_n": pa.array(np.ones(len(x)), pa.float64()),
+                      "_sx": pa.array(x), "_sy": pa.array(y),
+                      "_sxx": pa.array(x * x), "_syy": pa.array(y * y),
+                      "_sxy": pa.array(x * y)})
+        return t.group_by(key_col).aggregate(
+            [(c, "sum") for c in ("_n", "_sx", "_sy",
+                                  "_sxx", "_syy", "_sxy")]
+        ).rename_columns([key_col, "_n", "_sx", "_sy",
+                          "_sxx", "_syy", "_sxy"])
+
+    sums = (ds.select_columns([key_col, x_col, y_col])
+            .map_batches(partial, batch_format="pyarrow")
+            .groupby(key_col)
+            .aggregate(*[Sum(c, alias_name=c)
+                         for c in ("_n", "_sx", "_sy",
+                                   "_sxx", "_syy", "_sxy")]))
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        n = batch["_n"].to_numpy(zero_copy_only=False)
+        sx = batch["_sx"].to_numpy(zero_copy_only=False)
+        sy = batch["_sy"].to_numpy(zero_copy_only=False)
+        sxx = batch["_sxx"].to_numpy(zero_copy_only=False)
+        syy = batch["_syy"].to_numpy(zero_copy_only=False)
+        sxy = batch["_sxy"].to_numpy(zero_copy_only=False)
+        den = np.sqrt(np.maximum(n * sxx - sx * sx, 0)
+                      * np.maximum(n * syy - sy * sy, 0))
+        corr = np.where(den > 0, (n * sxy - sx * sy)
+                        / np.where(den > 0, den, 1.0), np.nan)
+        return pa.table({key_col: batch[key_col],
+                         "n": pa.array(n.astype(np.int64)),
+                         "corr": pa.array(corr, pa.float64())})
+
+    return sums.map_batches(finalize, batch_format="pyarrow")
+
+
 def group_quantiles(ds, key_col: str, val_col: str,
                     qs: tuple = (0.25, 0.5, 0.9, 0.99)):
     """Per-key exact quantiles (linear interpolation, the quantile_cont

@@ -340,8 +340,64 @@ def expand_pairs_star(mentions_ds, norm_pairs_ds, cfg: PipelineConfig,
 
     fuzzy_pairs = fz.map_batches(fuzzy_emit, batch_format="pyarrow")
 
-    # ---- exact tier: rep <-> every other member of the surface; the
-    # member attach is star mode's single mention-scale hash join
+    # ---- exact tier: rep <-> every other member of the surface. Under
+    # the broadcast cap the exact-norm dim (one row per multi-mention
+    # surface, vocabulary-sized, feats riding) is collected once and the
+    # member attach becomes a per-batch index_in/take over the mention
+    # stream — star mode's LAST mention-scale hash join (and its
+    # aggregator spawn wave) disappears; mentions never shuffle at all.
+    # Past the cap the distributed join below remains the scale path.
+    ex_tbl = None
+    if broadcast_reps:
+        import ray
+
+        ex_parts = [t for t in ray.get(
+            exact.select_columns(["norm_a", "rep_a", "block_key"] + feats)
+            .to_arrow_refs()) if t.num_columns > 0 and t.num_rows > 0]
+        if ex_parts:
+            cand = pa.concat_tables(ex_parts).combine_chunks()
+            if cand.num_rows <= cfg.rep_broadcast_max:
+                ex_tbl = cand
+
+    if broadcast_reps and ex_tbl is None and not ex_parts:
+        # no multi-mention surfaces at all: the exact tier is empty
+        return fuzzy_pairs
+
+    if ex_tbl is not None:
+        ex_ref = ray.put(ex_tbl)
+
+        def member_emit(batch: pa.Table) -> pa.Table:
+            ex = ray.get(ex_ref)            # zero-copy plasma read
+            idx = pc.index_in(batch["norm_mention"],
+                              value_set=ex["norm_a"])
+            hit = pc.is_valid(idx)
+            b = batch.filter(hit)
+            iv = idx.filter(hit)
+            rep = ex["rep_a"].take(iv)
+            keep = pc.not_equal(b["mention_id"], rep)
+            b, iv, rep = (b.filter(keep), iv.filter(keep),
+                          rep.filter(keep))
+            return pa.table(dict(
+                {"rep_a": rep, "id_b": b["mention_id"],
+                 "norm_a": b["norm_mention"], "ctx_b": b["ctx"],
+                 "block_key": ex["block_key"].take(iv)},
+                **{c: ex[c].take(iv) for c in feats}))
+
+        e1 = (mentions_ds.map_batches(member_emit, batch_format="pyarrow")
+              .map_batches(attach("rep_a", "ctx_a"),
+                           batch_format="pyarrow"))
+
+        def exact_emit_bc(batch: pa.Table) -> pa.Table:
+            return pa.table(dict(
+                {"id_a": batch["rep_a"], "id_b": batch["id_b"],
+                 "norm_a": batch["norm_a"], "norm_b": batch["norm_a"],
+                 "ctx_a": batch["ctx_a"], "ctx_b": batch["ctx_b"],
+                 "block_key": batch["block_key"]},
+                **{c: batch[c] for c in feats})).select(out_cols)
+
+        return fuzzy_pairs.union(
+            e1.map_batches(exact_emit_bc, batch_format="pyarrow"))
+
     e1 = exact.join(
         mentions_ds.rename_columns({"norm_mention": "norm_a",
                                     "mention_id": "id_b",
