@@ -210,17 +210,29 @@ def _promotion_table(norms_ds, max_token_block: int) -> pa.Table:
     from ray.data.aggregate import Count, Max
 
     def tok(batch: pa.Table) -> pa.Table:
+        import pandas as pd
+
         toks = pc.split_pattern(batch["norm_mention"], " ")
         flat = pc.list_flatten(toks)
         parents = pc.list_parent_indices(toks)
         keep = pc.not_equal(flat, "")
         flat, parents = flat.filter(keep), parents.filter(keep)
-        n_tok = pc.list_value_length(toks)
-        tp = pa.array(parents.to_numpy(zero_copy_only=False).astype("int64"))
+        # DISTINCT (norm, token) presence rows + distinct token count:
+        # token-SET containment semantics, matching
+        # _promotion_table_local (duplicate tokens inside one surface
+        # must not inflate the shared count)
+        par = parents.to_numpy(zero_copy_only=False).astype("int64")
+        vals = flat.to_numpy(zero_copy_only=False)
+        codes, _ = pd.factorize(vals)
+        ncodes = int(codes.max()) + 1 if len(codes) else 1
+        _, idx = np.unique(par * ncodes + codes, return_index=True)
+        par_u = par[idx]
+        n_distinct = np.bincount(par_u, minlength=batch.num_rows)
+        tp = pa.array(par_u)
         return pa.table({
-            "token": flat,
+            "token": flat.take(pa.array(idx)),
             "norm": batch["norm_mention"].take(tp),
-            "n_tok": pc.cast(n_tok, pa.int64()).take(tp),
+            "n_tok": pa.array(n_distinct[par_u], pa.int64()),
         })
 
     toks = norms_ds.map_batches(tok, batch_format="pyarrow").materialize()
@@ -328,21 +340,83 @@ def _promotion_table_local(norms: list[str], max_token_block: int
     if not norms:
         return pa.table({"norm_a": pa.array([], pa.string()),
                          "norm_promoted": pa.array([], pa.string())})
+    empty = pa.table({"norm_a": pa.array([], pa.string()),
+                      "norm_promoted": pa.array([], pa.string())})
     df = pd.DataFrame({"norm": norms})
     toks = df["norm"].str.split(" ")
-    df["na"] = toks.str.len()
     ex = df.assign(token=toks).explode("token")
     ex = ex[ex["token"] != ""]
-    vc = ex["token"].value_counts()
-    ex = ex[~ex["token"].isin(set(vc[vc > max_token_block].index))]
-    m = ex.merge(ex, on="token", suffixes=("_a", "_b"))
-    m = m[m["na_a"] < m["na_b"]]
-    if not len(m):
-        return pa.table({"norm_a": pa.array([], pa.string()),
-                         "norm_promoted": pa.array([], pa.string())})
-    shared = (m.groupby(["norm_a", "norm_b"], as_index=False)
-              .agg(n_shared=("token", "size"), na=("na_a", "first")))
-    cont = shared[shared["n_shared"] == shared["na"]]
+    if not len(ex):
+        return empty
+    # DISTINCT (norm, token) presence rows. The rule is token-SET
+    # containment: set(a) ⊆ set(b) with |set(a)| < |set(b)| — the old
+    # occurrence-product count (n_shared = Σ j·k) could certify
+    # "containment" through a duplicated token on either side ("w29 w11"
+    # under "w11 w11 w30"), a false promotion; sets close that hole.
+    code, _ = pd.factorize(ex["token"].to_numpy())
+    nid = ex.index.to_numpy().astype(np.int64)    # explode keeps df index
+    ncodes = int(code.max()) + 1
+    key = nid * ncodes + code
+    occ_key = np.unique(key)
+    occ_nid = (occ_key // ncodes).astype(np.int64)
+    occ_code = (occ_key % ncodes).astype(np.int64)
+    # na = distinct token count PRE hot-drop (a norm with a dropped hot
+    # token keeps its full na and therefore never certifies containment)
+    na_all = np.bincount(occ_nid, minlength=len(df)).astype(np.int64)
+    tc = np.bincount(occ_code, minlength=ncodes)  # norms-per-token counts
+    surv = tc[occ_code] <= max_token_block
+    occ_key, occ_nid, occ_code = occ_key[surv], occ_nid[surv], occ_code[surv]
+    if not len(occ_key):
+        return empty
+    # Rarest-token candidate generation instead of a token self-join: a
+    # contained norm shares EVERY token with its container, so probing
+    # each norm through its globally rarest surviving token reaches
+    # every container while generating Σ_a cnt(rarest(a)) candidates
+    # instead of Σ_t cnt(t)² join rows (the self-merge was ~7 s of
+    # driver wall at the 8M-turn vocabulary; this is <1 s).
+    order = np.lexsort((tc[occ_code], occ_nid))
+    first = np.flatnonzero(np.r_[True, occ_nid[order][1:]
+                                 != occ_nid[order][:-1]])
+    probe_nid = occ_nid[order][first]
+    probe_code = occ_code[order][first]
+    # norms containing each token: rows sorted by (code, nid)
+    byc = np.lexsort((occ_nid, occ_code))
+    c_sorted = occ_code[byc]
+    n_sorted = occ_nid[byc]
+    starts = np.searchsorted(c_sorted, np.arange(ncodes))
+    ends = np.searchsorted(c_sorted, np.arange(ncodes), side="right")
+    cnt = (ends - starts)[probe_code]
+    A = np.repeat(probe_nid, cnt)
+    off = np.arange(int(cnt.sum()), dtype=np.int64) - np.repeat(
+        np.cumsum(cnt) - cnt, cnt)
+    B = n_sorted[np.repeat(starts[probe_code], cnt) + off]
+    keep = na_all[A] < na_all[B]
+    A, B = A[keep], B[keep]
+    if not len(A):
+        return empty
+    # verify set containment: explode a's surviving distinct tokens per
+    # candidate pair, membership-test (b, token) via searchsorted over
+    # the sorted presence keys, all() per pair via reduceat-min
+    a_starts = np.searchsorted(occ_nid, A)
+    a_ends = np.searchsorted(occ_nid, A, side="right")
+    a_cnt = a_ends - a_starts                      # >= 1: A came from occ
+    total = int(a_cnt.sum())
+    src = np.repeat(a_starts, a_cnt) + (
+        np.arange(total, dtype=np.int64)
+        - np.repeat(np.cumsum(a_cnt) - a_cnt, a_cnt))
+    pair_idx = np.repeat(np.arange(len(A), dtype=np.int64), a_cnt)
+    probe_key = B[pair_idx] * ncodes + occ_code[src]
+    pos = np.searchsorted(occ_key, probe_key)
+    pos = np.minimum(pos, len(occ_key) - 1)
+    present = (occ_key[pos] == probe_key).astype(np.int64)
+    bounds = np.cumsum(a_cnt) - a_cnt
+    n_shared = np.add.reduceat(present, bounds)
+    ok = n_shared == na_all[A]
+    if not ok.any():
+        return empty
+    norm_arr = df["norm"].to_numpy()
+    cont = pd.DataFrame({"norm_a": norm_arr[A[ok]],
+                         "norm_b": norm_arr[B[ok]]})
     out_a, out_b = [], []
     for norm_a, g in cont.groupby("norm_a"):
         exts = sorted(g["norm_b"].tolist())
@@ -385,12 +459,28 @@ def global_promote(prepared_ds, cfg: PipelineConfig,
     def batch_distinct(batch: pa.Table) -> pa.Table:
         return pa.table({"norm_mention": pc.unique(batch["norm_mention"])})
 
+    import sys
+    import time
+
+    t0 = time.time()
     uniq = (prepared_ds.select_columns(["norm_mention"])
             .map_batches(batch_distinct, batch_format="pyarrow")
             .materialize())
+    print(f"[profiling] prepared substage=promote_vocab_scan "
+          f"sec={time.time() - t0:.1f}", file=sys.stderr)
+    t0 = time.time()
     if uniq.count() <= broadcast_max:        # vocab fits the driver
-        vocab = sorted({r["norm_mention"] for r in uniq.take_all()})
+        parts = [t for t in ray.get(uniq.to_arrow_refs())
+                 if t.num_columns > 0 and t.num_rows > 0]
+        if parts:
+            va = pc.unique(
+                pa.concat_tables(parts)["norm_mention"].combine_chunks())
+            vocab = va.take(pc.sort_indices(va)).to_pylist()
+        else:
+            vocab = []
         promo = _promotion_table_local(vocab, cfg.max_block_size)
+        print(f"[profiling] prepared substage=promote_table_driver "
+              f"sec={time.time() - t0:.1f}", file=sys.stderr)
     else:                                    # corpus-scale vocabulary
         norms = (uniq.groupby("norm_mention")
                  .aggregate(Count(alias_name="_n")))

@@ -125,12 +125,32 @@ def norm_pairs(norm_blocks_ds, hot_keys: set[int], cfg: PipelineConfig,
     # table this produces is |distinct surface pairs| (tiny) either way.
     n_rows = slim.count()
     if n_rows <= cfg.norm_pairs_driver_max_rows:
+        import ray
+
         import ray.data as rd
 
         df = slim.to_pandas()
         sizes = df["block_key"].value_counts()
         if float((sizes * (sizes - 1)).sum()) / 2 <= 50_000_000:
-            return rd.from_arrow(_norm_pairs_local(df, cfg))
+            tbl = _norm_pairs_local(df, cfg)
+            # from_arrow(table) is ONE Ray Data block, and downstream
+            # parallelism (the NormPairScorer pool, the star expansion
+            # maps) is per block — slice into ~4x-CPU chunks so the
+            # vocab-sized pair set actually fans out
+            ncpu = int(ray.cluster_resources().get("CPU", 4))
+            nchunks = max(1, min(tbl.num_rows, 4 * ncpu))
+            step = (tbl.num_rows + nchunks - 1) // nchunks
+            # combine_chunks per slice: a bare slice serializes with its
+            # FULL parent buffers (nchunks x table bytes through the
+            # object store); compaction makes each block self-contained
+            chunks = [tbl.slice(i * step, step).combine_chunks()
+                      for i in range(nchunks) if i * step < tbl.num_rows]
+            out = rd.from_arrow(chunks if chunks else tbl)
+            # blocks are already concrete object-store tables: consumers
+            # may re-read freely; a materialize() would only add a no-op
+            # task wave (gen_pairs checks this flag before pinning)
+            out._wned_driver_backed = True
+            return out
 
     left = (slim.select_columns(["norm_mention", "rep_id", "block_key"])
             .rename_columns({"norm_mention": "norm_a", "rep_id": "rep_a"}))
@@ -263,15 +283,39 @@ def expand_pairs_star(mentions_ds, norm_pairs_ds, cfg: PipelineConfig,
     rep_ids = norm_pairs_ds.select_columns(["rep_a"]).union(
         norm_pairs_ds.select_columns(["rep_b"])
         .rename_columns({"rep_b": "rep_a"}))
-    reps = (rep_ids.groupby("rep_a").count()
-            .select_columns(["rep_a"]).materialize())
-    n_reps = reps.count()
-    broadcast_reps = n_reps <= cfg.rep_broadcast_max
+    # distinct reps via per-batch unique partials gathered to the driver
+    # — np_ds is materialized and vocab-sized, so this replaces a full
+    # groupby shuffle (one aggregator-actor spawn wave of fixed wall)
+    # with a streaming bounded collect: past 4x the broadcast cap of
+    # accumulated partials the collect aborts and the distributed
+    # groupby resumes as the scale path.
+    import ray
+
+    def _batch_uniq(batch: pa.Table) -> pa.Table:
+        return pa.table({"rep_a": pc.unique(batch["rep_a"])})
+
+    parts, total, bounded = [], 0, True
+    for ref in (rep_ids.map_batches(_batch_uniq, batch_format="pyarrow")
+                .to_arrow_refs()):
+        t = ray.get(ref)
+        if t.num_columns > 0 and t.num_rows > 0:
+            parts.append(t)
+            total += t.num_rows
+        if total > 4 * cfg.rep_broadcast_max:
+            bounded = False
+            break
+    if bounded:
+        ids = (pc.unique(pa.concat_tables(parts)["rep_a"].combine_chunks())
+               if parts else pa.array([], pa.string()))
+        n_reps = len(ids)
+    else:
+        reps = (rep_ids.groupby("rep_a").count()
+                .select_columns(["rep_a"]).materialize())
+        n_reps = reps.count()
+    broadcast_reps = bounded and n_reps <= cfg.rep_broadcast_max
 
     if broadcast_reps:
-        import ray
-
-        id_set = pa.array(sorted(r["rep_a"] for r in reps.take_all()))
+        id_set = ids.take(pc.sort_indices(ids))   # deterministic order
         set_ref = ray.put(id_set)
 
         def only_reps(batch: pa.Table) -> pa.Table:
@@ -299,6 +343,9 @@ def expand_pairs_star(mentions_ds, norm_pairs_ds, cfg: PipelineConfig,
                 return batch.append_column(out, vals.take(idx))
             return f
     else:
+        if bounded:       # over-cap but collect never aborted: still need
+            reps = (rep_ids.groupby("rep_a").count()    # the distributed dim
+                    .select_columns(["rep_a"]).materialize())
         reps_ctx = reps.join(
             mentions_ds.select_columns(["mention_id", "ctx"])
             .rename_columns({"mention_id": "rep_a", "ctx": "rep_ctx"}),
@@ -433,15 +480,34 @@ def gen_pairs(prepared_ds, norm_blocks_ds, hot_keys: set[int],
     (prior/sem_sim/name_sim/lev_sim) are scored on the DISTINCT norm
     pairs BEFORE expansion — |distinct surface pairs| actor work instead
     of |mention pairs| — and ride the expand joins as payload columns."""
+    import sys
+    import time
+
     mentions = prepared_ds.select_columns(["mention_id", "norm_mention", "ctx"])
+    t0 = time.time()
     np_ds = norm_pairs(norm_blocks_ds, hot_keys, cfg, num_partitions)
+    if (cfg.pair_mode == "star"
+            and not getattr(np_ds, "_wned_driver_backed", False)):
+        # pin the raw pair set FIRST (vocab-sized): the scorer's
+        # relatedness precompute and the star branches both re-read it
+        # (driver-backed fast-path blocks are already concrete)
+        np_ds = np_ds.materialize()
+    print(f"[profiling] pairs substage=norm_pairs sec={time.time() - t0:.1f}",
+          file=sys.stderr)
     if alias_ref is not None:
         from wned_ray.stages.scoring import score_norm_pairs
 
-        np_ds = score_norm_pairs(np_ds, alias_ref, graph_ref, cfg)
+        np_ds = score_norm_pairs(np_ds, alias_ref, graph_ref, cfg,
+                                 precompute_rel=cfg.pair_mode == "star")
     if cfg.pair_mode == "star":
-        # norm-pair set is consumed by several star-expansion branches;
-        # pin it (it is |distinct surface pairs|-sized, small)
+        # scored pair set is consumed by several star-expansion branches
+        t0 = time.time()
         np_ds = np_ds.materialize()
-        return expand_pairs_star(mentions, np_ds, cfg, num_partitions)
+        print(f"[profiling] pairs substage=norm_score_pin "
+              f"sec={time.time() - t0:.1f}", file=sys.stderr)
+        t0 = time.time()
+        out = expand_pairs_star(mentions, np_ds, cfg, num_partitions)
+        print(f"[profiling] pairs substage=star_setup "
+              f"sec={time.time() - t0:.1f}", file=sys.stderr)
+        return out
     return expand_pairs(mentions, np_ds, cfg, num_partitions)

@@ -86,6 +86,72 @@ def _gather_ranges(starts: np.ndarray, lens: np.ndarray) -> np.ndarray:
     return np.repeat(starts, lens) + offs
 
 
+def _candidate_csr_arrays(alias_table: pa.Table, cfg: PipelineConfig,
+                          graph) -> dict:
+    """Factorized alias-candidate state as plain arrays (G2 freq->prior,
+    top-K cap, 2e-5 floor) — shared by the per-actor build and the
+    driver-side ``build_scorer_state`` prebuild."""
+    df = alias_table.select(["entity", "alias", "freq"]).to_pandas()
+    df = df.groupby(["alias", "entity"], as_index=False)["freq"].sum()
+    tot = df.groupby("alias")["freq"].transform("sum")
+    df["prior"] = df["freq"] / tot
+    df = df[df["prior"] >= cfg.prior_floor]
+    df = df.sort_values(["alias", "prior", "entity"],
+                        ascending=[True, False, True])
+    df = df.groupby("alias").head(cfg.top_k_candidates)
+
+    alias_codes, alias_names = pd.factorize(df["alias"], sort=True)
+    ent_codes, ent_names = pd.factorize(df["entity"], sort=True)
+
+    # top candidate per alias = first row in (prior desc, entity) order
+    first = np.unique(alias_codes, return_index=True)[1]
+    top_ent = np.full(len(alias_names), -1, np.int64)
+    top_ent[alias_codes[first]] = ent_codes[first]
+    if graph is not None:
+        n2i = graph.name2id
+        top_gid = np.array(
+            [n2i.get(ent_names[e], -1) if e >= 0 else -1
+             for e in top_ent], np.int64)
+    else:
+        top_gid = np.full(len(alias_names), -1, np.int64)
+
+    # per-alias candidate list in CSR form, entity codes sorted per alias
+    order = np.lexsort((ent_codes, alias_codes))
+    counts = np.bincount(alias_codes, minlength=len(alias_names))
+    cand_indptr = np.zeros(len(alias_names) + 1, np.int64)
+    np.cumsum(counts, out=cand_indptr[1:])
+    return {
+        "alias_names": np.asarray(alias_names, dtype=object),
+        "n_ent": len(ent_names),
+        "top_ent": top_ent,
+        "top_gid": top_gid,
+        "cand_ent": ent_codes[order].astype(np.int64),
+        "cand_prior": df["prior"].to_numpy()[order],
+        "cand_indptr": cand_indptr,
+    }
+
+
+def build_scorer_state(alias_table: pa.Table, graph_table: pa.Table | None,
+                       cfg: PipelineConfig) -> dict:
+    """One-time (driver) build of everything NormPairScorer actors need:
+    symmetrized CSR graph arrays + factorized alias-candidate arrays.
+    ``ray.put`` the result and pass as ``state_ref`` — each actor then
+    wires zero-copy numpy views instead of repeating the
+    vocabulary-sized pandas/CSR builds per actor per run."""
+    if graph_table is not None and graph_table.num_rows > 0:
+        g = CSRGraph.from_edges(
+            graph_table["src"].to_pylist(),
+            graph_table["dst"].to_pylist(),
+            graph_table["weight"].to_numpy(zero_copy_only=False))
+        gstate = (g.indptr, g.indices, g.weights, g.names)
+    else:
+        g = None
+        gstate = None
+    st = _candidate_csr_arrays(alias_table, cfg, g)
+    st["graph"] = gstate
+    return st
+
+
 class NormPairScorer:
     """Actor-pool batch scorer over DISTINCT norm pairs. State loaded once
     per actor (A1/A3/A5).
@@ -97,12 +163,49 @@ class NormPairScorer:
     The semantic feature loops only over the batch's UNIQUE top-entity
     pairs (memoized across batches), not its rows."""
 
-    def __init__(self, alias_ref, graph_ref, cfg: PipelineConfig):
+    def __init__(self, alias_ref=None, graph_ref=None,
+                 cfg: PipelineConfig = None, state_ref=None, rel_ref=None):
         import ray
 
+        self.cfg = cfg
+        self._rel_memo: dict[tuple[int, int], float] = {}
+        if rel_ref is not None:
+            # (sorted pair keys ga*num_nodes+gb, relatedness values):
+            # the semantic feature becomes a searchsorted lookup — every
+            # unique entity pair was computed ONCE by the parallel
+            # precompute stage instead of per-actor with memo overlap
+            self._rel_keys, self._rel_vals, self._rel_n = ray.get(rel_ref)
+        else:
+            self._rel_keys = self._rel_vals = None
+            self._rel_n = 0
+        if state_ref is not None:
+            # prebuilt factorized state (build_scorer_state, driver-side
+            # ONCE): numeric arrays restore zero-copy from plasma; the
+            # vocabulary-sized pandas groupby / factorize / CSR builds
+            # never run inside the pool, so actor startup is wiring, not
+            # recomputation (the per-actor rebuild was ~seconds x pool
+            # size of fixed wall at the 8M-turn tier)
+            st = ray.get(state_ref) if not isinstance(state_ref, dict) \
+                else state_ref
+            if st["graph"] is not None:
+                self.graph = CSRGraph(*st["graph"])   # name2id stays lazy
+                self.kernel = SignatureKernel(
+                    self.graph, cfg.ppr_alpha, cfg.ppr_max_iter,
+                    cfg.ppr_tol, cfg.kl_gamma, cfg.kl_eps,
+                    cfg.hub_degree_threshold)
+            else:
+                self.graph = None
+                self.kernel = None
+            self.alias_index = pd.Index(st["alias_names"])
+            self.n_ent = st["n_ent"]
+            self.top_ent = st["top_ent"]
+            self.top_gid = st["top_gid"]
+            self.cand_ent = st["cand_ent"]
+            self.cand_prior = st["cand_prior"]
+            self.cand_indptr = st["cand_indptr"]
+            return
         alias_table = ray.get(alias_ref) if not isinstance(alias_ref, pa.Table) else alias_ref
         graph_table = ray.get(graph_ref) if graph_ref is not None and not isinstance(graph_ref, pa.Table) else graph_ref
-        self.cfg = cfg
         if graph_table is not None and graph_table.num_rows > 0:
             self.graph = CSRGraph.from_edges(
                 graph_table["src"].to_pylist(),
@@ -115,45 +218,19 @@ class NormPairScorer:
             self.graph = None
             self.kernel = None
         self._build_candidate_csr(alias_table, cfg)
-        self._rel_memo: dict[tuple[int, int], float] = {}
 
     def _build_candidate_csr(self, alias_table: pa.Table,
                              cfg: PipelineConfig) -> None:
         """Same prep as build_alias_candidates (G2 freq->prior, top-K cap,
         2e-5 floor), factorized to arrays instead of nested dicts."""
-        df = alias_table.select(["entity", "alias", "freq"]).to_pandas()
-        df = df.groupby(["alias", "entity"], as_index=False)["freq"].sum()
-        tot = df.groupby("alias")["freq"].transform("sum")
-        df["prior"] = df["freq"] / tot
-        df = df[df["prior"] >= cfg.prior_floor]
-        df = df.sort_values(["alias", "prior", "entity"],
-                            ascending=[True, False, True])
-        df = df.groupby("alias").head(cfg.top_k_candidates)
-
-        alias_codes, alias_names = pd.factorize(df["alias"], sort=True)
-        ent_codes, ent_names = pd.factorize(df["entity"], sort=True)
-        self.alias_index = pd.Index(alias_names)
-        self.n_ent = len(ent_names)
-
-        # top candidate per alias = first row in (prior desc, entity) order
-        first = np.unique(alias_codes, return_index=True)[1]
-        self.top_ent = np.full(len(alias_names), -1, np.int64)
-        self.top_ent[alias_codes[first]] = ent_codes[first]
-        if self.graph is not None:
-            n2i = self.graph.name2id
-            self.top_gid = np.array(
-                [n2i.get(ent_names[e], -1) if e >= 0 else -1
-                 for e in self.top_ent], np.int64)
-        else:
-            self.top_gid = np.full(len(alias_names), -1, np.int64)
-
-        # per-alias candidate list in CSR form, entity codes sorted per alias
-        order = np.lexsort((ent_codes, alias_codes))
-        self.cand_ent = ent_codes[order].astype(np.int64)
-        self.cand_prior = df["prior"].to_numpy()[order]
-        counts = np.bincount(alias_codes, minlength=len(alias_names))
-        self.cand_indptr = np.zeros(len(alias_names) + 1, np.int64)
-        np.cumsum(counts, out=self.cand_indptr[1:])
+        st = _candidate_csr_arrays(alias_table, cfg, self.graph)
+        self.alias_index = pd.Index(st["alias_names"])
+        self.n_ent = st["n_ent"]
+        self.top_ent = st["top_ent"]
+        self.top_gid = st["top_gid"]
+        self.cand_ent = st["cand_ent"]
+        self.cand_prior = st["cand_prior"]
+        self.cand_indptr = st["cand_indptr"]
 
     # ------------------------------------------------------------- features
 
@@ -187,7 +264,8 @@ class NormPairScorer:
 
     def _sem_batch(self, ia: np.ndarray, ib: np.ndarray) -> np.ndarray:
         """Per-pair relatedness of the two TOP candidates (K2/K4/K5);
-        kernel calls only for the batch's unique in-graph entity pairs."""
+        kernel calls only for the batch's unique in-graph entity pairs
+        that the precomputed relatedness lookup (``rel_ref``) missed."""
         n = len(ia)
         sem = np.zeros(n)
         if self.kernel is None:
@@ -204,9 +282,20 @@ class NormPairScorer:
         if in_graph.any():
             gp = np.stack([ga[in_graph], gb[in_graph]], axis=1)
             uniq, inv = np.unique(gp, axis=0, return_inverse=True)
-            vals = np.empty(len(uniq))
-            for u, (x, y) in enumerate(uniq):
-                key = (int(x), int(y))
+            vals = np.full(len(uniq), np.nan)
+            vals[uniq[:, 0] == uniq[:, 1]] = 1.0     # relatedness(a,a)
+            if self._rel_keys is not None and len(self._rel_keys):
+                # precomputed stage output (canonical a<b keys): one
+                # searchsorted per batch
+                ukey = (np.minimum(uniq[:, 0], uniq[:, 1]) * self._rel_n
+                        + np.maximum(uniq[:, 0], uniq[:, 1]))
+                pos = np.minimum(np.searchsorted(self._rel_keys, ukey),
+                                 len(self._rel_keys) - 1)
+                hit = ((self._rel_keys[pos] == ukey)
+                       & np.isnan(vals))
+                vals[hit] = self._rel_vals[pos[hit]]
+            for u in np.flatnonzero(np.isnan(vals)):
+                key = (int(uniq[u, 0]), int(uniq[u, 1]))
                 v = self._rel_memo.get(key)
                 if v is None:
                     v = self.kernel.relatedness(key[0], key[1])
@@ -240,22 +329,148 @@ class NormPairScorer:
         return out
 
 
-def score_norm_pairs(norm_pairs_ds, alias_ref, graph_ref, cfg: PipelineConfig):
+class RelCalc:
+    """Actor-pool kernel for the relatedness precompute stage: one row
+    per UNIQUE in-graph top-entity pair, each computed exactly once —
+    no per-actor memo overlap, so the stage parallelizes linearly."""
+
+    def __init__(self, cfg: PipelineConfig, state_ref):
+        import ray
+
+        st = ray.get(state_ref) if not isinstance(state_ref, dict) \
+            else state_ref
+        self.graph = CSRGraph(*st["graph"])
+        self.kernel = SignatureKernel(
+            self.graph, cfg.ppr_alpha, cfg.ppr_max_iter, cfg.ppr_tol,
+            cfg.kl_gamma, cfg.kl_eps, cfg.hub_degree_threshold)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ga = batch["ga"].to_numpy(zero_copy_only=False)
+        gb = batch["gb"].to_numpy(zero_copy_only=False)
+        rel = np.array([self.kernel.relatedness(int(x), int(y))
+                        for x, y in zip(ga, gb)], np.float64)
+        return batch.append_column("rel", pa.array(rel))
+
+
+def _precompute_rel(norm_pairs_ds, state, state_ref, cfg: PipelineConfig):
+    """Compute relatedness for every unique in-graph top-entity pair of
+    a MATERIALIZED vocab-sized norm-pair Dataset, fully parallel, and
+    return a ray.put lookup (sorted int64 pair keys, values, num_nodes)
+    — or None when the pair table exceeds the driver cap (the per-actor
+    memo path then remains the scale fallback)."""
+    import sys
+    import time
+
+    import ray
+    import ray.data as rd
+
+    if state["graph"] is None:
+        return None
+    t0 = time.time()
+    parts, total = [], 0
+    for ref in (norm_pairs_ds.select_columns(["norm_a", "norm_b"])
+                .to_arrow_refs()):
+        t = ray.get(ref)
+        if t.num_columns > 0 and t.num_rows > 0:
+            parts.append(t)
+            total += t.num_rows
+        if total > cfg.norm_pairs_driver_max_rows:
+            return None
+    if not parts:
+        return None
+    tbl = pa.concat_tables(parts).combine_chunks()
+    idx = pd.Index(state["alias_names"])
+    ia = idx.get_indexer(tbl["norm_a"].to_numpy(zero_copy_only=False))
+    ib = idx.get_indexer(tbl["norm_b"].to_numpy(zero_copy_only=False))
+    top_gid = state["top_gid"]
+    ga = np.where(ia >= 0, top_gid[np.maximum(ia, 0)], -1)
+    gb = np.where(ib >= 0, top_gid[np.maximum(ib, 0)], -1)
+    m = (ga >= 0) & (gb >= 0)
+    if not m.any():
+        n_nodes = len(state["graph"][0]) - 1
+        return ray.put((np.zeros(0, np.int64), np.zeros(0, np.float64),
+                        n_nodes))
+    n_nodes = len(state["graph"][0]) - 1
+    # canonical a<b (relatedness is computed canonically anyway) and no
+    # self pairs (exact-tier rows: relatedness(a,a)=1 needs no kernel)
+    lo = np.minimum(ga[m], gb[m])
+    hi = np.maximum(ga[m], gb[m])
+    keys = np.unique(lo * n_nodes + hi)
+    keys = keys[(keys // n_nodes) != (keys % n_nodes)]
+    if not len(keys):
+        return ray.put((np.zeros(0, np.int64), np.zeros(0, np.float64),
+                        n_nodes))
+    # seeded shuffle: unique() returns key-sorted pairs, which clusters
+    # one hub entity's (expensive) pairs into consecutive blocks — a
+    # straggler tail; a fixed permutation balances the pool
+    keys = keys[np.random.default_rng(0).permutation(len(keys))]
+    pairs = pa.table({"ga": pa.array((keys // n_nodes).astype(np.int64)),
+                      "gb": pa.array((keys % n_nodes).astype(np.int64))})
+    print(f"[profiling] pairs substage=rel_prep sec={time.time() - t0:.1f} "
+          f"unique_pairs={len(keys)}", file=sys.stderr)
+    t0 = time.time()
+    cluster_cpus = int(ray.cluster_resources().get("CPU", 2))
+    conc = max(1, cluster_cpus - 2)
+    # from_arrow(table) is ONE block and Ray parallelism is per block —
+    # slice into 4x-pool chunks so the pool actually fans out
+    nchunks = min(len(keys), 4 * conc)
+    step = (len(keys) + nchunks - 1) // nchunks
+    chunks = [pairs.slice(i * step, step).combine_chunks()
+              for i in range(nchunks) if i * step < len(keys)]
+    out = (rd.from_arrow(chunks)
+           .map_batches(RelCalc,
+                        fn_constructor_kwargs={"cfg": cfg,
+                                               "state_ref": state_ref},
+                        batch_format="pyarrow",
+                        concurrency=conc, num_cpus=1)
+           .to_arrow_refs())
+    print(f"[profiling] pairs substage=rel_pool sec={time.time() - t0:.1f}",
+          file=sys.stderr)
+    rparts = [t for t in ray.get(out)
+              if t.num_columns > 0 and t.num_rows > 0]
+    rt = pa.concat_tables(rparts).combine_chunks()
+    rk = (rt["ga"].to_numpy(zero_copy_only=False) * n_nodes
+          + rt["gb"].to_numpy(zero_copy_only=False))
+    order = np.argsort(rk)
+    return ray.put((rk[order], rt["rel"].to_numpy(
+        zero_copy_only=False)[order], n_nodes))
+
+
+def score_norm_pairs(norm_pairs_ds, alias_ref, graph_ref,
+                     cfg: PipelineConfig, precompute_rel: bool = False):
     """norm-pair Dataset (norm_a, norm_b, block_key) -> same + the three
     norm-level features, via the NormPairScorer actor pool.
 
     The input is |distinct surface pairs| — tiny relative to mention
     pairs — so a small pool suffices; it is still an actor pool because
-    each worker loads the alias dict + CSR graph once (A1/A3)."""
+    each worker loads the alias dict + CSR graph once (A1/A3).
+
+    ``precompute_rel=True`` (pass only with a MATERIALIZED input, else
+    the collect re-executes its lineage) runs the semantic kernel as a
+    dedicated duplicate-free parallel stage first: per-actor memoization
+    made the PPR relatedness work scale sublinearly (every actor re-ran
+    the pairs its siblings had already memoized)."""
     import ray
 
     cluster_cpus = int(ray.cluster_resources().get("CPU", 2))
     want = cfg.score_concurrency or max(1, cluster_cpus // 4)
     concurrency = max(1, min(want, cluster_cpus - 1))
+    # prebuild the factorized scorer state ONCE on the driver (the dim
+    # tables are already local: ray.get of a ray.put ref is a zero-copy
+    # plasma read) so pool startup is N x wiring, not N x rebuild
+    alias_table = ray.get(alias_ref) if not isinstance(alias_ref, pa.Table) \
+        else alias_ref
+    graph_table = (ray.get(graph_ref)
+                   if graph_ref is not None
+                   and not isinstance(graph_ref, pa.Table) else graph_ref)
+    state = build_scorer_state(alias_table, graph_table, cfg)
+    state_ref = ray.put(state)
+    rel_ref = (_precompute_rel(norm_pairs_ds, state, state_ref, cfg)
+               if precompute_rel else None)
     return norm_pairs_ds.map_batches(
         NormPairScorer,
-        fn_constructor_kwargs={"alias_ref": alias_ref, "graph_ref": graph_ref,
-                               "cfg": cfg},
+        fn_constructor_kwargs={"cfg": cfg, "state_ref": state_ref,
+                               "rel_ref": rel_ref},
         batch_format="pyarrow",
         batch_size=cfg.score_batch_size,
         concurrency=concurrency,

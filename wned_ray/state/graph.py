@@ -45,7 +45,16 @@ class CSRGraph:
         self.indices = indices
         self.weights = weights
         self.names = names                      # id -> name
-        self.name2id = {n: i for i, n in enumerate(names.tolist())}
+        self._name2id: dict | None = None       # built on first access
+
+    @property
+    def name2id(self) -> dict:
+        """Lazy name -> id dict: an actor wired from prebuilt CSR arrays
+        (scoring.build_scorer_state) never touches string lookups, so the
+        vocabulary-sized dict build is skipped there entirely."""
+        if self._name2id is None:
+            self._name2id = {n: i for i, n in enumerate(self.names.tolist())}
+        return self._name2id
 
     @property
     def num_nodes(self) -> int:
@@ -58,18 +67,19 @@ class CSRGraph:
         Node ids are assigned in first-seen order over src then dst (the
         reference assigns ids in read order, DirectedGraph.java:73-84).
         """
+        import pandas as pd
+
         src = np.asarray(src, dtype=object)
         dst = np.asarray(dst, dtype=object)
         weight = np.asarray(weight, dtype=np.float64)
-        names: list[str] = []
-        name2id: dict[str, int] = {}
-        for name in np.concatenate([src, dst]):
-            if name not in name2id:
-                name2id[name] = len(names)
-                names.append(name)
+        # factorize assigns codes in first-seen order over src then dst —
+        # identical ids to the reference's read-order assignment, without
+        # the per-edge Python loop
+        codes, uniques = pd.factorize(np.concatenate([src, dst]))
+        names = np.asarray(uniques, dtype=object)
         n = len(names)
-        s = np.fromiter((name2id[x] for x in src), np.int64, len(src))
-        d = np.fromiter((name2id[x] for x in dst), np.int64, len(dst))
+        s = codes[: len(src)].astype(np.int64)
+        d = codes[len(src):].astype(np.int64)
         # symmetrize with max-weight per unordered pair (K1 :194-229)
         lo = np.minimum(s, d)
         hi = np.maximum(s, d)
