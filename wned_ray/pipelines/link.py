@@ -78,13 +78,21 @@ def run_linkage(transcripts_path: str, aliases_path: str,
         # volume (blocking rows, expanded pairs with context payloads) is
         # an order of magnitude larger than the input, so 64 MB/partition
         # left the heaviest joins running through a handful of aggregator
-        # actors. Capped at cluster_cpus // 4: the star expansion runs up
-        # to FOUR hash joins concurrently in one streaming execution, and
-        # each join's aggregator pool reserves CPUs for the whole join —
-        # pools that together exceed the cluster livelock the executor
-        # (observed at 8M turns / 32 CPUs: 4 joins x 32 partitions, zero
-        # progress). Floor 4 keeps small sessions from serializing.
-        num_partitions = max(2, min(max(4, cluster_cpus // 4),
+        # actors. Capped at cluster_cpus // 4 with floor 8: concurrent
+        # aggregator pools that together reserve the whole cluster
+        # livelock the executor (observed at 8M turns / 32 CPUs: 4 joins
+        # x 32 partitions, zero progress) — but with the star-expansion
+        # joins replaced by broadcast attaches at most ~3 aggregates
+        # overlap, so a floor of 8 (8 x 0.25 CPU per pool) is safe down
+        # to 8-CPU sessions and keeps the shuffle WIDTH identical across
+        # cluster sizes — a 4-partition low leg measurably serialized
+        # the blocking exchange relative to the same data at 32 CPUs.
+        # floor capped by cluster CPUs: an 8-partition floor on a 4-CPU
+        # session livelocks the (rep_broadcast_max-exceeded) join
+        # fallback — its up-to-4 concurrent join pools would reserve
+        # 2x the cluster
+        num_partitions = max(2, min(max(min(8, cluster_cpus),
+                                        cluster_cpus // 4),
                                     max(8, input_bytes // (8 << 20))))
 
     ckpt = cfg.checkpoint_dir
