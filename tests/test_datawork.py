@@ -1107,3 +1107,18 @@ def test_grouped_corr_degenerate(ray_session):
            .set_index("g")["corr"])
     assert np.isnan(out["a"])
     assert abs(out["b"] - 1.0) < 1e-12
+
+
+def test_ngram_jaccard_join_path_equals_fast_path(docs):
+    """driver_max_rows=0 forces the distributed self-join; both paths
+    must emit the identical pair set + jaccard values."""
+    from wned_ray.pipelines.datawork import ngram_jaccard_dedup
+
+    fast = (ngram_jaccard_dedup(docs, id_col="doc_id", num_partitions=4)
+            .to_pandas().sort_values(["id_a", "id_b"]).reset_index(drop=True))
+    join = (ngram_jaccard_dedup(docs, id_col="doc_id", num_partitions=4,
+                                driver_max_rows=0)
+            .to_pandas().sort_values(["id_a", "id_b"]).reset_index(drop=True))
+    assert fast[["id_a", "id_b"]].values.tolist() == \
+        join[["id_a", "id_b"]].values.tolist()
+    assert np.allclose(fast["jaccard"].values, join["jaccard"].values)

@@ -200,9 +200,72 @@ def verify_jaccard(pairs_ds, ds, id_col: str, text_col: str = "text",
     return verified.filter(expr=f"jaccard >= {threshold}")
 
 
+def _ngram_jaccard_local(exploded, id_col: str, threshold: float,
+                         max_block: int):
+    """Driver twin of the ngram self-join: one vectorized pass over the
+    collected (id, gram, sz) rows — sort by gram, run-length pair
+    generation, bincount intersection. Exact same semantics (hot grams
+    over ``max_block`` docs dropped before pairing)."""
+    import ray
+    import ray.data as rd
+
+    parts = [t for t in ray.get(exploded.to_arrow_refs())
+             if t.num_columns > 0 and t.num_rows > 0]
+    empty = pa.table({"id_a": pa.array([], pa.int64()),
+                      "id_b": pa.array([], pa.int64()),
+                      "jaccard": pa.array([], pa.float64())})
+    if not parts:
+        return rd.from_arrow(empty)
+    t = pa.concat_tables(parts).combine_chunks()
+    ids_all = t[id_col].to_numpy(zero_copy_only=False)
+    grams = t["gram"].to_numpy(zero_copy_only=False)
+    sz_all = t["sz"].to_numpy(zero_copy_only=False)
+    # id codes (ids may be any type; factorize keeps the original values)
+    icodes, ivals = pd.factorize(ids_all)
+    sz_of = np.zeros(len(ivals), np.int64)
+    sz_of[icodes] = sz_all
+    order = np.argsort(grams, kind="stable")
+    g = grams[order]
+    ic = icodes[order]
+    runs = np.flatnonzero(np.r_[True, g[1:] != g[:-1]])
+    lens = np.diff(np.r_[runs, len(g)])
+    keep = lens <= max_block                     # hot-gram drop
+    runs, lens = runs[keep], lens[keep]
+    sq = lens * lens
+    total = int(sq.sum())
+    if total == 0:
+        return rd.from_arrow(empty)
+    # full cross product per run (Σ L² rows, hot-capped), then a<b:
+    # simple index math beats clever triangular decoding
+    starts = np.cumsum(sq) - sq
+    gidx = np.repeat(np.arange(len(runs)), sq)
+    w = np.arange(total, dtype=np.int64) - starts[gidx]
+    L = lens[gidx]
+    base = np.repeat(runs, sq)
+    a = ic[base + w // L]
+    b = ic[base + w % L]
+    m0 = a < b                                   # code-canonical, unique
+    key = a[m0].astype(np.int64) * len(ivals) + b[m0]
+    ukey, inter = np.unique(key, return_counts=True)
+    ua = (ukey // len(ivals)).astype(np.int64)
+    ub = (ukey % len(ivals)).astype(np.int64)
+    union = sz_of[ua] + sz_of[ub] - inter
+    jac = inter / np.maximum(union, 1)
+    m = jac >= threshold
+    va, vb = ivals[ua[m]], ivals[ub[m]]
+    swap = va > vb                               # canonical by VALUE
+    out = pa.table({
+        "id_a": pa.array(np.where(swap, vb, va)),
+        "id_b": pa.array(np.where(swap, va, vb)),
+        "jaccard": pa.array(jac[m], pa.float64()),
+    })
+    return rd.from_arrow(out)
+
+
 def ngram_jaccard_dedup(ds, id_col: str = "doc_id", text_col: str = "text",
                         n: int = 3, threshold: float = 0.8,
-                        max_block: int = 256, num_partitions: int = 16):
+                        max_block: int = 256, num_partitions: int = 16,
+                        driver_max_rows: int = 4_000_000):
     """ALL-pairs word-n-gram Jaccard near-duplicates at ``>= threshold``
     — the exact member of the dedup family (vs MinHash-LSH's banded
     approximation), SQL-oracle-able.
@@ -258,7 +321,17 @@ def ngram_jaccard_dedup(ds, id_col: str = "doc_id", text_col: str = "text",
 
     # materialized: consumed twice (hot-gram count pass + the self-join)
     exploded = ds.map_batches(explode, batch_format="pyarrow").materialize()
-    num_partitions = safe_partitions(num_partitions, rows=exploded.count())
+    n_exploded = exploded.count()
+    if n_exploded <= driver_max_rows:
+        # Driver fast path (norm_pairs_driver_max_rows discipline): the
+        # exploded (id, gram, sz) table is corpus-VOCABULARY-shaped; at
+        # this size the distributed plan's four operator waves (explode
+        # pin, hot-key pass, hash join, pair groupby) cost ~7 s of
+        # aggregator/actor spawn EACH while the data itself is a 1-2 s
+        # numpy pass. Past the cap the shuffle plan below is the scale
+        # path.
+        return _ngram_jaccard_local(exploded, id_col, threshold, max_block)
+    num_partitions = safe_partitions(num_partitions, rows=n_exploded)
     hot_keys = _hot_keys_bounded(exploded, "gram", max_block)
     if hot_keys:
         exploded = exploded.map_batches(_drop_hot(hot_keys, col="gram"),
@@ -270,11 +343,20 @@ def ngram_jaccard_dedup(ds, id_col: str = "doc_id", text_col: str = "text",
                        num_partitions=num_partitions, on=("gram",))
 
     def canonical(batch: pa.Table) -> pa.Table:
-        return batch.filter(pc.less(batch["id_a"], batch["id_b"]))
+        b = batch.filter(pc.less(batch["id_a"], batch["id_b"]))
+        # per-batch combiner: a qualifying pair repeats once per SHARED
+        # gram (≈ jaccard x |grams| duplicates), so pre-counting inside
+        # the batch compresses the second all-to-all by that factor
+        g = (b.select(["id_a", "id_b", "sz_a", "sz_b"])
+             .group_by(["id_a", "id_b", "sz_a", "sz_b"])
+             .aggregate([([], "count_all")]))
+        return g.rename_columns(["id_a", "id_b", "sz_a", "sz_b", "pc"])
+
+    from ray.data.aggregate import Sum
 
     inter = (joined.map_batches(canonical, batch_format="pyarrow")
              .groupby(["id_a", "id_b", "sz_a", "sz_b"])
-             .aggregate(Count(alias_name="inter")))
+             .aggregate(Sum("pc", alias_name="inter")))
 
     def finish(batch: pa.Table) -> pa.Table:
         i = batch["inter"].to_numpy(zero_copy_only=False).astype(np.float64)
