@@ -180,6 +180,37 @@ def _q_topk_parts(sf_dir: str):
     return ds.sort(["p_retailprice", "p_partkey"], descending=[True, False]).limit(20)
 
 
+def _q_left_join_customers_orders(sf_dir: str):
+    """LEFT OUTER join through Ray's native hash-join operator (the
+    J-family's outer form — customers with no orders keep a 0 count)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from ray.data.aggregate import Sum
+
+    cust = _rd().read_parquet(f"{sf_dir}/customer.parquet",
+                              columns=["c_custkey"])
+    # filter the right side so zero-match customers EXIST (30 at
+    # sf0.01) and the outer semantics is actually falsifiable
+    orders = (_rd().read_parquet(f"{sf_dir}/orders.parquet",
+                                 columns=["o_custkey", "o_orderkey",
+                                          "o_totalprice"])
+              .filter(expr="o_totalprice > 300000.0")
+              .select_columns(["o_custkey", "o_orderkey"]))
+    j = cust.join(orders, join_type="left_outer", num_partitions=8,
+                  on=("c_custkey",), right_on=("o_custkey",))
+
+    def flag(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "c_custkey": batch["c_custkey"],
+            "hit": pc.cast(pc.is_valid(batch["o_orderkey"]), pa.int64()),
+        })
+
+    return (j.map_batches(flag, batch_format="pyarrow")
+            .groupby("c_custkey")
+            .aggregate(Sum("hit", alias_name="n_orders")))
+
+
 def _q_join_orders_customers(sf_dir: str):
     import pandas as pd
     import pyarrow as pa
@@ -1333,6 +1364,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "alias_prior": _q_alias_prior,
         "topk_parts": _q_topk_parts,
         "join_orders_customers": _q_join_orders_customers,
+        "left_join_customers_orders": _q_left_join_customers_orders,
         "customers_without_orders": _q_customers_without_orders,
         "distinct_sources": _q_distinct_sources,
         "exact_dedup_docs": _q_exact_dedup_docs,
@@ -1424,6 +1456,13 @@ def oracle_sql() -> dict[str, str]:
             "CAST(round(sum(o_totalprice)) AS BIGINT) AS total_price_usd "
             "FROM orders JOIN customer ON o_custkey = c_custkey "
             "GROUP BY c_mktsegment"
+        ),
+        "left_join_customers_orders": (
+            "SELECT c.c_custkey, "
+            "CAST(count(o.o_orderkey) AS BIGINT) AS n_orders "
+            "FROM customer c LEFT JOIN "
+            "(SELECT * FROM orders WHERE o_totalprice > 300000.0) o "
+            "ON o.o_custkey = c.c_custkey GROUP BY 1"
         ),
         "customers_without_orders": (
             "SELECT c_custkey, c_name FROM customer "
