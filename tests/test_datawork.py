@@ -681,8 +681,17 @@ def test_heavy_hitter_terms_exact_vs_bruteforce(ray_session):
     pd.testing.assert_frame_equal(got[["term", "freq"]],
                                   want[["term", "freq"]])
 
-    # the guarantee precondition is enforced
-    with pytest.raises(ValueError):
+    # a too-coarse starting k self-heals: 16 -> 32 -> 64 crosses the
+    # exactness gate (min_freq > n/(k+1)), with each doubling logged
+    with pytest.warns(UserWarning, match="escalating to k="):
+        healed = (heavy_hitter_terms(ds, k=16, min_freq=min_freq)
+                  .to_pandas().sort_values("term").reset_index(drop=True))
+    pd.testing.assert_frame_equal(healed[["term", "freq"]],
+                                  want[["term", "freq"]])
+
+    # past the escalation budget the guarantee is still enforced:
+    # k=4 doubled 4x = 64 < the ~900 needed for min_freq=10
+    with pytest.raises(ValueError, match="still too coarse"):
         heavy_hitter_terms(ds, k=4, min_freq=10).to_pandas()
 
 
