@@ -102,5 +102,144 @@ def test_pref_strategy_uniform_still_resolves(ray_session, t1_corpus):
 
     import pytest
 
+    # RANDOM is now a SEEDED strategy (the graft fixes the reference's
+    # wall-clock seed); unknown names still fail fast
     with pytest.raises(ValueError):
-        PipelineConfig(pref_strategy="RANDOM")
+        PipelineConfig(pref_strategy="NOT_A_STRATEGY")
+    with pytest.raises(ValueError):
+        PipelineConfig(mention_pref="NOT_A_STRATEGY")
+
+
+def _resolve_with(t1_corpus, **cfg_kw):
+    from dataclasses import replace
+
+    import pyarrow.parquet as pq
+    import ray
+    import ray.data as rd
+
+    from wned_ray.stages.aliases import resolve_redirects_table
+    from wned_ray.stages.normalize import prepare
+    from wned_ray.stages.resolve import resolve_conversations
+
+    cfg = replace(PipelineConfig(), **cfg_kw)
+    prepared = prepare(rd.read_parquet(t1_corpus["transcripts"]),
+                       cfg).materialize()
+    alias_ref = ray.put(resolve_redirects_table(
+        pq.read_table(t1_corpus["aliases"]),
+        pq.read_table(t1_corpus["redirects"])))
+    graph_ref = ray.put(pq.read_table(t1_corpus["graph_edges"]))
+    got = (resolve_conversations(prepared, alias_ref, graph_ref, cfg)
+           .to_pandas().set_index("mention_id")["entity_id"])
+    gold = (pq.read_table(t1_corpus["expected_clusters"])
+            .to_pandas().set_index("mention_id")["entity_id"])
+    return float((got == gold.reindex(got.index)).mean())
+
+
+@pytest.mark.parametrize("kw", [
+    {"pref_strategy": "CTX_SIM"},
+    {"pref_strategy": "RANDOM"},
+    {"mention_pref": "TFIDF"},
+    {"iterative": False},
+    {"iterative": False, "pref_strategy": "CTX_SIM"},
+])
+def test_pref_strategy_variants_resolve_t1(ray_session, t1_corpus, kw):
+    """Every PrefStrategy / useIterative combination (WNEDConfig.java:
+    25-33; one-shot path SemanticSignatureEL.java:472-568) must clear the
+    friendly tier — the strategies reweight the restart vector, they must
+    not break resolution."""
+    acc = _resolve_with(t1_corpus, **kw)
+    assert acc >= 0.95, (kw, acc)
+
+
+def test_random_pref_is_seeded_deterministic(ray_session, t1_corpus):
+    """The graft's RANDOM preference is a pure function of (seed,
+    conv_id, entity) — two runs agree exactly (the reference seeds with
+    wall-clock time, SemanticSignatureEL.java:386-399; that
+    nondeterminism is a documented defect this engine fixes)."""
+    import pyarrow.parquet as pq
+    import ray
+    import ray.data as rd
+    from dataclasses import replace
+
+    from wned_ray.stages.aliases import resolve_redirects_table
+    from wned_ray.stages.normalize import prepare
+    from wned_ray.stages.resolve import resolve_conversations
+
+    cfg = replace(PipelineConfig(), pref_strategy="RANDOM")
+    prepared = prepare(rd.read_parquet(t1_corpus["transcripts"]),
+                       cfg).materialize()
+    alias_ref = ray.put(resolve_redirects_table(
+        pq.read_table(t1_corpus["aliases"]),
+        pq.read_table(t1_corpus["redirects"])))
+    graph_ref = ray.put(pq.read_table(t1_corpus["graph_edges"]))
+    a = (resolve_conversations(prepared, alias_ref, graph_ref, cfg)
+         .to_pandas().sort_values("mention_id").reset_index(drop=True))
+    b = (resolve_conversations(prepared, alias_ref, graph_ref, cfg)
+         .to_pandas().sort_values("mention_id").reset_index(drop=True))
+    pd.testing.assert_frame_equal(a, b)
+
+
+def test_entity_contexts_and_ctx_sim_weights(ray_session, t1_corpus):
+    """build_entity_contexts yields a non-empty (entity, ctx) dim from
+    unambiguous surfaces, and the resolver's CTX_SIM weight is a set
+    cosine in (0, 1] for a mention context sharing terms with the
+    entity's bag."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from wned_ray.stages.normalize import prepare
+    from wned_ray.stages.resolve import (ConversationResolver,
+                                         build_entity_contexts)
+
+    cfg = PipelineConfig()
+    prepared = prepare(rd.read_parquet(t1_corpus["transcripts"]),
+                       cfg).materialize()
+    alias_table = pq.read_table(t1_corpus["aliases"])
+    ctx_tbl = build_entity_contexts(prepared, alias_table, cfg)
+    assert ctx_tbl.num_rows > 0
+    ents = ctx_tbl["entity"].to_pylist()
+    bags = ctx_tbl["ctx"].to_pylist()
+    assert all(b for b in bags)
+
+    r = ConversationResolver(alias_table, None, cfg,
+                             entity_ctx_ref=ctx_tbl)
+    ent, bag = ents[0], bags[0]
+    shared = " ".join(bag.split()[:3])
+    assert 0.0 < r._ctx_sim(shared, ent) <= 1.0
+    assert r._ctx_sim("zzz qqq xxx", ent) == 0.0
+    assert r._ctx_sim(shared, "no_such_entity") == 0.0
+
+
+def test_approximate_seeds_fallback():
+    """A conversation with NO unambiguous mention still gets a restart
+    vector via getApproximateEntities (SemanticSignatureEL.java:850-889):
+    candidates weighted by normalized entity pref x mention weight,
+    deterministic max-merge; disabled via use_approximate_seeds=False."""
+    from dataclasses import replace
+
+    import pyarrow as pa
+
+    from wned_ray.stages.resolve import ConversationResolver
+
+    alias_table = pa.table({
+        "entity": ["E1", "E2", "E1", "E3"],
+        "alias": ["acme", "acme", "acme corp", "acme corp"],
+        "freq": [6, 2, 5, 5],
+    })
+    cfg = PipelineConfig()
+    r = ConversationResolver(alias_table, None, cfg)
+    rows = [("m1", "acme"), ("m2", "acme corp")]
+    cand_of = {m: r.cand.get(n, []) for m, n in rows}
+    assert all(len(c) > 1 for c in cand_of.values())   # all ambiguous
+    mw = {m: 1.0 for m, _ in rows}
+    seeds = r._initial_seeds("c1", rows, cand_of, {}, mw)
+    assert seeds                                # fallback kicked in
+    # PRIOR_PROB: E1 gets max(6/8, 5/10) = 0.75; E2 2/8; E3 5/10
+    assert seeds["E1"] == pytest.approx(0.75)
+    assert seeds["E2"] == pytest.approx(0.25)
+    assert seeds["E3"] == pytest.approx(0.5)
+
+    r_off = ConversationResolver(
+        alias_table, None, replace(cfg, use_approximate_seeds=False))
+    assert r_off._initial_seeds("c1", rows, cand_of, {}, mw) == {}

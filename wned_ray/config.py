@@ -94,17 +94,47 @@ class PipelineConfig:
     top_k_candidates: int = 20   # CandidateSelectionLucene.java:41-44
     prior_floor: float = 2e-5    # CSUtils.java:190-199
 
-    # Restart-vector preference strategy for the resolver's document
-    # signature (the reference's PrefStrategy, WNEDConfig.java:25-33):
-    # PRIOR_PROB weights each unambiguous seed by its accumulated prior
-    # mass (the shipped el.config default); UNIFORM weights every seed
-    # equally. RANDOM is deliberately NOT implemented — it is the
-    # reference's wall-clock-seeded nondeterminism (SemanticSignatureEL
-    # .java:386-399), a documented defect this engine fixes; TFIDF /
-    # CTX_SIM weighting needs per-mention context vectors inside the
-    # resolver and is out of scope (the pairwise path carries the local
-    # ctx cosine instead).
+    # Restart-vector preference strategies for the resolver's document
+    # signature — the reference's split mention/entity PrefStrategy pair
+    # (WNEDConfig.java:25-33, mPrefStreg/ePrefStreg at :58-60, weight
+    # caches SemanticSignatureEL.java:376-464).
+    #
+    # ``pref_strategy`` is the ENTITY-level preference (ePrefStreg):
+    #   PRIOR_PROB — seed weight from candidate prior mass (shipped
+    #                el.config default);
+    #   UNIFORM    — every seed entity weighs 1;
+    #   CTX_SIM    — cosine between the mention's context bag and a
+    #                corpus-built per-entity context dim
+    #                (stages/resolve.build_entity_contexts; the analog of
+    #                the reference's entityCtxCache, with an unambiguous
+    #                single-candidate mention weighing 1.0 exactly as
+    #                prepareContextSimCache:425 does);
+    #   RANDOM     — per-(conversation, entity) weight from a SEEDED
+    #                stable hash. The reference seeds with wall-clock
+    #                time (SemanticSignatureEL.java:386-399) — documented
+    #                nondeterminism this engine deliberately fixes.
     pref_strategy: str = "PRIOR_PROB"
+    # ``mention_pref`` is the MENTION-level preference (mPrefStreg):
+    #   UNIFORM — every mention weighs 1 (reference default);
+    #   TFIDF   — tf of the mention surface within its conversation x a
+    #             corpus idf dim (stages/resolve.build_norm_idf; the
+    #             analog of DocumentUtils.computeTFIDF over tfidfIndex);
+    #   RANDOM  — per the reference, when either pref is RANDOM the
+    #             entity-level seeded random weight is used directly
+    #             (getApproximateEntities:880-884).
+    mention_pref: str = "UNIFORM"
+    # Iterative greedy feedback loop (the reference's useIterative axis):
+    # True = linkingImplUnifiedIterative (seed feedback after each
+    # decision, SemanticSignatureEL.java:576-723); False = the one-shot
+    # variant (all ambiguous mentions resolve against the INITIAL seed
+    # signature, no feedback — linkingImplUnifiedUniterative:472-568).
+    iterative: bool = True
+    # When a conversation has NO unambiguous seed mention, fall back to
+    # the approximate seed set: every mention contributes its candidates
+    # weighted by normalized entity preference x mention weight
+    # (getApproximateEntities:850-889; deterministic max-merge where the
+    # reference's HashMap iteration made it last-write-wins).
+    use_approximate_seeds: bool = True
 
     # --- PPR semantic kernel (K2/K4/K5) ---
     ppr_alpha: float = 0.85
@@ -208,8 +238,12 @@ class PipelineConfig:
             raise ValueError("pair_mode must be 'star' or 'all'")
         if self.name_sim_kernel not in ("jw", "soft_tfidf"):
             raise ValueError("name_sim_kernel must be 'jw' or 'soft_tfidf'")
-        if self.pref_strategy not in ("PRIOR_PROB", "UNIFORM"):
-            raise ValueError("pref_strategy must be PRIOR_PROB or UNIFORM")
+        if self.pref_strategy not in ("PRIOR_PROB", "UNIFORM", "CTX_SIM",
+                                      "RANDOM"):
+            raise ValueError("pref_strategy must be PRIOR_PROB, UNIFORM, "
+                             "CTX_SIM or RANDOM")
+        if self.mention_pref not in ("UNIFORM", "TFIDF", "RANDOM"):
+            raise ValueError("mention_pref must be UNIFORM, TFIDF or RANDOM")
         if self.num_perm % self.band_rows != 0:
             raise ValueError("num_perm must be divisible by band_rows")
         if not (0.0 < self.ppr_alpha < 1.0):

@@ -1460,11 +1460,12 @@ class HyperLogLog:
         self.m = 1 << p
         self.registers = np.zeros(self.m, np.uint8)
 
-    def add_hashes(self, h: np.ndarray) -> None:
-        from wned_ray.functions.bloom import _splitmix64
+    def add_hashes(self, h: np.ndarray, mix: bool = True) -> None:
+        h = np.ascontiguousarray(h).astype(np.uint64, copy=False)
+        if mix:
+            from wned_ray.functions.bloom import _splitmix64
 
-        h = _splitmix64(np.ascontiguousarray(h).astype(np.uint64,
-                                                       copy=False))
+            h = _splitmix64(h)
         idx = (h >> np.uint64(64 - self.p)).astype(np.int64)
         rest = h << np.uint64(self.p)           # top (64-p) payload bits
         # rho = leading-zero count of the payload + 1, capped at 64-p+1
@@ -1500,23 +1501,53 @@ class HyperLogLog:
         return float(e)
 
 
-def hll_count_distinct(ds, col: str, p: int = 12) -> dict:
+def _md5_hashes64(strings) -> np.ndarray:
+    """First 8 bytes (big-endian) of md5 per string — bit-for-bit
+    reproducible in ANSI SQL as ``('0x'||substr(md5(s),1,16))::UBIGINT``,
+    which is what makes the md5 HLL mode oracle-checkable. Python loop
+    over the input; callers pass UNIQUE values (registers only see
+    distinct hashes anyway)."""
+    import hashlib
+
+    return np.array(
+        [int.from_bytes(hashlib.md5(s.encode()).digest()[:8], "big")
+         for s in strings], np.uint64)
+
+
+def hll_count_distinct(ds, col: str, p: int = 12,
+                       hash_mode: str = "fast") -> dict:
     """Approximate COUNT(DISTINCT col) via mergeable HyperLogLog
     sketches: each batch emits its 2^p-byte register blob, the driver
     max-merges (register traffic = n_batches x 4 KB — never the values).
     Returns {"estimate": float, "p": p}. Accuracy is unit-tested against
-    exact distinct counts (~1.6% standard error at p=12)."""
+    exact distinct counts (~1.6% standard error at p=12).
+
+    ``hash_mode="fast"`` (default) uses the vectorized zero-copy rolling
+    hash + splitmix64 finalizer. ``hash_mode="md5"`` hashes each batch's
+    UNIQUE strings with md5 (first 8 bytes, no extra mixing) — slower,
+    but the whole sketch (registers AND estimate) is then reproducible
+    inside DuckDB, turning the sketch query into a value-hash-checkable
+    oracle row instead of a rows-only one (round-3 VERDICT task 3)."""
     from wned_ray.functions.minhash import whole_string_hashes
 
     def partial(batch: pa.Table) -> pa.Table:
         h = HyperLogLog(p)
         c = batch[col]
-        if pa.types.is_string(c.type) or pa.types.is_large_string(c.type):
-            hashes = whole_string_hashes(c)
+        is_str = (pa.types.is_string(c.type)
+                  or pa.types.is_large_string(c.type))
+        if hash_mode == "md5":
+            if not is_str:
+                raise ValueError("hash_mode='md5' needs a string column")
+            uniq = pc.unique(c.combine_chunks())
+            hashes = _md5_hashes64(uniq.to_pylist())
+            mix = False
         else:
-            hashes = c.to_numpy(zero_copy_only=False).astype(np.uint64)
+            hashes = (whole_string_hashes(c) if is_str
+                      else c.to_numpy(zero_copy_only=False)
+                      .astype(np.uint64))
+            mix = True
         if len(hashes):
-            h.add_hashes(hashes)
+            h.add_hashes(hashes, mix=mix)
         return pa.table({"regs": pa.array([h.registers.tobytes()],
                                           pa.binary())})
 
@@ -1529,6 +1560,23 @@ def hll_count_distinct(ds, col: str, p: int = 12) -> dict:
             other.registers = np.frombuffer(blob, np.uint8).copy()
             merged.merge(other)
     return {"estimate": merged.estimate(), "p": p}
+
+
+def distinct_count(ds, col: str) -> int:
+    """EXACT distributed COUNT(DISTINCT col): per-batch unique partial
+    (combiner — the shuffle moves per-batch distinct values, not rows)
+    -> one hash-shuffle groupby -> row count. The distributed analog of
+    the reference's external sort + aggregate pipeline
+    (``/root/reference/sort.py:16-108``, ``aggregate.py:4-24``); pairs
+    with ``hll_count_distinct`` so sketch estimates ship next to a
+    checkable exact column."""
+
+    def _uniq(batch: pa.Table) -> pa.Table:
+        return pa.table({col: pc.unique(batch[col].combine_chunks())})
+
+    return (ds.select_columns([col])
+            .map_batches(_uniq, batch_format="pyarrow")
+            .groupby(col).count().count())
 
 
 def bloom_semi_join(big_ds, keys_ds, on: str, key_col: str | None = None,
