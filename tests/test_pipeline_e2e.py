@@ -185,3 +185,22 @@ def test_star_member_broadcast_equals_join_fallback(ray_session, t1_corpus):
     jn = pairs(replace(base, rep_broadcast_max=0))  # join fallback
     assert bc.values.tolist() == jn.values.tolist()
     assert len(bc) > 0
+
+
+def test_fuzzy_topn_union_keeps_linkage_f1(ray_session, t1_corpus):
+    """With the 3-reranker top-n union enabled (AliasLuceneIndex.java:
+    270-283 analog), end-to-end pairwise F1 must hold: the union prunes
+    low-similarity band collisions, never true-match pairs (each true
+    pair ranks inside at least one kernel's top-n on this corpus)."""
+    import ray.data as rd
+    from dataclasses import replace
+
+    from wned_ray.stages.evaluate import pairwise_metrics
+
+    cfg = replace(PipelineConfig(), fuzzy_rerank_top_n=8)
+    out = run_linkage(t1_corpus["transcripts"], t1_corpus["aliases"],
+                      t1_corpus["graph_edges"], cfg,
+                      redirects_path=t1_corpus["redirects"])
+    m = pairwise_metrics(rd.read_parquet(t1_corpus["labels"]),
+                         out["clusters"])
+    assert m["micro_f1"] >= 0.99, m

@@ -90,6 +90,16 @@ class PipelineConfig:
                                  # promotion guard declines) so the pair
                                  # scorer can decide per pair instead.
 
+    # Fuzzy-tier 3-reranker top-n UNION (AliasLuceneIndex.queryAlias:
+    # 270-283): when set, each surface keeps only candidates ranked in
+    # its top-n by ANY of the three string kernels (char-bigram Dice ∪
+    # char-trigram sim ∪ Jaro-Winkler — the reference's Dice /
+    # NGramDistance / JW trio); a pair survives if EITHER side keeps it.
+    # None (default) = no per-kernel pruning: every band collision goes
+    # to the scorer, bounded by max_block_size (the shipped behavior the
+    # hard-tier F1 gates pin down).
+    fuzzy_rerank_top_n: int | None = None
+
     # --- candidate selection (J1/G2/G3) ---
     top_k_candidates: int = 20   # CandidateSelectionLucene.java:41-44
     prior_floor: float = 2e-5    # CSUtils.java:190-199

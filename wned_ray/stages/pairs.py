@@ -61,6 +61,94 @@ def _drop_hot(hot_keys: set[int], col: str = "block_key"):
 NP_COLS = ["norm_a", "norm_b", "rep_a", "rep_b", "block_key"]
 
 
+def _topn_union_keep(qnorm: str, cands, n: int):
+    """Per-query-surface 3-reranker top-n UNION
+    (``AliasLuceneIndex.queryAlias:270-283``): rank the candidate list by
+    char-bigram Dice, char-trigram similarity and Jaro-Winkler (the
+    reference's Dice / NGramDistance / JW trio), keep the union of the
+    three top-n prefixes. Ties break by candidate string ascending —
+    deterministic where the reference inherits Lucene's doc order.
+    Returns a boolean keep mask over ``cands``."""
+    import numpy as np
+
+    from wned_ray.functions.strsim import jaro_winkler_batch, ngram_sim_batch
+
+    cands = np.asarray(cands, dtype=object)
+    q = np.full(len(cands), qnorm, dtype=object)
+    keep = np.zeros(len(cands), bool)
+    for s in (ngram_sim_batch(q, cands, n=2),
+              ngram_sim_batch(q, cands, n=3),
+              jaro_winkler_batch(q, cands)):
+        order = np.lexsort((cands, -s))          # score desc, cand asc
+        keep[order[:n]] = True
+    return keep
+
+
+def _fuzzy_union_local(fuzzy, top_n: int):
+    """Driver-side twin of the top-n union filter over a pandas fuzzy
+    pair frame (norm_a < norm_b): a pair survives when EITHER surface
+    retains the other in its top-n union."""
+    import numpy as np
+    import pandas as pd
+
+    if not len(fuzzy):
+        return fuzzy
+    sym = pd.concat([
+        fuzzy[["norm_a", "norm_b"]].rename(
+            columns={"norm_a": "q", "norm_b": "c"}),
+        fuzzy[["norm_b", "norm_a"]].rename(
+            columns={"norm_b": "q", "norm_a": "c"}),
+    ], ignore_index=True)
+    keep_keys: set[tuple[str, str]] = set()
+    for qn, g in sym.groupby("q", sort=False):
+        cands = g["c"].to_numpy(object)
+        k = _topn_union_keep(qn, cands, top_n)
+        for c in cands[k]:
+            keep_keys.add((qn, c) if qn < c else (c, qn))
+    mask = [(a, b) in keep_keys
+            for a, b in zip(fuzzy["norm_a"], fuzzy["norm_b"])]
+    return fuzzy[np.asarray(mask, bool)]
+
+
+def _fuzzy_union_distributed(fuzzy_ds, top_n: int, num_partitions: int):
+    """Distributed top-n union: symmetrize the pair set, group by query
+    surface (groups bounded by the blocking cap), emit kept canonical
+    keys, then semi-join the original pairs on (norm_a, norm_b). The
+    shuffle moves slim string-pair rows — |collided pairs|-sized."""
+    import numpy as np
+    import pandas as pd
+
+    from wned_ray.util import safe_partitions
+
+    def sym(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "q": pa.concat_arrays([batch["norm_a"].combine_chunks(),
+                                   batch["norm_b"].combine_chunks()]),
+            "c": pa.concat_arrays([batch["norm_b"].combine_chunks(),
+                                   batch["norm_a"].combine_chunks()]),
+        })
+
+    def per_group(g: pd.DataFrame) -> pa.Table:
+        qn = g["q"].iloc[0]
+        cands = g["c"].to_numpy(object)
+        kept = cands[_topn_union_keep(qn, cands, top_n)]
+        a = np.where(kept < qn, kept, qn)
+        b = np.where(kept < qn, qn, kept)
+        return pa.table({"norm_a": pa.array(a, pa.string()),
+                         "norm_b": pa.array(b, pa.string())})
+
+    keys = (fuzzy_ds.select_columns(["norm_a", "norm_b"])
+            .map_batches(sym, batch_format="pyarrow")
+            .groupby("q").map_groups(per_group, batch_format="pandas")
+            .groupby(["norm_a", "norm_b"]).count()
+            .select_columns(["norm_a", "norm_b"])
+            .materialize())
+    nparts = safe_partitions(num_partitions, rows=keys.count())
+    return (fuzzy_ds.join(keys, join_type="inner", num_partitions=nparts,
+                          on=("norm_a", "norm_b"))
+            .select_columns(NP_COLS))
+
+
 def _norm_pairs_local(df, cfg: PipelineConfig) -> pa.Table:
     """Driver-side twin of the fuzzy + exact norm-pair generation for
     VOCABULARY-sized blocking tables: identical semantics (canonical
@@ -86,6 +174,8 @@ def _norm_pairs_local(df, cfg: PipelineConfig) -> pa.Table:
                                   "norm_mention_b": "norm_b"}))
     else:
         fuzzy = pd.DataFrame(columns=NP_COLS)
+    if cfg.fuzzy_rerank_top_n and len(fuzzy):
+        fuzzy = _fuzzy_union_local(fuzzy, cfg.fuzzy_rerank_top_n)
     ex = df[df["n_mentions"] > 1]
     exact = (ex.groupby("norm_mention", as_index=False)
              .agg(rep_a=("rep_id", "min"), block_key=("block_key", "min")))
@@ -168,6 +258,9 @@ def norm_pairs(norm_blocks_ds, hot_keys: set[int], cfg: PipelineConfig,
              .aggregate(Min("rep_a", alias_name="rep_a"),
                         Min("rep_b", alias_name="rep_b"),
                         Min("block_key", alias_name="block_key")))
+    if cfg.fuzzy_rerank_top_n:
+        fuzzy = _fuzzy_union_distributed(fuzzy, cfg.fuzzy_rerank_top_n,
+                                         num_partitions)
 
     # exact tier: each surviving multi-mention norm pairs with itself once
     # (min non-hot block key as the deterministic representative)
