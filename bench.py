@@ -29,14 +29,17 @@ import time
 
 
 def _corpus_spec(sf_dir: str):
-    from wned_ray.synth import BENCH, SCALE, T1, T2
+    from wned_ray.synth import BENCH, SCALE, SCALE4, T1, T2
 
     if os.environ.get("GRAFT_SCALING_TIER"):
         # --scaling runs on the ~8M-turn SCALE corpus: large enough that
         # the data path dominates fixed costs (actor spawn, driver CC,
-        # stage barriers), so the 8-vs-32-CPU ratio measures scaling of
-        # the distributed pipeline rather than constant overhead
-        return SCALE
+        # stage barriers), so the lo-vs-hi-CPU ratio measures scaling of
+        # the distributed pipeline rather than constant overhead.
+        # GRAFT_SCALE_X4=1 selects the ~32M-turn SCALE4 corpus, where the
+        # per-stage fixed costs drop below ~2% of either leg's wall and
+        # the VM's one-sided stall noise averages out (see synth.SCALE4).
+        return SCALE4 if os.environ.get("GRAFT_SCALE_X4") else SCALE
     base = os.path.basename(os.path.normpath(sf_dir))
     if base.endswith("0.001"):
         return T1

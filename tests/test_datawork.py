@@ -899,6 +899,42 @@ def test_hll_count_distinct_dataset(ray_session):
     assert abs(out2["estimate"] - 500) / 500 < 0.05, out2
 
 
+def test_hll_md5_mode_matches_duckdb_twin(ray_session):
+    """hash_mode='md5' is bit-reproducible in SQL: DuckDB recomputes the
+    registers (first 8 md5 bytes, p=12, rho over the low-52-bit payload)
+    and the corrected estimate, matching the Ray sketch exactly — this is
+    what makes hll_distinct_terms a value-hash oracle row. Error bound vs
+    exact also asserted (~1.6% standard error at p=12)."""
+    import duckdb
+    import ray.data as rd
+
+    from wned_ray.pipelines.datawork import distinct_count, hll_count_distinct
+
+    vals = [f"w{i % 3000}" for i in range(40_000)]
+    ds = rd.from_pandas(pd.DataFrame({"s": vals}))
+    est = hll_count_distinct(ds, "s", hash_mode="md5")["estimate"]
+    exact = distinct_count(ds, "s")
+    assert exact == 3000
+    assert abs(est - exact) / exact < 0.065, (est, exact)
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t AS SELECT unnest(?) AS s", [vals])
+    sql_est = con.execute(
+        "WITH u AS (SELECT DISTINCT s FROM t), "
+        "h AS (SELECT ('0x' || substr(md5(s), 1, 16))::UBIGINT AS hv FROM u), "
+        "parts AS (SELECT hv // (4503599627370496)::UBIGINT AS idx, "
+        "hv % (4503599627370496)::UBIGINT AS payload FROM h), "
+        "regs AS (SELECT idx, max(CASE WHEN payload = 0 THEN 53 "
+        "ELSE 53 - length(bin(payload)) END) AS r FROM parts GROUP BY idx), "
+        "agg AS (SELECT sum(power(2.0, -r)) AS s, count(*) AS nz FROM regs), "
+        "est AS (SELECT (0.7213 / (1 + 1.079 / 4096.0)) * 4096.0 * 4096.0 "
+        "/ (s + (4096 - nz)) AS raw, (4096 - nz) AS zeros FROM agg) "
+        "SELECT CASE WHEN raw <= 2.5 * 4096 AND zeros > 0 "
+        "THEN 4096.0 * ln(4096.0 / zeros) ELSE raw END FROM est"
+    ).fetchone()[0]
+    assert round(est) == round(sql_est), (est, sql_est)
+
+
 def test_ngram_jaccard_dedup_matches_duckdb(docs):
     import duckdb
 

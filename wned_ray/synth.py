@@ -124,6 +124,18 @@ BENCH = CorpusSpec(n_entities=4000, n_convs=31250, turns_per_conv=16,  # ~500k t
 # QUADRATICALLY in mentions-per-surface — keep the same shape as BENCH.
 SCALE = CorpusSpec(n_entities=64000, n_convs=500_000, turns_per_conv=16,
                    with_labels=False)
+# SCALE4: the 4x scaling corpus (~32M turns). The per-stage fixed costs
+# (aggregator-actor spawn waves, driver dim builds, stage barriers) are
+# CONSTANT in corpus size but asymmetric across the two scaling legs —
+# at 8M turns they are ~3-5x larger a FRACTION of the fast leg's wall
+# than of the slow leg's, which alone depresses the measured efficiency
+# by ~0.05-0.1; at 32M turns they amortize below ~2% of either leg, and
+# single-box stall noise (documented +-35% one-sided) averages over a
+# 4x longer window. Same shape discipline as SCALE: entities scale with
+# turns so per-surface mention counts (and the quadratic exact-tier
+# pair fan-out) stay constant.
+SCALE4 = CorpusSpec(n_entities=256_000, n_convs=2_000_000,
+                    turns_per_conv=16, with_labels=False)
 # HARD: the adversarial-precision tier (~20k turns, same size as T2).
 # 20 shared-first-word pairs across 40 of the 50 topics.
 HARD = CorpusSpec(n_entities=400, n_convs=1250, turns_per_conv=16,
