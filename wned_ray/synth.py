@@ -162,12 +162,17 @@ def config_for(spec: CorpusSpec, **overrides) -> PipelineConfig:
 def _entity_names(n: int, rng: np.random.Generator) -> list[str]:
     """n unique two-word TitleCase names; first words unique per entity."""
     first_combos = ["".join(c) for c in itertools.product(_SYL1, _SYL1, _SYL1)]
-    if n > len(first_combos):       # large tiers: extend to 4-syllable words
+    # large tiers: extend to 4- then 5-syllable words until the pool
+    # covers n (the 20-syllable alphabet yields 8k/168k/3.36M cumulative
+    # unique combos; SCALE4's 256k entities need the 5-syllable tier)
+    for n_syl in (4, 5):
+        if n <= len(first_combos):
+            break
         first_combos += ["".join(c) for c in
                          itertools.islice(itertools.product(
-                             _SYL1, _SYL1, _SYL1, _SYL1),
+                             *([_SYL1] * n_syl)),
                              2 * (n - len(first_combos)))]
-        # a 4-syllable concatenation can collide with a 3-syllable one
+        # a k-syllable concatenation can collide with a shorter one
         # (syllables are 2-3 chars) — dedupe or two entities could share
         # their "unique" first word (ADVICE.md round 1)
         first_combos = list(dict.fromkeys(first_combos))
