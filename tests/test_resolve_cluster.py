@@ -48,6 +48,38 @@ def test_connected_components_modes_agree(ray_session, mode):
     assert out["x"] == out["y"] == "x"
 
 
+def test_contract_to_cap_flattens_cross_batch_chains(ray_session):
+    """A path graph scattered round-robin across blocks exercises the
+    alternating sort+contract rounds: round 0's per-batch forests leave
+    long cross-batch star chains, and the iterated rounds must flatten
+    them to (near) the spanning-forest floor so the driver cutoff sees
+    the true component skeleton, not the round-0 inflation."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from wned_ray.stages.cluster import contract_to_cap
+
+    n = 20_000                              # one path: diameter n-1
+    ids = np.array([f"n{i:06d}" for i in range(n)])
+    perm = np.random.default_rng(3).permutation(n - 1)
+    tbl = pa.table({"id_a": pa.array(ids[perm]),
+                    "id_b": pa.array(ids[perm + 1])})
+    edges = rd.from_arrow(tbl).repartition(16).materialize()
+
+    cfg = PipelineConfig(cc_driver_max_pairs=1, cc_contract_rounds=8)
+    contracted, count = contract_to_cap(edges, cfg)
+    # floor = nodes - components = 20000 - 1; alternating rounds converge
+    # to within a small factor of it (they stop when shrinkage stalls)
+    assert count < 1.2 * (n - 1)
+
+    # and CC over the contracted forest is exact
+    out = (connected_components(edges, PipelineConfig(), mode="auto")
+           .to_pandas())
+    assert len(out) == n
+    assert (out["cluster_id"] == ids[0]).all()
+
+
 def test_resolve_conversations(ray_session, t1_corpus):
     import ray
     import ray.data as rd

@@ -229,14 +229,26 @@ class PipelineConfig:
 
     # --- connected components ---
     cc_max_rounds: int = 12
-    # driver union-find cutoff, applied AFTER distributed edge contraction.
+    # Alternating sort+contract rounds (contract_to_cap) applied while the
+    # forest is still above the driver cutoff: each round is one range-
+    # partition exchange of a shrinking 2-column edge list — orders of
+    # magnitude cheaper than a label-propagation round over the same
+    # edges (measured at the 32M-turn tier: one propagation round ~= 30 s
+    # of join + groupby + digest aggregator waves vs ~3 s per sort+
+    # contract round on a 3M-edge forest).
+    cc_contract_rounds: int = 4
+    # driver union-find cutoff, applied AFTER iterated edge contraction.
     # The driver path is a SERIAL tail (~4 us/edge for the numpy label
-    # propagation plus the broadcast-LUT build), so past a couple million
-    # contracted edges it caps whole-pipeline scaling — the distributed
-    # min-label propagation converges in 1-2 rounds on star-contracted
-    # components and keeps the stage parallel (measured: 8M-turn corpus,
-    # driver CC made the cluster stage SLOWER at 32 CPUs than at 8).
-    cc_driver_max_pairs: int = 2_000_000
+    # propagation plus the broadcast-LUT build — 8.3 s measured on a 2M-
+    # edge / 3.1M-node forest), so it must stay a small, bounded fraction
+    # of wall. 8M contracted edges is ~0.5 GB transient driver heap and
+    # ~30 s serial — acceptable up to the ~32M-turn tier where wall is
+    # tens of minutes; past the cap the distributed min-label propagation
+    # (converging in 1-2 rounds on the contraction-flattened forest)
+    # keeps the stage parallel. Contraction floors the edge count at
+    # (matched nodes - components), so this cap is effectively a cap on
+    # DRIVER-VISIBLE NODES, not on raw matched pairs.
+    cc_driver_max_pairs: int = 8_000_000
 
     # --- checkpointing ---
     checkpoint_dir: str | None = None

@@ -226,7 +226,8 @@ def run_linkage(transcripts_path: str, aliases_path: str,
     matched = scores.filter(expr="matched")
 
     clusters = persist(
-        lambda: assign_clusters(prepared, matched, cfg, mode=cc_mode),
+        lambda: assign_clusters(prepared, matched, cfg, mode=cc_mode,
+                                num_partitions=num_partitions),
         "clusters")
 
     return {"prepared": prepared, "blocking": blocking, "pairs": pairs,

@@ -2,12 +2,18 @@
 (Stage 5, SURVEY §7) — the global recast of the reference's per-document
 greedy resolution loop (K11, ``SemanticSignatureEL.java:576-723``).
 
-Two execution paths, selected by edge count (``mode="auto"``):
+The matched edge list is first flattened by ITERATED distributed
+contraction (``contract_to_cap``: per-batch spanning forests, then
+alternating sort-by-endpoint + contract rounds until the edge count
+reaches the spanning-forest floor of nodes − components, or fits the
+driver cutoff). Then one of two execution paths, selected by the
+CONTRACTED edge count (``mode="auto"``):
 
 - ``driver``: union-find with path compression on the driver. Matched
   pairs are a tiny fraction of the input (blocking + threshold prune
-  ~everything), so up to ``cfg.cc_driver_max_pairs`` edges this is
-  exact, fast, and deterministic.
+  ~everything) and contraction floors the edge list at the node count,
+  so up to ``cfg.cc_driver_max_pairs`` edges this is exact, fast, and
+  deterministic.
 - ``distributed``: iterative min-label propagation expressed purely in
   Ray Data — per round, each node's label becomes the min of its own and
   its neighbors' labels. The neighbor-label lookup is a hash-partitioned
@@ -15,7 +21,9 @@ Two execution paths, selected by edge count (``mode="auto"``):
   current label table; a round ends with ``groupby(node).min(label)``.
   Labels only ever decrease, so convergence is detected by comparing a
   per-round aggregate hash-sum of labels (monotone => equal sum <=> no
-  change). O(diameter) rounds, bounded by ``cfg.cc_max_rounds``.
+  change). O(diameter) rounds, bounded by ``cfg.cc_max_rounds`` — and
+  the contraction rounds leave a near-star forest, so the diameter the
+  propagation sees is ~2 regardless of input shape.
 
 Cluster representative = lexicographic min mention_id of the component
 (deterministic — replaces the reference's HashMap-iteration-order
@@ -81,6 +89,50 @@ def _union_find_driver(edges: pd.DataFrame) -> pd.DataFrame:
                          "cluster_id": rep.astype(object)})
 
 
+def _forest_batch(batch: pa.Table) -> pa.Table:
+    """One batch -> its spanning forest as star edges (root, node).
+
+    Arrow-native: both endpoint columns are factorized with ONE
+    ``dictionary_encode`` (C++ hash kernel — the earlier ``to_pylist`` +
+    pandas factorize built two Python strings per edge and was the
+    linear-cost floor of the stage at tens of millions of matched
+    pairs), then numpy scatter-min label propagation with pointer
+    jumping over the int32 codes. The per-batch representative is the
+    min CODE (first appearance) — any representative preserves the
+    component partition, and the final lexicographic-min tie-break is
+    applied once, globally, by whichever CC path consumes the forest."""
+    both = pa.concat_arrays([batch["id_a"].combine_chunks(),
+                             batch["id_b"].combine_chunks()])
+    enc = both.dictionary_encode()
+    codes = enc.indices.to_numpy()
+    nodes = enc.dictionary
+    n = len(nodes)
+    if n == 0:
+        empty = pa.array([], pa.string())
+        return pa.table({"id_a": empty, "id_b": empty})
+    m = batch.num_rows
+    a = codes[:m]
+    b = codes[m:]
+    label = np.arange(n, dtype=np.int64)
+    while True:
+        before = label.copy()
+        mn = np.minimum(label[a], label[b])
+        np.minimum.at(label, a, mn)
+        np.minimum.at(label, b, mn)
+        while True:                      # pointer jumping to fixpoint
+            nl = label[label]
+            if np.array_equal(nl, label):
+                break
+            label = nl
+        if np.array_equal(before, label):
+            break
+    keep = label != np.arange(n, dtype=np.int64)   # drop root self-edges
+    return pa.table({
+        "id_a": pc.take(nodes, pa.array(label[keep], pa.int32())),
+        "id_b": pc.take(nodes, pa.array(np.flatnonzero(keep), pa.int32())),
+    })
+
+
 def contract_edges(matched_ds, batch_size: int = 1 << 18):
     """Distributed edge contraction: per batch, replace the edge set with
     its local spanning forest (star edges node -> local min root).
@@ -92,22 +144,45 @@ def contract_edges(matched_ds, batch_size: int = 1 << 18):
     join), so the compression is real. This is the map-side combine that
     makes the driver union-find viable at large scale; the distributed
     label-propagation path remains the fallback above the cutoff."""
-    def forest(batch: pa.Table) -> pa.Table:
-        df = pd.DataFrame({
-            "id_a": batch["id_a"].to_pylist(),
-            "id_b": batch["id_b"].to_pylist(),
-        })
-        out = _union_find_driver(df)          # local, vectorized
-        m = out["mention_id"] != out["cluster_id"]
-        return pa.table({
-            "id_a": pa.array(out.loc[m, "cluster_id"].to_numpy(dtype=object),
-                             pa.string()),
-            "id_b": pa.array(out.loc[m, "mention_id"].to_numpy(dtype=object),
-                             pa.string()),
-        })
-
     return matched_ds.select_columns(["id_a", "id_b"]).map_batches(
-        forest, batch_format="pyarrow", batch_size=batch_size)
+        _forest_batch, batch_format="pyarrow", batch_size=batch_size)
+
+
+def contract_to_cap(matched_ds, cfg: PipelineConfig):
+    """Iterated contraction: (contracted Dataset, edge count).
+
+    Round 0 contracts in arrival order (collapses the within-surface
+    cliques). While the result is still above the driver cutoff,
+    alternate SORT-by-endpoint + contract rounds: sorting by ``id_b``
+    co-locates every star edge pointing AT the same node so their roots
+    merge; sorting by ``id_a`` co-locates each root's star. Each round is
+    one range-partition exchange of a slim 2-string-column table that
+    only ever SHRINKS — orders of magnitude cheaper than a label-
+    propagation round (join + groupby + digest, each spawning aggregator
+    actor pools) over the same edges. Components are preserved exactly
+    at every step; the edge count converges to (matched nodes -
+    components), the spanning-forest floor, usually in 1-2 rounds.
+    Stops early when a round stops shrinking (already at the floor).
+
+    This is the in-Dataset recast of the alternating star-contraction
+    family of MapReduce CC algorithms (Kiveris et al., "Connected
+    Components in MapReduce and Beyond", SoCC'14 — public literature,
+    no reference-code analog: the reference resolves per document and
+    never needs a global CC, SemanticSignatureEL.java:576-723)."""
+    contracted = contract_edges(matched_ds).materialize()
+    count = contracted.count()
+    sort_key = "id_b"
+    for _ in range(cfg.cc_contract_rounds):
+        if count <= cfg.cc_driver_max_pairs:
+            break
+        nxt = contract_edges(contracted.sort(sort_key)).materialize()
+        n2 = nxt.count()
+        sort_key = "id_a" if sort_key == "id_b" else "id_b"
+        shrunk = n2 < count * 0.95
+        contracted, count = nxt, n2
+        if not shrunk:                    # at the forest floor already
+            break
+    return contracted, count
 
 
 def _label_hash_sum(labels_ds) -> int:
@@ -188,20 +263,20 @@ def _distributed_cc(matched_ds, cfg: PipelineConfig,
     return labels.rename_columns({"node": "mention_id"})
 
 
-def connected_components(matched_ds, cfg: PipelineConfig, mode: str = "auto"):
+def connected_components(matched_ds, cfg: PipelineConfig, mode: str = "auto",
+                         num_partitions: int | None = None):
     """matched-pairs Dataset (id_a, id_b) -> Dataset (mention_id, cluster_id)
     for every mention that appears in at least one matched pair.
 
-    The edge list is first CONTRACTED (per-batch spanning forests — same
-    components, far fewer edges); the driver/distributed decision is made
-    on the contracted size."""
+    The edge list is first CONTRACTED (iterated per-batch spanning
+    forests, ``contract_to_cap`` — same components, far fewer edges); the
+    driver/distributed decision is made on the contracted size."""
     import ray.data as rd
 
     if mode in ("auto", "driver"):
-        contracted = contract_edges(matched_ds).materialize()
+        contracted, count = contract_to_cap(matched_ds, cfg)
         if mode == "auto":
-            mode = ("driver"
-                    if contracted.count() <= cfg.cc_driver_max_pairs
+            mode = ("driver" if count <= cfg.cc_driver_max_pairs
                     else "distributed")
         matched_ds = contracted
     if mode == "driver":
@@ -212,11 +287,11 @@ def connected_components(matched_ds, cfg: PipelineConfig, mode: str = "auto"):
             "cluster_id": pa.array(out["cluster_id"].tolist(), pa.string()),
         })
         return rd.from_arrow(table)
-    return _distributed_cc(matched_ds, cfg)
+    return _distributed_cc(matched_ds, cfg, num_partitions=num_partitions)
 
 
 def assign_clusters(prepared_ds, matched_ds, cfg: PipelineConfig,
-                    mode: str = "auto"):
+                    mode: str = "auto", num_partitions: int | None = None):
     """All mentions -> (mention_id, cluster_id); unmatched mentions become
     singletons (cluster_id = own mention_id).
 
@@ -237,14 +312,13 @@ def assign_clusters(prepared_ds, matched_ds, cfg: PipelineConfig,
 
     t0 = time.time()
     if mode in ("auto", "driver"):
-        matched_ds = contract_edges(matched_ds).materialize()
+        matched_ds, n_edges = contract_to_cap(matched_ds, cfg)
         if mode == "auto":
-            mode = ("driver"
-                    if matched_ds.count() <= cfg.cc_driver_max_pairs
+            mode = ("driver" if n_edges <= cfg.cc_driver_max_pairs
                     else "distributed")
     if profile:
-        print(f"[profiling] cc contract sec={time.time() - t0:.1f}",
-              file=sys.stderr)
+        print(f"[profiling] cc contract sec={time.time() - t0:.1f} "
+              f"mode={mode}", file=sys.stderr)
 
     if mode == "driver":
         t0 = time.time()
@@ -288,7 +362,8 @@ def assign_clusters(prepared_ds, matched_ds, cfg: PipelineConfig,
         return prepared_ds.select_columns(["mention_id"]).map_batches(
             assign, batch_format="pyarrow")
 
-    comp = connected_components(matched_ds, cfg, mode=mode)
+    comp = connected_components(matched_ds, cfg, mode=mode,
+                                num_partitions=num_partitions)
     singles = prepared_ds.select_columns(["mention_id"]).map_batches(
         lambda b: pa.table({"mention_id": b["mention_id"],
                             "cluster_id": b["mention_id"]}),
