@@ -57,6 +57,30 @@ def test_precompute_covers_all_ingraph_pairs(ray_session, t1_corpus):
     assert (sem >= 0).all()
 
 
+def test_rel_precompute_driver_equals_pool(ray_session, t1_corpus):
+    """The small-pair-count driver fast path (one shared-cache kernel)
+    must return the exact lookup the actor pool returns — same sorted
+    keys, same relatedness values."""
+    import pyarrow.parquet as pq
+    import ray
+    import ray.data as rd
+
+    from wned_ray.stages.scoring import _precompute_rel, build_scorer_state
+
+    cfg_drv = PipelineConfig()                          # cap 10k -> driver
+    cfg_pool = PipelineConfig(rel_driver_max_pairs=0)   # force the pool
+    state = build_scorer_state(pq.read_table(t1_corpus["aliases"]),
+                               pq.read_table(t1_corpus["graph_edges"]),
+                               cfg_drv)
+    state_ref = ray.put(state)
+    ds = rd.from_arrow(_norm_pair_table(state)).materialize()
+    k_d, v_d, n_d = ray.get(_precompute_rel(ds, state, state_ref, cfg_drv))
+    k_p, v_p, n_p = ray.get(_precompute_rel(ds, state, state_ref, cfg_pool))
+    assert n_d == n_p and len(k_d) > 0
+    np.testing.assert_array_equal(k_d, k_p)
+    np.testing.assert_allclose(v_d, v_p)
+
+
 def test_score_pairs_defaults_to_precompute(ray_session, t1_corpus):
     """End-to-end: the external entry scores a caller-built pair set and
     its features equal the explicit precompute_rel=True path."""

@@ -215,6 +215,14 @@ class PipelineConfig:
     # runs — same driver/distributed switch discipline as global_promote
     # and cc_driver_max_pairs.
     norm_pairs_driver_max_rows: int = 1_000_000
+    # Relatedness precompute: below this many unique in-graph entity
+    # pairs, ONE driver-side kernel with a shared signature cache beats
+    # the actor pool (whose spawn wave costs ~5 s at 32 CPUs and which
+    # recomputes each entity signature once per actor that sees it).
+    # Past the cap the pool parallelizes the PPR arithmetic, which by
+    # then dominates. Driver cost is bounded: <= cap pairs x a few
+    # hundred float ops after the per-entity signature cache warms.
+    rel_driver_max_pairs: int = 10_000
     # Hot-block-key detection reduces (block_key, n_mentions) — two int64
     # columns — on the DRIVER below this row count (np.unique/bincount,
     # ~16 bytes/row transient): a distributed SUM-groupby over the
