@@ -256,9 +256,19 @@ def _subprocess_run(ncpu: int, sf_dir: str, scaling: bool = False) -> dict:
     env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), GRAFT_SF_DIR=sf_dir)
     if scaling:
         env["GRAFT_SCALING_TIER"] = "1"
+        # substage decomposition per leg: scaling samples are the scarce
+        # artifact (30-50 min each), so every leg persists its profiling
+        # stderr for post-mortem (the [profiling] substage lines locate a
+        # serial tail without paying for another sample)
+        env["WNED_PROFILE"] = "1"
     out = subprocess.run([sys.executable, os.path.abspath(__file__)], env=env,
                          capture_output=True, text=True,
                          cwd=os.path.dirname(os.path.abspath(__file__)))
+    try:
+        with open(f"/tmp/bench_child_cpu{ncpu}.err", "w") as f:
+            f.write(out.stderr)
+    except OSError:
+        pass
     if out.returncode != 0:
         sys.stderr.write(out.stderr[-4000:])
         raise RuntimeError(f"bench child (cpus={ncpu}) failed rc={out.returncode}")

@@ -216,12 +216,13 @@ class PipelineConfig:
     # and cc_driver_max_pairs.
     norm_pairs_driver_max_rows: int = 1_000_000
     # Relatedness precompute: below this many unique in-graph entity
-    # pairs, ONE driver-side kernel with a shared signature cache beats
-    # the actor pool (whose spawn wave costs ~5 s at 32 CPUs and which
-    # recomputes each entity signature once per actor that sees it).
-    # Past the cap the pool parallelizes the PPR arithmetic, which by
-    # then dominates. Driver cost is bounded: <= cap pairs x a few
-    # hundred float ops after the per-entity signature cache warms.
+    # pairs AND with the graph in dense mode (<= SMALL_GRAPH_LIMIT nodes,
+    # where signatures are memoized per entity and shared across pairs),
+    # ONE driver-side kernel beats the actor pool (whose spawn wave costs
+    # ~5 s at 32 CPUs and which recomputes each entity signature once per
+    # actor that sees it). In subgraph mode (larger graphs) every pair is
+    # an independent joint-subgraph PPR — no cache to share — so the pool
+    # always runs regardless of pair count.
     rel_driver_max_pairs: int = 10_000
     # Hot-block-key detection reduces (block_key, n_mentions) — two int64
     # columns — on the DRIVER below this row count (np.unique/bincount,

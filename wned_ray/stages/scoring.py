@@ -50,7 +50,8 @@ from wned_ray.config import PipelineConfig
 from wned_ray.functions import fusion
 from wned_ray.functions.strsim import jaro_winkler_batch, levenshtein_sim_batch
 from wned_ray.functions.vectorsim import sparse_cosine_batch
-from wned_ray.state.graph import CSRGraph, SignatureKernel
+from wned_ray.state.graph import (CSRGraph, SignatureKernel,
+                                  SMALL_GRAPH_LIMIT)
 
 NORM_FEATURES = ["prior", "sem_sim", "name_sim", "lev_sim"]
 
@@ -409,7 +410,8 @@ def _precompute_rel(norm_pairs_ds, state, state_ref, cfg: PipelineConfig):
     print(f"[profiling] pairs substage=rel_prep sec={time.time() - t0:.1f} "
           f"unique_pairs={len(keys)}", file=sys.stderr)
     t0 = time.time()
-    if len(keys) <= cfg.rel_driver_max_pairs:
+    if (len(keys) <= cfg.rel_driver_max_pairs
+            and n_nodes <= SMALL_GRAPH_LIMIT):
         # Driver fast path: ONE kernel with a SHARED signature cache.
         # The actor pool pays conc actor spawns (each rebuilding the CSR
         # + kernel in __init__) and recomputes any entity signature once
@@ -417,7 +419,13 @@ def _precompute_rel(norm_pairs_ds, state, state_ref, cfg: PipelineConfig):
         # spawn wave alone (~5 s at 32 CPUs) dwarfs the arithmetic
         # (profiled: 4.9 s pool vs well under 1 s driver at 2.3k pairs,
         # 500k-turn tier). Past the cap the pool amortizes and remains
-        # the scale path.
+        # the scale path. DENSE-MODE ONLY: above SMALL_GRAPH_LIMIT the
+        # kernel computes a per-PAIR joint-subgraph PPR with no cross-
+        # pair cache to share, so serializing it on the driver only adds
+        # an Amdahl tail (measured at the 32M-turn tier: ~+125 s of
+        # serial scores wall on the 16-CPU leg, 2.25x stage scaling vs
+        # 3.4x with the pool) — embarrassingly parallel work stays in
+        # the pool there.
         kernel = SignatureKernel(
             CSRGraph(*state["graph"]), cfg.ppr_alpha, cfg.ppr_max_iter,
             cfg.ppr_tol, cfg.kl_gamma, cfg.kl_eps, cfg.hub_degree_threshold)

@@ -206,6 +206,14 @@ def ppr(indptr: np.ndarray, indices: np.ndarray, weights: np.ndarray,
     return rank
 
 
+# Dense-mode cutoff: at or below this node count the kernel keeps full-
+# graph signatures memoized PER ENTITY (cross-pair amortization); above
+# it every relatedness call runs a per-PAIR joint-subgraph PPR with no
+# shared state. Callers deciding serial-vs-pooled execution key off this
+# (serial only pays when the cache amortizes).
+SMALL_GRAPH_LIMIT = 50_000
+
+
 class SignatureKernel:
     """Per-actor semantic-signature cache (K2/K4/K5 fused).
 
@@ -220,7 +228,8 @@ class SignatureKernel:
 
     def __init__(self, graph: CSRGraph, alpha: float = 0.85, max_iter: int = 3,
                  tol: float = 1e-5, gamma: float = 10.0, eps: float = 1e-6,
-                 hub_threshold: int = 200, small_graph_limit: int = 50_000):
+                 hub_threshold: int = 200,
+                 small_graph_limit: int = SMALL_GRAPH_LIMIT):
         self.g = graph
         self.alpha, self.max_iter, self.tol = alpha, max_iter, tol
         self.gamma, self.eps = gamma, eps
