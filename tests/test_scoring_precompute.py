@@ -81,6 +81,31 @@ def test_rel_precompute_driver_equals_pool(ray_session, t1_corpus):
     np.testing.assert_allclose(v_d, v_p)
 
 
+def test_rel_precompute_distributed_keys_equal_driver(ray_session, t1_corpus):
+    """Past the norm-pair driver collect cap the unique key set is
+    computed distributedly (per-batch distinct + int64 groupby); the
+    resulting lookup must be identical to the driver-collected one."""
+    import pyarrow.parquet as pq
+    import ray
+    import ray.data as rd
+
+    from wned_ray.stages.scoring import _precompute_rel, build_scorer_state
+
+    cfg = PipelineConfig()
+    # overflow cap forces the distributed key path on the same input
+    cfg_dist = PipelineConfig(norm_pairs_driver_max_rows=1)
+    state = build_scorer_state(pq.read_table(t1_corpus["aliases"]),
+                               pq.read_table(t1_corpus["graph_edges"]),
+                               cfg)
+    state_ref = ray.put(state)
+    ds = rd.from_arrow(_norm_pair_table(state)).materialize()
+    k_a, v_a, n_a = ray.get(_precompute_rel(ds, state, state_ref, cfg))
+    k_b, v_b, n_b = ray.get(_precompute_rel(ds, state, state_ref, cfg_dist))
+    assert n_a == n_b and len(k_a) > 0
+    np.testing.assert_array_equal(k_a, k_b)
+    np.testing.assert_allclose(v_a, v_b)
+
+
 def test_score_pairs_defaults_to_precompute(ray_session, t1_corpus):
     """End-to-end: the external entry scores a caller-built pair set and
     its features equal the explicit precompute_rel=True path."""

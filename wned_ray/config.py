@@ -224,6 +224,16 @@ class PipelineConfig:
     # an independent joint-subgraph PPR — no cache to share — so the pool
     # always runs regardless of pair count.
     rel_driver_max_pairs: int = 10_000
+    # Broadcast cap for the precomputed relatedness lookup: unique
+    # canonical int64 pair keys + float64 values = 16 bytes/pair, so the
+    # default is a ~64 MB object-store broadcast (read zero-copy by every
+    # scorer actor). When the input norm-pair table exceeds
+    # norm_pairs_driver_max_rows the DISTINCT key set is computed
+    # distributedly (per-batch distinct + one int64 groupby); only if
+    # even that distinct set exceeds this cap does the precompute stand
+    # down and the per-actor memo path (duplicated-work, never-wrong)
+    # take over.
+    rel_broadcast_max_pairs: int = 4_000_000
     # Hot-block-key detection reduces (block_key, n_mentions) — two int64
     # columns — on the DRIVER below this row count (np.unique/bincount,
     # ~16 bytes/row transient): a distributed SUM-groupby over the

@@ -353,33 +353,11 @@ class RelCalc:
         return batch.append_column("rel", pa.array(rel))
 
 
-def _precompute_rel(norm_pairs_ds, state, state_ref, cfg: PipelineConfig):
-    """Compute relatedness for every unique in-graph top-entity pair of
-    a MATERIALIZED vocab-sized norm-pair Dataset, fully parallel, and
-    return a ray.put lookup (sorted int64 pair keys, values, num_nodes)
-    — or None when the pair table exceeds the driver cap (the per-actor
-    memo path then remains the scale fallback)."""
-    import sys
-    import time
-
-    import ray
-    import ray.data as rd
-
-    if state["graph"] is None:
-        return None
-    t0 = time.time()
-    parts, total = [], 0
-    for ref in (norm_pairs_ds.select_columns(["norm_a", "norm_b"])
-                .to_arrow_refs()):
-        t = ray.get(ref)
-        if t.num_columns > 0 and t.num_rows > 0:
-            parts.append(t)
-            total += t.num_rows
-        if total > cfg.norm_pairs_driver_max_rows:
-            return None
-    if not parts:
-        return None
-    tbl = pa.concat_tables(parts).combine_chunks()
+def _pair_keys_from_tables(tables, state, n_nodes: int) -> np.ndarray:
+    """(norm_a, norm_b) Arrow tables -> unique canonical int64 pair keys
+    (lo * n_nodes + hi) restricted to in-graph top entities, self-pairs
+    dropped (relatedness(a,a)=1 needs no kernel)."""
+    tbl = pa.concat_tables(tables).combine_chunks()
     idx = pd.Index(state["alias_names"])
     ia = idx.get_indexer(tbl["norm_a"].to_numpy(zero_copy_only=False))
     ib = idx.get_indexer(tbl["norm_b"].to_numpy(zero_copy_only=False))
@@ -388,16 +366,103 @@ def _precompute_rel(norm_pairs_ds, state, state_ref, cfg: PipelineConfig):
     gb = np.where(ib >= 0, top_gid[np.maximum(ib, 0)], -1)
     m = (ga >= 0) & (gb >= 0)
     if not m.any():
-        n_nodes = len(state["graph"][0]) - 1
-        return ray.put((np.zeros(0, np.int64), np.zeros(0, np.float64),
-                        n_nodes))
-    n_nodes = len(state["graph"][0]) - 1
-    # canonical a<b (relatedness is computed canonically anyway) and no
-    # self pairs (exact-tier rows: relatedness(a,a)=1 needs no kernel)
+        return np.zeros(0, np.int64)
     lo = np.minimum(ga[m], gb[m])
     hi = np.maximum(ga[m], gb[m])
     keys = np.unique(lo * n_nodes + hi)
-    keys = keys[(keys // n_nodes) != (keys % n_nodes)]
+    return keys[(keys // n_nodes) != (keys % n_nodes)]
+
+
+class _PairKeyMapper:
+    """Actor-pool kernel: one batch of (norm_a, norm_b) -> its DISTINCT
+    canonical in-graph int64 pair keys. The alias index is built once per
+    actor from the broadcast scorer state."""
+
+    def __init__(self, state_ref, n_nodes: int):
+        import ray
+
+        st = ray.get(state_ref) if not isinstance(state_ref, dict) \
+            else state_ref
+        self.state = st
+        self.n_nodes = n_nodes
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        keys = _pair_keys_from_tables([batch], self.state, self.n_nodes)
+        return pa.table({"key": pa.array(keys, pa.int64())})
+
+
+def _unique_keys_distributed(norm_pairs_ds, state_ref, cfg: PipelineConfig,
+                             n_nodes: int) -> "np.ndarray | None":
+    """Scale path for the unique in-graph pair-key set: per-batch distinct
+    keys (actor pool), ONE int64 groupby to dedup across batches, bounded
+    collect. Returns None only when even the DISTINCT key set exceeds the
+    broadcast cap (the per-actor memo then remains the last resort —
+    documented-approximate redundancy, never wrong results)."""
+    import ray
+
+    keyed = norm_pairs_ds.select_columns(["norm_a", "norm_b"]).map_batches(
+        _PairKeyMapper,
+        fn_constructor_kwargs={"state_ref": state_ref, "n_nodes": n_nodes},
+        batch_format="pyarrow",
+        concurrency=max(1, int(ray.cluster_resources().get("CPU", 2)) - 2),
+        num_cpus=1)
+    uniq = keyed.groupby("key").count().select_columns(["key"])
+    parts, total = [], 0
+    for ref in uniq.to_arrow_refs():
+        t = ray.get(ref)
+        if t.num_columns > 0 and t.num_rows > 0:
+            parts.append(t)
+            total += t.num_rows
+        if total > cfg.rel_broadcast_max_pairs:
+            return None
+    if not parts:
+        return np.zeros(0, np.int64)
+    return pa.concat_tables(parts)["key"].to_numpy(zero_copy_only=False)
+
+
+def _precompute_rel(norm_pairs_ds, state, state_ref, cfg: PipelineConfig):
+    """Compute relatedness for every unique in-graph top-entity pair of
+    a MATERIALIZED norm-pair Dataset, fully parallel, and return a
+    ray.put lookup (sorted int64 pair keys, values, num_nodes).
+
+    The unique-pair-key set is computed on the driver below
+    ``norm_pairs_driver_max_rows`` input rows, else DISTRIBUTED (per-batch
+    distinct -> one int64 groupby -> bounded collect). Without the
+    distributed path, corpora past the driver cap fell back to per-actor
+    relatedness memos inside the scorer pool — whose duplicated PPR work
+    GROWS with actor count (measured at the 32M-turn tier: 14 actors at
+    16 CPUs re-derived each unique pair up to once per actor, holding the
+    scores stage at ~1.8x scaling from 4->16 CPUs). Returns None only
+    when even the distinct key set exceeds ``rel_broadcast_max_pairs``."""
+    import sys
+    import time
+
+    import ray
+    import ray.data as rd
+
+    if state["graph"] is None:
+        return None
+    n_nodes = len(state["graph"][0]) - 1
+    t0 = time.time()
+    parts, total, overflow = [], 0, False
+    for ref in (norm_pairs_ds.select_columns(["norm_a", "norm_b"])
+                .to_arrow_refs()):
+        t = ray.get(ref)
+        if t.num_columns > 0 and t.num_rows > 0:
+            parts.append(t)
+            total += t.num_rows
+        if total > cfg.norm_pairs_driver_max_rows:
+            overflow = True
+            break
+    if overflow:
+        keys = _unique_keys_distributed(norm_pairs_ds, state_ref, cfg,
+                                        n_nodes)
+        if keys is None:
+            return None
+    elif not parts:
+        return None
+    else:
+        keys = _pair_keys_from_tables(parts, state, n_nodes)
     if not len(keys):
         return ray.put((np.zeros(0, np.int64), np.zeros(0, np.float64),
                         n_nodes))
