@@ -1185,9 +1185,10 @@ def _q_bloom_semi_join_orders(sf_dir: str):
 
 
 def _q_window_funcs_events(sf_dir: str):
-    """Per-user ordered window functions (running sum + lag) — the ANSI
-    window-frame analog: one hash shuffle + vectorized cumsum/shift per
-    group."""
+    """Per-user ordered window functions (running sum, lag, lead,
+    first_value, dense_rank over value DESC, ntile(4)) — the ANSI
+    window-frame family: one hash shuffle + vectorized sort/cumsum/shift
+    per group."""
     import pyarrow as pa
     import pyarrow.compute as pc
 
@@ -1204,6 +1205,10 @@ def _q_window_funcs_events(sf_dir: str):
             "cum_value_e2": pc.cast(
                 pc.round(pc.multiply(batch["cum_value"], 100.0)), pa.int64()),
             "prev_id": batch["prev_id"],
+            "next_id": batch["next_id"],
+            "first_id": batch["first_id"],
+            "dense_rank_value": batch["dense_rank_value"],
+            "tile": batch["tile"],
         })
 
     return out.map_batches(r, batch_format="pyarrow")
@@ -1852,7 +1857,16 @@ def oracle_sql() -> dict[str, str]:
             "(PARTITION BY user_id ORDER BY ts, event_id) * 100) AS BIGINT) "
             "AS cum_value_e2, "
             "lag(event_id) OVER "
-            "(PARTITION BY user_id ORDER BY ts, event_id) AS prev_id "
+            "(PARTITION BY user_id ORDER BY ts, event_id) AS prev_id, "
+            "lead(event_id) OVER "
+            "(PARTITION BY user_id ORDER BY ts, event_id) AS next_id, "
+            "first_value(event_id) OVER "
+            "(PARTITION BY user_id ORDER BY ts, event_id) AS first_id, "
+            "CAST(dense_rank() OVER "
+            "(PARTITION BY user_id ORDER BY value DESC) AS BIGINT) "
+            "AS dense_rank_value, "
+            "CAST(ntile(4) OVER "
+            "(PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT) AS tile "
             "FROM events"
         ),
         "lang_id_docs": (

@@ -719,10 +719,22 @@ def test_ordered_window_funcs_matches_duckdb(ray_session):
         "sum(coalesce(value,0)) OVER "
         "(PARTITION BY user_id ORDER BY ts, event_id) AS cum_value, "
         "lag(event_id) OVER "
-        "(PARTITION BY user_id ORDER BY ts, event_id) AS prev_id "
+        "(PARTITION BY user_id ORDER BY ts, event_id) AS prev_id, "
+        "lead(event_id) OVER "
+        "(PARTITION BY user_id ORDER BY ts, event_id) AS next_id, "
+        "first_value(event_id) OVER "
+        "(PARTITION BY user_id ORDER BY ts, event_id) AS first_id, "
+        "dense_rank() OVER "
+        "(PARTITION BY user_id ORDER BY value DESC) AS dense_rank_value, "
+        "ntile(4) OVER "
+        "(PARTITION BY user_id ORDER BY ts, event_id) AS tile "
         "FROM df ORDER BY event_id").fetch_df()
     assert np.allclose(got["cum_value"], want["cum_value"])
-    assert got["prev_id"].astype("Int64").equals(want["prev_id"].astype("Int64"))
+    for col in ("prev_id", "next_id", "first_id"):
+        assert got[col].astype("Int64").equals(want[col].astype("Int64")), col
+    for col in ("dense_rank_value", "tile"):
+        assert got[col].astype("int64").tolist() == \
+            want[col].astype("int64").tolist(), col
     assert got["user_id"].tolist() == want["user_id"].tolist()
 
 

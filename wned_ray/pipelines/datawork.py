@@ -1643,11 +1643,19 @@ def bloom_semi_join(big_ds, keys_ds, on: str, key_col: str | None = None,
 
 def ordered_window_funcs(ds, key_col: str = "user_id", ts_col: str = "ts",
                          id_col: str = "event_id", val_col: str = "value",
-                         out_prefix: str = ""):
-    """Per-key ORDERED window functions — the ``sum(...) OVER (PARTITION
-    BY key ORDER BY ts, id)`` / ``lag(id)`` analog Ray Data lacks. Emits
-    one row per input row: (id, key, cum_value = running sum of val in
-    (ts, id) order, prev_id = previous row's id or null).
+                         out_prefix: str = "", ntile_n: int = 4):
+    """Per-key ORDERED window functions — the ANSI window-frame family
+    Ray Data lacks, in one shuffle. Emits one row per input row with, in
+    (ts, id) order within each key:
+
+    - ``cum_value``  — ``sum(val) OVER (... ORDER BY ts, id)`` running sum
+    - ``prev_id``    — ``lag(id)``       (null on the first row)
+    - ``next_id``    — ``lead(id)``      (null on the last row)
+    - ``first_id``   — ``first_value(id)``
+    - ``dense_rank_value`` — ``dense_rank() OVER (... ORDER BY val DESC)``
+      (ties share a rank; ranks are gapless)
+    - ``tile``       — ``ntile(ntile_n)`` (first ``n % ntile_n`` buckets
+      take the extra row, per the SQL spec)
 
     Shape: ONE hash shuffle by key + a vectorized sort/cumsum/shift per
     group — no driver state, no per-row Python. Partitioning assumption:
@@ -1657,20 +1665,42 @@ def ordered_window_funcs(ds, key_col: str = "user_id", ts_col: str = "ts",
     order an ANSI window frame does, so floats agree with SQL engines."""
     cum_col = f"{out_prefix}cum_value"
     prev_col = f"{out_prefix}prev_id"
+    next_col = f"{out_prefix}next_id"
+    first_col = f"{out_prefix}first_id"
+    drank_col = f"{out_prefix}dense_rank_value"
+    tile_col = f"{out_prefix}tile"
 
     def win(g: pd.DataFrame) -> pa.Table:
         g = g.sort_values([ts_col, id_col])
+        n = len(g)
         vals = g[val_col].to_numpy(np.float64)
         ids_pa = pa.Array.from_pandas(g[id_col])
-        # lag(id): shift by one, typed from the input id column (string
-        # ids like "c0000001:3" must not be forced through int64)
-        prev_pa = pa.concat_arrays(
-            [pa.nulls(1, ids_pa.type), ids_pa.slice(0, len(ids_pa) - 1)])
+        # lag/lead(id): shift by one either way, typed from the input id
+        # column (string ids like "c0000001:3" must not go through int64)
+        null1 = pa.nulls(1, ids_pa.type)
+        prev_pa = pa.concat_arrays([null1, ids_pa.slice(0, n - 1)])
+        next_pa = pa.concat_arrays([ids_pa.slice(1, n - 1), null1])
+        first_pa = pa.concat_arrays([ids_pa.slice(0, 1)] * n) if n else ids_pa
+        # dense_rank by value DESC: rank of each value among the sorted
+        # distinct values (vectorized searchsorted; NaNs — absent in the
+        # bench table — would rank after all numbers, as SQL NULLS LAST)
+        distinct_desc = np.unique(vals)[::-1]
+        drank = (np.searchsorted(-distinct_desc, -vals) + 1).astype(np.int64)
+        # ntile(k): first (n % k) buckets get ceil(n/k) rows, rest floor
+        base, rem = divmod(n, ntile_n)
+        big = rem * (base + 1)
+        pos = np.arange(n)
+        tile = np.where(pos < big, pos // max(base + 1, 1),
+                        rem + (pos - big) // max(base, 1)) + 1
         return pa.table({
             id_col: ids_pa,
             key_col: pa.array(g[key_col].to_numpy()),
             cum_col: pa.array(np.nancumsum(vals), pa.float64()),
             prev_col: prev_pa,
+            next_col: next_pa,
+            first_col: first_pa,
+            drank_col: pa.array(drank, pa.int64()),
+            tile_col: pa.array(tile.astype(np.int64), pa.int64()),
         })
 
     return (ds.select_columns([id_col, key_col, ts_col, val_col])
