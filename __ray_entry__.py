@@ -494,16 +494,40 @@ def _q_events_daily(sf_dir: str):
 
 
 def _q_union_region_nation(sf_dir: str):
+    """Set-op family in one result: UNION ALL of region+nation names,
+    plus distributed INTERSECT / EXCEPT (ANSI DISTINCT semantics, one
+    shuffle each — datawork.set_op) over two overlapping nation-name
+    slices. Rows carry an ``op`` tag."""
     import pyarrow as pa
 
+    from wned_ray.pipelines.datawork import set_op
+
     r = _rd().read_parquet(f"{sf_dir}/region.parquet", columns=["r_name"])
-    n = _rd().read_parquet(f"{sf_dir}/nation.parquet", columns=["n_name"])
+    n = _rd().read_parquet(f"{sf_dir}/nation.parquet",
+                           columns=["n_nationkey", "n_name"])
 
     def rn(b: pa.Table) -> pa.Table:
-        return pa.table({"name": b[b.column_names[0]]})
+        return pa.table({"name": b[b.column_names[-1]]})
 
-    return (r.map_batches(rn, batch_format="pyarrow")
-            .union(n.map_batches(rn, batch_format="pyarrow")))
+    def tagged(op: str):
+        def f(b: pa.Table) -> pa.Table:
+            return pa.table({"name": b["n_name" if "n_name" in
+                                       b.column_names else "name"],
+                             "op": pa.array([op] * len(b))})
+        return f
+
+    union_all = (r.map_batches(rn, batch_format="pyarrow")
+                 .union(n.map_batches(rn, batch_format="pyarrow"))
+                 .map_batches(tagged("union_all"), batch_format="pyarrow"))
+    lo = n.filter(expr="n_nationkey < 15")
+    hi = n.filter(expr="n_nationkey >= 5")
+    inter = set_op(lo, hi, "n_name", "intersect").rename_columns(
+        {"n_name": "name"}).map_batches(tagged("intersect"),
+                                        batch_format="pyarrow")
+    exc = set_op(lo, hi, "n_name", "except").rename_columns(
+        {"n_name": "name"}).map_batches(tagged("except"),
+                                        batch_format="pyarrow")
+    return union_all.union(inter).union(exc)
 
 
 def _q_cooccur_pairs(sf_dir: str):
@@ -1662,8 +1686,14 @@ def oracle_sql() -> dict[str, str]:
             "FROM events GROUP BY day, event_type"
         ),
         "union_region_nation": (
-            "SELECT r_name AS name FROM region "
-            "UNION ALL SELECT n_name AS name FROM nation"
+            "SELECT r_name AS name, 'union_all' AS op FROM region "
+            "UNION ALL SELECT n_name, 'union_all' FROM nation "
+            "UNION ALL SELECT name, 'intersect' FROM "
+            "(SELECT n_name AS name FROM nation WHERE n_nationkey < 15 "
+            "INTERSECT SELECT n_name FROM nation WHERE n_nationkey >= 5) "
+            "UNION ALL SELECT name, 'except' FROM "
+            "(SELECT n_name AS name FROM nation WHERE n_nationkey < 15 "
+            "EXCEPT SELECT n_name FROM nation WHERE n_nationkey >= 5)"
         ),
         "knn_embeddings": (
             "WITH q AS (SELECT vec_id, embedding FROM embeddings "

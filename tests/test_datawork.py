@@ -738,6 +738,25 @@ def test_ordered_window_funcs_matches_duckdb(ray_session):
     assert got["user_id"].tolist() == want["user_id"].tolist()
 
 
+def test_set_op_matches_sql_semantics(ray_session):
+    # ANSI INTERSECT / EXCEPT use DISTINCT semantics: duplicates on
+    # either side collapse, and except removes a value present ANYWHERE
+    # on the right side regardless of multiplicity
+    import pandas as pd
+    import ray.data as rd
+
+    from wned_ray.pipelines.datawork import set_op
+
+    a = rd.from_pandas(pd.DataFrame({"v": ["x", "x", "y", "z", "w"]}))
+    b = rd.from_pandas(pd.DataFrame({"v": ["y", "y", "w", "q"]}))
+    inter = sorted(set_op(a, b, "v", "intersect").to_pandas()["v"])
+    exc = sorted(set_op(a, b, "v", "except").to_pandas()["v"])
+    assert inter == ["w", "y"]
+    assert exc == ["x", "z"]
+    with pytest.raises(ValueError, match="intersect|except"):
+        set_op(a, b, "v", "union")
+
+
 def test_ordered_window_funcs_string_ids(ray_session):
     # prev_id must carry the input id column's type (ADVICE r2): string
     # mention-style ids like "c0000001:3" go through unchanged

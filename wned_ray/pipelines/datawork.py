@@ -98,6 +98,43 @@ def exact_dedup(ds, id_col: str, text_col: str = "text"):
                        Count(alias_name="n_dups")))
 
 
+def set_op(a, b, col: str, op: str):
+    """ANSI ``INTERSECT`` / ``EXCEPT`` (DISTINCT semantics) over one
+    column of two Datasets — the set-op Ray Data lacks natively.
+
+    Shape: each side is per-batch DISTINCTed first (combiner — the
+    shuffle moves at most one row per distinct value per batch, never the
+    raw rows), tagged with a presence flag, then ONE hash shuffle
+    (groupby + Max per side) decides membership. No driver state; scales
+    with the number of distinct values, not input rows."""
+    from ray.data.aggregate import Max
+
+    if op not in ("intersect", "except"):
+        raise ValueError(f"set_op: op must be intersect|except, got {op!r}")
+
+    def tag(side: str):
+        def f(t: pa.Table) -> pa.Table:
+            vals = pc.unique(t[col])
+            n = len(vals)
+            one = np.ones(n, np.int64)
+            return pa.table({
+                col: vals,
+                "_in_a": pa.array(one if side == "a" else one * 0),
+                "_in_b": pa.array(one if side == "b" else one * 0),
+            })
+        return f
+
+    both = (a.select_columns([col]).map_batches(tag("a"), batch_format="pyarrow")
+            .union(b.select_columns([col]).map_batches(tag("b"),
+                                                       batch_format="pyarrow"))
+            .groupby(col)
+            .aggregate(Max("_in_a", alias_name="in_a"),
+                       Max("_in_b", alias_name="in_b")))
+    expr = ("in_a == 1 and in_b == 1" if op == "intersect"
+            else "in_a == 1 and in_b == 0")
+    return both.filter(expr=expr).select_columns([col])
+
+
 # ----------------------------------------------------------- MinHash-LSH dup
 
 def minhash_candidates(ds, id_col: str, text_col: str = "text",
