@@ -881,6 +881,59 @@ def _q_er_fit_weights(sf_dir: str):
     }])
 
 
+def _q_er_increment(sf_dir: str):
+    """Incremental linkage gate (pipelines/increment.py): split the tier
+    corpus 80/20 by conversation, link the base, link the delta
+    INCREMENTALLY (no base re-scoring), and compare the merged assignment
+    against a full base+delta rerun. ``agree_rate_e6`` must be 1_000_000
+    (exact equivalence; global_promote off — the one documented
+    divergence is the corpus-wide promotion pass)."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    from wned_ray.config import PipelineConfig
+    from wned_ray.pipelines.increment import run_linkage_increment
+    from wned_ray.pipelines.link import run_linkage
+
+    corpus = _corpus_for(sf_dir)
+    cfg = PipelineConfig(global_promote=False)
+
+    t = pq.read_table(corpus["transcripts"])
+    convs = sorted(set(t["conv_id"].to_pylist()))
+    delta_convs = pa.array(sorted(convs[: max(1, len(convs) // 5)]))
+    mask = pc.is_in(t["conv_id"], value_set=delta_convs)
+    split_dir = os.path.join("/tmp/wned_ray_fixtures",
+                             f"incsplit_{os.path.basename(corpus['transcripts']).split('.')[0]}_{t.num_rows}")
+    os.makedirs(split_dir, exist_ok=True)
+    base_path = os.path.join(split_dir, "base.parquet")
+    delta_path = os.path.join(split_dir, "delta.parquet")
+    pq.write_table(t.filter(pc.invert(mask)), base_path)
+    pq.write_table(t.filter(mask), delta_path)
+
+    full = run_linkage(corpus["transcripts"], corpus["aliases"],
+                       corpus["graph_edges"], cfg,
+                       redirects_path=corpus.get("redirects"))
+    base = run_linkage(base_path, corpus["aliases"],
+                       corpus["graph_edges"], cfg,
+                       redirects_path=corpus.get("redirects"))
+    inc = run_linkage_increment(base, delta_path, corpus["aliases"],
+                                corpus["graph_edges"], cfg,
+                                redirects_path=corpus.get("redirects"))
+
+    got = inc["clusters"].to_pandas()
+    want = full["clusters"].to_pandas()
+    merged = got.merge(want, on="mention_id", suffixes=("_inc", "_full"))
+    agree = (merged["cluster_id_inc"] == merged["cluster_id_full"]).mean()
+    return pd.DataFrame([{
+        "mentions": len(want),
+        "delta_mentions": int(inc["prepared"].count()),
+        "scored_pairs": int(inc["scores"].count()),
+        "agree_rate_e6": int(round(agree * 1_000_000)),
+    }])
+
+
 def _q_alias_redirect_resolved(sf_dir: str):
     """J6/A4: redirect composition over the alias dim table (the Ray
     Dataset twin of the dim-table path used inside run_linkage)."""
@@ -1550,6 +1603,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "er_resolve": _q_er_resolve,
         "er_resolve_strategies": _q_er_resolve_strategies,
         "er_fit_weights": _q_er_fit_weights,
+        "er_increment": _q_er_increment,
         "curated_docs": _q_curated_docs,
         "minhash_dedup_docs": _q_minhash_dedup,
         "simhash_near_dup": _q_simhash_dups,

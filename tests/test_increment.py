@@ -1,0 +1,91 @@
+"""Incremental linkage (pipelines/increment.py): base + delta must
+reproduce the full base+delta rerun's clusters.
+
+Split the t1 corpus 80/20 by conversation, link the base, then link the
+delta incrementally; the merged assignment must equal the full rerun on
+every mention (both sides canonicalize cluster ids to the min member, so
+ids — not just partitions — must agree). ``global_promote=False``: the
+corpus-wide promotion pass is the one documented divergence (it sees only
+the delta during incremental prepare)."""
+
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from wned_ray.config import PipelineConfig
+from wned_ray.pipelines.increment import run_linkage_increment
+from wned_ray.pipelines.link import run_linkage
+
+
+@pytest.fixture(scope="module")
+def split_corpus(t1_corpus, tmp_path_factory):
+    out = tmp_path_factory.mktemp("t1split")
+    t = pq.read_table(t1_corpus["transcripts"])
+    convs = sorted(set(t["conv_id"].to_pylist()))
+    delta_convs = set(convs[: max(1, len(convs) // 5)])
+    import pyarrow.compute as pc
+
+    mask = pc.is_in(t["conv_id"], value_set=pa.array(sorted(delta_convs)))
+    base_path = str(out / "base.parquet")
+    delta_path = str(out / "delta.parquet")
+    pq.write_table(t.filter(pc.invert(mask)), base_path)
+    pq.write_table(t.filter(mask), delta_path)
+    return t1_corpus, base_path, delta_path
+
+
+def _assign_df(ds):
+    return (ds.to_pandas().sort_values("mention_id")
+            .reset_index(drop=True))
+
+
+def test_increment_matches_full_rerun(ray_session, split_corpus):
+    corpus, base_path, delta_path = split_corpus
+    cfg = PipelineConfig(global_promote=False)
+
+    full = run_linkage(corpus["transcripts"], corpus["aliases"],
+                       corpus["graph_edges"], cfg,
+                       redirects_path=corpus["redirects"])
+    base = run_linkage(base_path, corpus["aliases"],
+                       corpus["graph_edges"], cfg,
+                       redirects_path=corpus["redirects"])
+    inc = run_linkage_increment(base, delta_path, corpus["aliases"],
+                                corpus["graph_edges"], cfg,
+                                redirects_path=corpus["redirects"])
+
+    got = _assign_df(inc["clusters"])
+    want = _assign_df(full["clusters"])
+    assert len(got) == len(want)
+    merged = got.merge(want, on="mention_id", suffixes=("_inc", "_full"))
+    diff = merged[merged["cluster_id_inc"] != merged["cluster_id_full"]]
+    assert diff.empty, diff.head(20)
+
+    # the incremental scores table only contains delta-touching pairs
+    sdf = inc["scores"].select_columns(["id_a", "id_b"]).to_pandas()
+    delta_ids = set(pq.read_table(delta_path)
+                    .to_pandas()
+                    .apply(lambda r: f"{r.conv_id}:{r.turn_idx}", axis=1))
+    # mention ids are conv:turn-prefixed per stages/normalize.py; at
+    # least one endpoint of every scored pair must be a delta mention
+    touches = sdf["id_a"].isin(delta_ids) | sdf["id_b"].isin(delta_ids)
+    assert touches.all()
+
+
+def test_increment_empty_delta_is_identity(ray_session, split_corpus,
+                                           tmp_path_factory):
+    corpus, base_path, _ = split_corpus
+    cfg = PipelineConfig(global_promote=False)
+    out = tmp_path_factory.mktemp("t1empty")
+    t = pq.read_table(base_path)
+    empty_path = str(out / "empty.parquet")
+    pq.write_table(t.slice(0, 0), empty_path)
+
+    base = run_linkage(base_path, corpus["aliases"],
+                       corpus["graph_edges"], cfg,
+                       redirects_path=corpus["redirects"])
+    inc = run_linkage_increment(base, empty_path, corpus["aliases"],
+                                corpus["graph_edges"], cfg,
+                                redirects_path=corpus["redirects"])
+    got = _assign_df(inc["clusters"])
+    want = _assign_df(base["clusters"])
+    pd.testing.assert_frame_equal(got, want)

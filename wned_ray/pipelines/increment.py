@@ -1,0 +1,264 @@
+"""Incremental record linkage: link a DELTA of new transcripts against an
+already-linked base WITHOUT re-scoring the base corpus.
+
+At 100 TB the corpus is append-mostly: a day's new conversations are a
+small fraction of the linked history. A full rerun re-pays prepare +
+blocking + pair scoring over everything; this pipeline pays only
+
+  prepare(delta)                          |delta| rows
+  norm_blocks(delta)                      |delta vocab| rows
+  blocking merge (groupby over base+delta
+    blocking tables)                      |vocab x bands| rows — the slim
+                                          stage, never the mention table
+  pair gen + scoring                      pairs touching >=1 delta norm,
+                                          inside delta-touched block keys
+  cluster merge                           CC over matched edges CONTRACTED
+                                          through base cluster ids, then a
+                                          LUT map over the assignment table
+
+Correctness vs a full rerun of base+delta (asserted by
+tests/test_increment.py): pair features are corpus-independent (alias
+prior / CSR graph dims, pair-local string + context kernels), hot keys
+are recomputed on the MERGED blocking weights, and per-norm
+``n_mentions`` / ``rep_id`` merge associatively (Sum / Min) — so every
+pair with at least one delta-side mention scores exactly as the full run
+scores it, and base-base pairs are already reflected in the base
+clusters. Two documented divergences: (a) corpus-wide norm promotion
+(``cfg.global_promote``) sees only the delta during incremental prepare —
+run with it off, or accept borderline-promotion drift; (b) the fuzzy
+tier's per-surface top-n union ranks within the touched-key candidate
+set, which can RETAIN a candidate the full run would rank out (extra
+candidates only — the score threshold still gates matches).
+
+Cluster-id stability: base cluster ids are min-member mention ids, so the
+merged component root min(base cluster ids, delta mention ids) equals the
+full run's min-member id.
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from wned_ray.config import PipelineConfig
+from wned_ray.stages.blocking import hot_block_keys, norm_blocks
+from wned_ray.stages.cluster import connected_components
+from wned_ray.stages.normalize import prepare
+from wned_ray.stages.pairs import gen_pairs
+from wned_ray.stages.scoring import finalize_scores
+
+
+def _keep_touching_ids(ids_ref):
+    """Mention-level correctness filter: keep a pair only when at least
+    one endpoint is a delta mention (base-base mention pairs inside a
+    shared norm were already decided by the base run)."""
+    import ray
+
+    def fn(batch: pa.Table) -> pa.Table:
+        ids = ray.get(ids_ref)
+        mask = pc.or_(pc.is_in(batch["id_a"], value_set=ids),
+                      pc.is_in(batch["id_b"], value_set=ids))
+        return batch.filter(mask)
+
+    return fn
+
+
+def merge_blocking(base_blocking, delta_blocking):
+    """Merge two distinct-norm blocking tables associatively: per
+    (norm, block_key, band) the mention weight SUMS and the representative
+    id takes the MIN — exactly what ``norm_blocks`` over the concatenated
+    corpora would produce. One shuffle over the slim vocab-sized table."""
+    from ray.data.aggregate import Min, Sum
+
+    merged = (base_blocking.union(delta_blocking)
+              .groupby(["norm_mention", "block_key", "band_idx"])
+              .aggregate(Sum("n_mentions", alias_name="n_mentions"),
+                         Min("rep_id", alias_name="rep_id")))
+    return merged
+
+
+def run_linkage_increment(base: dict, delta_transcripts_path: str,
+                          aliases_path: str, graph_path: str | None,
+                          cfg: PipelineConfig,
+                          num_partitions: int | None = None,
+                          redirects_path: str | None = None,
+                          cc_mode: str = "auto"):
+    """Link ``delta_transcripts_path`` against an existing linkage result.
+
+    ``base``: the dict returned by ``run_linkage`` (or rebuilt from its
+    checkpoints) — needs ``prepared``, ``blocking`` and ``clusters``.
+
+    Returns ``{"prepared" (delta), "scores" (delta-touching pairs),
+    "clusters" (FULL merged assignment), "timings"}``.
+
+    Driver-state bounds: the delta's distinct norms and mention ids are
+    broadcast via ``ray.put`` (delta-vocab- / delta-sized — the increment
+    unit a caller chooses; for a delta too large to broadcast, run the
+    full pipeline instead: past ~10% of the corpus the full rerun's
+    simpler plan wins anyway).
+    """
+    import ray
+    import ray.data as rd
+
+    timings: dict[str, float] = {}
+    if num_partitions is None:
+        cluster_cpus = int(ray.cluster_resources().get("CPU", 4))
+        num_partitions = max(2, min(8, cluster_cpus))
+
+    def _prof(stage, t0):
+        timings[stage] = round(time.time() - t0, 2)
+        print(f"[profiling] increment stage={stage} "
+              f"sec={timings[stage]:.1f}", file=sys.stderr)
+
+    t0 = time.time()
+    delta_prepared = prepare(
+        rd.read_parquet(delta_transcripts_path), cfg).materialize()
+    _prof("prepared", t0)
+
+    if delta_prepared.count() == 0:
+        # empty delta: the merged assignment IS the base assignment
+        # (an empty dataset has no schema to shuffle/groupby on)
+        return {"prepared": delta_prepared, "scores": None,
+                "clusters": base["clusters"], "timings": timings}
+
+    t0 = time.time()
+    delta_blocking = norm_blocks(delta_prepared, cfg).materialize()
+    combined_blocking = merge_blocking(
+        base["blocking"], delta_blocking).materialize()
+    hot = hot_block_keys(combined_blocking, cfg)
+
+    # Hot-flip dirty set: block weights only GROW with the delta, so
+    # hot(base) ⊆ hot(merged); every key in the difference was
+    # pair-generating at base time but is excluded by a full rerun.
+    # Norms touching a flipped key are DIRTY — all their pairs are
+    # re-derived in this pass under merged hotness (their base edges are
+    # dropped below). Without this, base-time merges through newly-hot
+    # blocks survive that a full rerun would not make (measured 4.3%
+    # assignment divergence at the t2 tier), and dropping base edges by
+    # their single kept block key over-drops multi-band pairs (0.2%).
+    hot_base = hot_block_keys(base["blocking"], cfg)
+    flipped = hot - hot_base
+    dirty_norms_t = pa.table({"norm_mention": pa.array([], pa.string())})
+    if flipped:
+        flipped_arr = pa.array(sorted(flipped), pa.int64())
+
+        def _in_flipped(batch: pa.Table) -> pa.Table:
+            return batch.filter(
+                pc.is_in(batch["block_key"], value_set=flipped_arr))
+
+        dirty_norms_t = pa.Table.from_pandas(
+            combined_blocking.map_batches(_in_flipped,
+                                          batch_format="pyarrow")
+            .groupby("norm_mention").count()
+            .select_columns(["norm_mention"]).to_pandas())
+
+    # prune the pair self-join to block keys the delta (or a dirty norm)
+    # actually touches
+    delta_keys = (delta_blocking.groupby("block_key").count()
+                  .select_columns(["block_key"]))
+    if len(dirty_norms_t):
+        dn_arr = dirty_norms_t["norm_mention"].combine_chunks()
+
+        def _of_dirty(batch: pa.Table) -> pa.Table:
+            return batch.filter(
+                pc.is_in(batch["norm_mention"], value_set=dn_arr))
+
+        dirty_keys = (combined_blocking
+                      .map_batches(_of_dirty, batch_format="pyarrow")
+                      .select_columns(["block_key"]))
+        delta_keys = (delta_keys.union(dirty_keys)
+                      .groupby("block_key").count()
+                      .select_columns(["block_key"]))
+    touched_blocking = combined_blocking.join(
+        delta_keys, join_type="inner", num_partitions=num_partitions,
+        on=("block_key",))
+    _prof("blocking", t0)
+
+    # broadcast keep sets (driver-bounded: delta-sized + dirty-norm-sized;
+    # dirty norms cluster near the hot cap, a small set by construction)
+    t0 = time.time()
+    delta_norms = pa.Table.from_pandas(
+        delta_blocking.groupby("norm_mention").count()
+        .select_columns(["norm_mention"]).to_pandas())
+    keep_norms = pa.concat_tables(
+        [delta_norms, dirty_norms_t]).combine_chunks()
+    norm_keep_ref = ray.put(keep_norms["norm_mention"].combine_chunks())
+    delta_ids = pa.Table.from_pandas(
+        delta_prepared.select_columns(["mention_id"]).to_pandas())
+    dirty_ids_t = pa.table({"mention_id": pa.array([], pa.string())})
+    if len(dirty_norms_t):
+        dn_arr = dirty_norms_t["norm_mention"].combine_chunks()
+
+        def _mention_of_dirty(batch: pa.Table) -> pa.Table:
+            return (batch.filter(pc.is_in(batch["norm_mention"],
+                                          value_set=dn_arr))
+                    .select(["mention_id"]))
+
+        dirty_ids_t = pa.Table.from_pandas(
+            base["prepared"].select_columns(["mention_id", "norm_mention"])
+            .map_batches(_mention_of_dirty, batch_format="pyarrow")
+            .to_pandas())
+    keep_ids = pa.concat_tables([delta_ids, dirty_ids_t]).combine_chunks()
+    delta_ids_ref = ray.put(keep_ids["mention_id"].combine_chunks())
+    dirty_ids_arr = dirty_ids_t["mention_id"].combine_chunks()
+
+    import pyarrow.parquet as pq
+
+    alias_table = pq.read_table(aliases_path)
+    if redirects_path:
+        from wned_ray.stages.aliases import resolve_redirects_table
+
+        alias_table = resolve_redirects_table(
+            alias_table, pq.read_table(redirects_path))
+    alias_ref = ray.put(alias_table)
+    graph_ref = ray.put(pq.read_table(graph_path)) if graph_path else None
+    _prof("broadcast", t0)
+
+    t0 = time.time()
+    mentions = base["prepared"].union(delta_prepared)
+    pairs = gen_pairs(mentions, touched_blocking, hot, cfg,
+                      num_partitions=num_partitions,
+                      alias_ref=alias_ref, graph_ref=graph_ref,
+                      norm_keep_ref=norm_keep_ref)
+    pairs = pairs.map_batches(_keep_touching_ids(delta_ids_ref),
+                              batch_format="pyarrow")
+    scores = finalize_scores(pairs, cfg).materialize()
+    _prof("scores", t0)
+
+    # ---- cluster merge -----------------------------------------------
+    # Every base edge touching a DIRTY mention is dropped: its pair
+    # universe was re-derived above under merged hotness (via all bands,
+    # not the single kept min key), so the regenerated decisions replace
+    # the stale base ones wholesale.
+    t0 = time.time()
+    new_edges = scores.filter(expr="matched").select_columns(["id_a", "id_b"])
+    base_edges = base["scores"].filter(expr="matched").select_columns(
+        ["id_a", "id_b"])
+    if len(dirty_ids_arr):
+        def _drop_dirty(batch: pa.Table) -> pa.Table:
+            mask = pc.or_(
+                pc.is_in(batch["id_a"], value_set=dirty_ids_arr),
+                pc.is_in(batch["id_b"], value_set=dirty_ids_arr))
+            return batch.filter(pc.invert(mask))
+
+        base_edges = base_edges.map_batches(_drop_dirty,
+                                            batch_format="pyarrow")
+
+    # CC over the SLIM matched-edge union (|matched| = O(mentions) after
+    # blocking + threshold prune — the cheap stage of a full run), then
+    # the same assignment pass run_linkage uses. Base prepare/blocking/
+    # scoring — the expensive stages — are never re-paid.
+    from wned_ray.stages.cluster import assign_clusters
+
+    all_mentions = (base["prepared"].select_columns(["mention_id"])
+                    .union(delta_prepared.select_columns(["mention_id"])))
+    clusters = assign_clusters(all_mentions, base_edges.union(new_edges),
+                               cfg, mode=cc_mode,
+                               num_partitions=num_partitions)
+    _prof("clusters", t0)
+
+    return {"prepared": delta_prepared, "scores": scores,
+            "clusters": clusters, "timings": timings}

@@ -563,22 +563,45 @@ def expand_pairs_star(mentions_ds, norm_pairs_ds, cfg: PipelineConfig,
     return fuzzy_pairs.union(exact_pairs)
 
 
+def _keep_touching_norms(keep_ref):
+    """Prune filter for incremental runs: keep a norm pair only when at
+    least one side is in the broadcast keep set (the delta's norms) —
+    base-base pairs were already scored in the base run. Shipped via
+    ``ray.put`` once, read zero-copy per task."""
+    import ray
+
+    def fn(batch: pa.Table) -> pa.Table:
+        keep = ray.get(keep_ref)
+        mask = pc.or_(pc.is_in(batch["norm_a"], value_set=keep),
+                      pc.is_in(batch["norm_b"], value_set=keep))
+        return batch.filter(mask)
+
+    return fn
+
+
 def gen_pairs(prepared_ds, norm_blocks_ds, hot_keys: set[int],
               cfg: PipelineConfig, num_partitions: int = 16,
-              alias_ref=None, graph_ref=None):
+              alias_ref=None, graph_ref=None, norm_keep_ref=None):
     """prepared + norm blocking -> canonical, unique candidate mention
     pairs (the composition used by pipelines/link.py).
 
     With ``alias_ref``/``graph_ref`` given, the norm-level features
     (prior/sem_sim/name_sim/lev_sim) are scored on the DISTINCT norm
     pairs BEFORE expansion — |distinct surface pairs| actor work instead
-    of |mention pairs| — and ride the expand joins as payload columns."""
+    of |mention pairs| — and ride the expand joins as payload columns.
+
+    ``norm_keep_ref`` (incremental runs, pipelines/increment.py): a
+    ``ray.put`` Arrow string array; norm pairs touching NO kept norm are
+    dropped before scoring/expansion."""
     import sys
     import time
 
     mentions = prepared_ds.select_columns(["mention_id", "norm_mention", "ctx"])
     t0 = time.time()
     np_ds = norm_pairs(norm_blocks_ds, hot_keys, cfg, num_partitions)
+    if norm_keep_ref is not None:
+        np_ds = np_ds.map_batches(_keep_touching_norms(norm_keep_ref),
+                                  batch_format="pyarrow")
     if (cfg.pair_mode == "star"
             and not getattr(np_ds, "_wned_driver_backed", False)):
         # pin the raw pair set FIRST (vocab-sized): the scorer's
