@@ -115,6 +115,39 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
             "stages": out.get("timings", {}),
         }
 
+    # Incremental linkage: 90/10 conv split, link the 90% base once
+    # (untimed setup), then time the 10% delta increment — the
+    # append-only-corpus cost story (pipelines/increment.py)
+    import pyarrow.compute as _pc
+    import pyarrow.parquet as _pq
+
+    from wned_ray.pipelines.increment import run_linkage_increment
+
+    split_dir = os.path.join(os.path.dirname(corpus["transcripts"]),
+                             "inc_split90")
+    base_p = os.path.join(split_dir, "base.parquet")
+    delta_p = os.path.join(split_dir, "delta.parquet")
+    if not (os.path.exists(base_p) and os.path.exists(delta_p)):
+        os.makedirs(split_dir, exist_ok=True)
+        t = _pq.read_table(corpus["transcripts"])
+        convs = sorted(set(t["conv_id"].to_pylist()))
+        import pyarrow as _pa
+
+        dset = _pa.array(sorted(convs[: max(1, len(convs) // 10)]))
+        mask = _pc.is_in(t["conv_id"], value_set=dset)
+        _pq.write_table(t.filter(_pc.invert(mask)), base_p)
+        _pq.write_table(t.filter(mask), delta_p)
+    base_out = run_linkage(base_p, corpus["aliases"],
+                           corpus["graph_edges"], cfg,
+                           redirects_path=corpus.get("redirects"))
+    base_out["clusters"].count()
+    t0 = time.time()
+    inc = run_linkage_increment(base_out, delta_p, corpus["aliases"],
+                                corpus["graph_edges"], cfg,
+                                redirects_path=corpus.get("redirects"))
+    inc["clusters"].count()
+    queries["er_increment_delta10"] = round(time.time() - t0, 3)
+
     t0 = time.time()
     docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
                            columns=["doc_id", "text"])

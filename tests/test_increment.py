@@ -71,6 +71,47 @@ def test_increment_matches_full_rerun(ray_session, split_corpus):
     assert touches.all()
 
 
+def test_increment_hot_flip_repair(ray_session, split_corpus):
+    """Force hot-key FLIPS (cold at base size, hot at merged size) with a
+    tight max_block_size and assert the increment still reproduces the
+    full rerun exactly — the dirty-norm repair path, made falsifiable:
+    the test first proves flips actually occur at this cap."""
+    from wned_ray.pipelines.increment import merge_blocking
+    from wned_ray.stages.blocking import hot_block_keys, norm_blocks
+    from wned_ray.stages.normalize import prepare
+
+    import ray.data as rd
+
+    corpus, base_path, delta_path = split_corpus
+    cfg = PipelineConfig(global_promote=False, max_block_size=10)
+
+    base_blocking = norm_blocks(
+        prepare(rd.read_parquet(base_path), cfg), cfg).materialize()
+    delta_blocking = norm_blocks(
+        prepare(rd.read_parquet(delta_path), cfg), cfg).materialize()
+    merged = merge_blocking(base_blocking, delta_blocking).materialize()
+    flipped = hot_block_keys(merged, cfg) - hot_block_keys(base_blocking,
+                                                           cfg)
+    assert flipped, ("max_block_size=10 produced no hot flips at the t1 "
+                     "tier; pick a cap between base and merged weights")
+
+    full = run_linkage(corpus["transcripts"], corpus["aliases"],
+                       corpus["graph_edges"], cfg,
+                       redirects_path=corpus["redirects"])
+    base = run_linkage(base_path, corpus["aliases"],
+                       corpus["graph_edges"], cfg,
+                       redirects_path=corpus["redirects"])
+    inc = run_linkage_increment(base, delta_path, corpus["aliases"],
+                                corpus["graph_edges"], cfg,
+                                redirects_path=corpus["redirects"])
+    got = _assign_df(inc["clusters"])
+    want = _assign_df(full["clusters"])
+    merged_df = got.merge(want, on="mention_id", suffixes=("_inc", "_full"))
+    diff = merged_df[merged_df["cluster_id_inc"]
+                     != merged_df["cluster_id_full"]]
+    assert diff.empty, diff.head(20)
+
+
 def test_increment_empty_delta_is_identity(ray_session, split_corpus,
                                            tmp_path_factory):
     corpus, base_path, _ = split_corpus

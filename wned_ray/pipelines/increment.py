@@ -10,25 +10,34 @@ blocking + pair scoring over everything; this pipeline pays only
   blocking merge (groupby over base+delta
     blocking tables)                      |vocab x bands| rows — the slim
                                           stage, never the mention table
-  pair gen + scoring                      pairs touching >=1 delta norm,
-                                          inside delta-touched block keys
-  cluster merge                           CC over matched edges CONTRACTED
-                                          through base cluster ids, then a
-                                          LUT map over the assignment table
+  pair gen + scoring                      pairs touching >=1 delta (or
+                                          dirty) mention, inside delta-
+                                          touched + dirty block keys
+  cluster merge                           ONE connected-components pass
+                                          over the slim matched-edge
+                                          union (repaired base edges +
+                                          new edges)
 
 Correctness vs a full rerun of base+delta (asserted by
-tests/test_increment.py): pair features are corpus-independent (alias
-prior / CSR graph dims, pair-local string + context kernels), hot keys
-are recomputed on the MERGED blocking weights, and per-norm
-``n_mentions`` / ``rep_id`` merge associatively (Sum / Min) — so every
-pair with at least one delta-side mention scores exactly as the full run
-scores it, and base-base pairs are already reflected in the base
-clusters. Two documented divergences: (a) corpus-wide norm promotion
-(``cfg.global_promote``) sees only the delta during incremental prepare —
-run with it off, or accept borderline-promotion drift; (b) the fuzzy
-tier's per-surface top-n union ranks within the touched-key candidate
-set, which can RETAIN a candidate the full run would rank out (extra
-candidates only — the score threshold still gates matches).
+tests/test_increment.py and the ``er_increment`` gate — EXACT agreement
+at both test tiers): pair features are corpus-independent (alias prior /
+CSR graph dims, pair-local string + context kernels), hot keys are
+recomputed on the MERGED blocking weights, per-norm ``n_mentions`` /
+``rep_id`` merge associatively (Sum / Min), and HOT-FLIP REPAIR makes
+the corpus-size-dependent skew cap incremental too: block weights only
+grow, so ``hot(base) ⊆ hot(merged)``; norms touching a key in the
+difference ("dirty") have ALL their pairs re-derived under merged
+hotness and their base edges dropped — without it, base-time merges
+through newly-hot blocks survive that a full rerun would not make
+(measured 4.3% divergence at the t2 tier; 0.2% more from repairing by
+single kept block key instead of whole norms). Two documented residual
+divergences: (a) corpus-wide norm promotion (``cfg.global_promote``)
+sees only the delta during incremental prepare — run with it off, or
+accept borderline-promotion drift; (b) the fuzzy tier's per-surface
+top-n union ranks within a candidate set that differs from the full
+run's for clean base surfaces (no delta/dirty side) — kept pairs can
+differ at the top-n boundary; none occur on the test tiers and the
+score threshold still gates matches.
 
 Cluster-id stability: base cluster ids are min-member mention ids, so the
 merged component root min(base cluster ids, delta mention ids) equals the
@@ -45,7 +54,6 @@ import pyarrow.compute as pc
 
 from wned_ray.config import PipelineConfig
 from wned_ray.stages.blocking import hot_block_keys, norm_blocks
-from wned_ray.stages.cluster import connected_components
 from wned_ray.stages.normalize import prepare
 from wned_ray.stages.pairs import gen_pairs
 from wned_ray.stages.scoring import finalize_scores
