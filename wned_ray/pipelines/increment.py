@@ -88,6 +88,110 @@ def merge_blocking(base_blocking, delta_blocking):
     return merged
 
 
+_BLOCK_COLS = ["norm_mention", "n_mentions", "rep_id", "block_key",
+               "band_idx"]
+
+
+def _gather_blocking(ds) -> pa.Table:
+    """Zero-copy gather of a (materialized, vocab-sized) blocking Dataset
+    to one driver Arrow table — same collect discipline as
+    ``hot_block_keys``'s fast path (stages/blocking.py:148-158)."""
+    import ray
+
+    blocks = [b for b in ray.get(ds.to_arrow_refs())
+              if b.num_columns > 0 and b.num_rows > 0]
+    if not blocks:
+        return pa.table({"norm_mention": pa.array([], pa.string()),
+                         "n_mentions": pa.array([], pa.int64()),
+                         "rep_id": pa.array([], pa.string()),
+                         "block_key": pa.array([], pa.int64()),
+                         "band_idx": pa.array([], pa.int32())})
+    return (pa.concat_tables([b.select(_BLOCK_COLS) for b in blocks])
+            .combine_chunks())
+
+
+def _merge_touch_driver(base_t: pa.Table, delta_t: pa.Table,
+                        cfg: PipelineConfig):
+    """Driver twin of {merge_blocking + hot/flip/dirty/touched pruning}
+    for vocabulary-sized blocking tables: identical semantics in one
+    pass of Arrow/numpy kernels (no pandas — a pandas groupby + Python-
+    set ``isin`` over ~300k rows measured 6.5 s where the Arrow form is
+    <0.3 s). The distributed form pays four hash-shuffle waves (merge
+    groupby, two hot-key scans, delta-key groupby + join) whose
+    aggregator-spawn overhead dwarfs the data below the driver cap —
+    the same switch discipline as ``norm_pairs``'s fast path
+    (stages/pairs.py:212-243); the distributed path below remains for
+    blocking tables past ``cfg.norm_pairs_driver_max_rows``.
+
+    Returns (hot: set, dirty_norms_t, touched: pa.Table, delta_norms_t).
+    """
+    import numpy as np
+
+    g = (pa.concat_tables([base_t, delta_t])
+         .group_by(["norm_mention", "block_key", "band_idx"])
+         .aggregate([("n_mentions", "sum"), ("rep_id", "min")]))
+    merged = pa.table({
+        "norm_mention": g["norm_mention"],
+        "n_mentions": g["n_mentions_sum"],
+        "rep_id": g["rep_id_min"],
+        "block_key": g["block_key"],
+        "band_idx": g["band_idx"],
+    })
+
+    def _hot(keys_col, w_col) -> set:
+        # same np.unique/bincount reduction as hot_block_keys' fast
+        # path (stages/blocking.py:148-170); float64 sums exact < 2^53
+        keys = keys_col.combine_chunks().to_numpy(zero_copy_only=False)
+        w = w_col.combine_chunks().to_numpy(zero_copy_only=False)
+        if keys.size == 0:
+            return set()
+        uk, inv = np.unique(keys, return_inverse=True)
+        sums = np.bincount(inv, weights=w)
+        return set(uk[sums > cfg.max_block_size].tolist())
+
+    hot = _hot(merged["block_key"], merged["n_mentions"])
+    flipped = hot - _hot(base_t["block_key"], base_t["n_mentions"])
+    if flipped:
+        fl = pa.array(sorted(flipped), pa.int64())
+        dirty = pc.unique(pc.filter(
+            merged["norm_mention"],
+            pc.is_in(merged["block_key"], value_set=fl)))
+        dirty = dirty.take(pc.sort_indices(dirty))
+    else:
+        dirty = pa.array([], pa.string())
+    dirty_norms_t = pa.table({"norm_mention": dirty})
+
+    touch = pc.is_in(merged["block_key"],
+                     value_set=pc.unique(delta_t["block_key"]))
+    if len(dirty):
+        dirty_keys = pc.unique(pc.filter(
+            merged["block_key"],
+            pc.is_in(merged["norm_mention"], value_set=dirty)))
+        touch = pc.or_(touch, pc.is_in(merged["block_key"],
+                                       value_set=dirty_keys))
+    touched = merged.filter(touch).combine_chunks()
+    delta_norms_t = pa.table(
+        {"norm_mention": pc.unique(delta_t["norm_mention"])})
+    return hot, dirty_norms_t, touched, delta_norms_t
+
+
+def _driver_backed(tbl: pa.Table):
+    """Ship a driver-built Arrow table as a Ray Dataset in ~4x-CPU
+    self-contained chunks so downstream per-block parallelism fans out
+    (same shape as stages/pairs.py:230-242)."""
+    import ray
+    import ray.data as rd
+
+    ncpu = int(ray.cluster_resources().get("CPU", 4))
+    nchunks = max(1, min(max(tbl.num_rows, 1), 4 * ncpu))
+    step = (tbl.num_rows + nchunks - 1) // nchunks
+    chunks = [tbl.slice(i * step, step).combine_chunks()
+              for i in range(nchunks) if i * step < tbl.num_rows]
+    out = rd.from_arrow(chunks if chunks else tbl)
+    out._wned_driver_backed = True
+    return out
+
+
 def run_linkage_increment(base: dict, delta_transcripts_path: str,
                           aliases_path: str, graph_path: str | None,
                           cfg: PipelineConfig,
@@ -134,63 +238,76 @@ def run_linkage_increment(base: dict, delta_transcripts_path: str,
 
     t0 = time.time()
     delta_blocking = norm_blocks(delta_prepared, cfg).materialize()
-    combined_blocking = merge_blocking(
-        base["blocking"], delta_blocking).materialize()
-    hot = hot_block_keys(combined_blocking, cfg)
+    n_block_rows = base["blocking"].count() + delta_blocking.count()
+    if n_block_rows <= cfg.norm_pairs_driver_max_rows:
+        # Vocabulary-sized fast path: merge + hot/flip/dirty/touched in
+        # one driver pass (see _merge_touch_driver) — no shuffle waves.
+        hot, dirty_norms_t, touched_t, delta_norms = _merge_touch_driver(
+            _gather_blocking(base["blocking"]),
+            _gather_blocking(delta_blocking), cfg)
+        touched_blocking = _driver_backed(touched_t)
+        touched_norms = pc.unique(touched_t["norm_mention"])
+    else:
+        combined_blocking = merge_blocking(
+            base["blocking"], delta_blocking).materialize()
+        hot = hot_block_keys(combined_blocking, cfg)
 
-    # Hot-flip dirty set: block weights only GROW with the delta, so
-    # hot(base) ⊆ hot(merged); every key in the difference was
-    # pair-generating at base time but is excluded by a full rerun.
-    # Norms touching a flipped key are DIRTY — all their pairs are
-    # re-derived in this pass under merged hotness (their base edges are
-    # dropped below). Without this, base-time merges through newly-hot
-    # blocks survive that a full rerun would not make (measured 4.3%
-    # assignment divergence at the t2 tier), and dropping base edges by
-    # their single kept block key over-drops multi-band pairs (0.2%).
-    hot_base = hot_block_keys(base["blocking"], cfg)
-    flipped = hot - hot_base
-    dirty_norms_t = pa.table({"norm_mention": pa.array([], pa.string())})
-    if flipped:
-        flipped_arr = pa.array(sorted(flipped), pa.int64())
+        # Hot-flip dirty set: block weights only GROW with the delta, so
+        # hot(base) ⊆ hot(merged); every key in the difference was
+        # pair-generating at base time but is excluded by a full rerun.
+        # Norms touching a flipped key are DIRTY — all their pairs are
+        # re-derived in this pass under merged hotness (their base edges
+        # are dropped below). Without this, base-time merges through
+        # newly-hot blocks survive that a full rerun would not make
+        # (measured 4.3% assignment divergence at the t2 tier), and
+        # dropping base edges by their single kept block key instead of
+        # whole norms over-drops multi-band pairs (0.2%).
+        hot_base = hot_block_keys(base["blocking"], cfg)
+        flipped = hot - hot_base
+        dirty_norms_t = pa.table(
+            {"norm_mention": pa.array([], pa.string())})
+        if flipped:
+            flipped_arr = pa.array(sorted(flipped), pa.int64())
 
-        def _in_flipped(batch: pa.Table) -> pa.Table:
-            return batch.filter(
-                pc.is_in(batch["block_key"], value_set=flipped_arr))
+            def _in_flipped(batch: pa.Table) -> pa.Table:
+                return batch.filter(
+                    pc.is_in(batch["block_key"], value_set=flipped_arr))
 
-        dirty_norms_t = pa.Table.from_pandas(
-            combined_blocking.map_batches(_in_flipped,
-                                          batch_format="pyarrow")
-            .groupby("norm_mention").count()
+            dirty_norms_t = pa.Table.from_pandas(
+                combined_blocking.map_batches(_in_flipped,
+                                              batch_format="pyarrow")
+                .groupby("norm_mention").count()
+                .select_columns(["norm_mention"]).to_pandas())
+
+        # prune the pair self-join to block keys the delta (or a dirty
+        # norm) actually touches
+        delta_keys = (delta_blocking.groupby("block_key").count()
+                      .select_columns(["block_key"]))
+        if len(dirty_norms_t):
+            dn_arr = dirty_norms_t["norm_mention"].combine_chunks()
+
+            def _of_dirty(batch: pa.Table) -> pa.Table:
+                return batch.filter(
+                    pc.is_in(batch["norm_mention"], value_set=dn_arr))
+
+            dirty_keys = (combined_blocking
+                          .map_batches(_of_dirty, batch_format="pyarrow")
+                          .select_columns(["block_key"]))
+            delta_keys = (delta_keys.union(dirty_keys)
+                          .groupby("block_key").count()
+                          .select_columns(["block_key"]))
+        touched_blocking = combined_blocking.join(
+            delta_keys, join_type="inner", num_partitions=num_partitions,
+            on=("block_key",))
+        delta_norms = pa.Table.from_pandas(
+            delta_blocking.groupby("norm_mention").count()
             .select_columns(["norm_mention"]).to_pandas())
-
-    # prune the pair self-join to block keys the delta (or a dirty norm)
-    # actually touches
-    delta_keys = (delta_blocking.groupby("block_key").count()
-                  .select_columns(["block_key"]))
-    if len(dirty_norms_t):
-        dn_arr = dirty_norms_t["norm_mention"].combine_chunks()
-
-        def _of_dirty(batch: pa.Table) -> pa.Table:
-            return batch.filter(
-                pc.is_in(batch["norm_mention"], value_set=dn_arr))
-
-        dirty_keys = (combined_blocking
-                      .map_batches(_of_dirty, batch_format="pyarrow")
-                      .select_columns(["block_key"]))
-        delta_keys = (delta_keys.union(dirty_keys)
-                      .groupby("block_key").count()
-                      .select_columns(["block_key"]))
-    touched_blocking = combined_blocking.join(
-        delta_keys, join_type="inner", num_partitions=num_partitions,
-        on=("block_key",))
+        touched_norms = None
     _prof("blocking", t0)
 
     # broadcast keep sets (driver-bounded: delta-sized + dirty-norm-sized;
     # dirty norms cluster near the hot cap, a small set by construction)
     t0 = time.time()
-    delta_norms = pa.Table.from_pandas(
-        delta_blocking.groupby("norm_mention").count()
-        .select_columns(["norm_mention"]).to_pandas())
     keep_norms = pa.concat_tables(
         [delta_norms, dirty_norms_t]).combine_chunks()
     norm_keep_ref = ray.put(keep_norms["norm_mention"].combine_chunks())
@@ -227,6 +344,22 @@ def run_linkage_increment(base: dict, delta_transcripts_path: str,
 
     t0 = time.time()
     mentions = base["prepared"].union(delta_prepared)
+    if touched_norms is not None:
+        # every rep/member the expansion needs belongs to a norm present
+        # in the touched blocking table, so the star expansion's two
+        # mention passes (ctx-dim collect + exact-member emit,
+        # stages/pairs.py:414-526) scan |touched-norm mentions| instead
+        # of the whole corpus — the last full-corpus-sized cost in the
+        # increment's pair path (the filter itself is one streaming scan)
+        tn_ref = ray.put(touched_norms)
+
+        def _of_touched_norm(batch: pa.Table) -> pa.Table:
+            import ray as _ray
+            return batch.filter(pc.is_in(batch["norm_mention"],
+                                         value_set=_ray.get(tn_ref)))
+
+        mentions = mentions.map_batches(_of_touched_norm,
+                                        batch_format="pyarrow")
     pairs = gen_pairs(mentions, touched_blocking, hot, cfg,
                       num_partitions=num_partitions,
                       alias_ref=alias_ref, graph_ref=graph_ref,
