@@ -130,3 +130,29 @@ def test_increment_empty_delta_is_identity(ray_session, split_corpus,
     got = _assign_df(inc["clusters"])
     want = _assign_df(base["clusters"])
     pd.testing.assert_frame_equal(got, want)
+
+
+def test_increment_distributed_merge_path(ray_session, split_corpus):
+    """Exact-agreement gate with the driver fast paths DISABLED
+    (norm_pairs_driver_max_rows=0): the distributed merge/hot/flip/
+    touched plan (groupby waves + pruned self-join) must produce the
+    same clusters as the full rerun — keeps the scale path falsifiable
+    now that small tiers take the Arrow driver twin by default."""
+    corpus, base_path, delta_path = split_corpus
+    cfg = PipelineConfig(global_promote=False,
+                         norm_pairs_driver_max_rows=0)
+
+    full = run_linkage(corpus["transcripts"], corpus["aliases"],
+                       corpus["graph_edges"], cfg,
+                       redirects_path=corpus["redirects"])
+    base = run_linkage(base_path, corpus["aliases"],
+                       corpus["graph_edges"], cfg,
+                       redirects_path=corpus["redirects"])
+    inc = run_linkage_increment(base, delta_path, corpus["aliases"],
+                                corpus["graph_edges"], cfg,
+                                redirects_path=corpus["redirects"])
+    got = _assign_df(inc["clusters"])
+    want = _assign_df(full["clusters"])
+    merged = got.merge(want, on="mention_id", suffixes=("_inc", "_full"))
+    diff = merged[merged["cluster_id_inc"] != merged["cluster_id_full"]]
+    assert diff.empty, diff.head(20)
