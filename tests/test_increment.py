@@ -156,3 +156,44 @@ def test_increment_distributed_merge_path(ray_session, split_corpus):
     merged = got.merge(want, on="mention_id", suffixes=("_inc", "_full"))
     diff = merged[merged["cluster_id_inc"] != merged["cluster_id_full"]]
     assert diff.empty, diff.head(20)
+
+
+def test_increment_chain_three_deltas(ray_session, t1_corpus,
+                                      tmp_path_factory):
+    """Append-mostly usage: three sequential deltas chained through
+    ``out["state"]`` must reproduce the full-corpus rerun exactly —
+    including dirty-norm repair carry-over (state scores drop repaired
+    base rows, so later increments never see stale edges)."""
+    import pyarrow.compute as pc
+
+    out_dir = tmp_path_factory.mktemp("t1chain")
+    t = pq.read_table(t1_corpus["transcripts"])
+    convs = sorted(set(t["conv_id"].to_pylist()))
+    n = len(convs)
+    cuts = [0, int(n * 0.7), int(n * 0.8), int(n * 0.9), n]
+    parts = []
+    for i in range(4):
+        cset = pa.array(convs[cuts[i]:cuts[i + 1]])
+        p = str(out_dir / f"part{i}.parquet")
+        pq.write_table(t.filter(pc.is_in(t["conv_id"], value_set=cset)), p)
+        parts.append(p)
+
+    cfg = PipelineConfig(global_promote=False)
+    full = run_linkage(t1_corpus["transcripts"], t1_corpus["aliases"],
+                       t1_corpus["graph_edges"], cfg,
+                       redirects_path=t1_corpus["redirects"])
+    state = run_linkage(parts[0], t1_corpus["aliases"],
+                        t1_corpus["graph_edges"], cfg,
+                        redirects_path=t1_corpus["redirects"])
+    for p in parts[1:]:
+        out = run_linkage_increment(state, p, t1_corpus["aliases"],
+                                    t1_corpus["graph_edges"], cfg,
+                                    redirects_path=t1_corpus["redirects"])
+        state = out["state"]
+
+    got = _assign_df(state["clusters"])
+    want = _assign_df(full["clusters"])
+    assert len(got) == len(want)
+    merged = got.merge(want, on="mention_id", suffixes=("_inc", "_full"))
+    diff = merged[merged["cluster_id_inc"] != merged["cluster_id_full"]]
+    assert diff.empty, diff.head(20)

@@ -172,7 +172,7 @@ def _merge_touch_driver(base_t: pa.Table, delta_t: pa.Table,
     touched = merged.filter(touch).combine_chunks()
     delta_norms_t = pa.table(
         {"norm_mention": pc.unique(delta_t["norm_mention"])})
-    return hot, dirty_norms_t, touched, delta_norms_t
+    return hot, dirty_norms_t, touched, delta_norms_t, merged
 
 
 def _driver_backed(tbl: pa.Table):
@@ -204,7 +204,10 @@ def run_linkage_increment(base: dict, delta_transcripts_path: str,
     checkpoints) — needs ``prepared``, ``blocking`` and ``clusters``.
 
     Returns ``{"prepared" (delta), "scores" (delta-touching pairs),
-    "clusters" (FULL merged assignment), "timings"}``.
+    "clusters" (FULL merged assignment), "timings", "state"}`` where
+    ``state`` has ``run_linkage``'s output shape (merged prepared /
+    blocking / scores / clusters) so the next delta chains:
+    ``run_linkage_increment(prev["state"], next_delta, ...)``.
 
     Driver-state bounds: the delta's distinct norms and mention ids are
     broadcast via ``ray.put`` (delta-vocab- / delta-sized — the increment
@@ -234,7 +237,8 @@ def run_linkage_increment(base: dict, delta_transcripts_path: str,
         # empty delta: the merged assignment IS the base assignment
         # (an empty dataset has no schema to shuffle/groupby on)
         return {"prepared": delta_prepared, "scores": None,
-                "clusters": base["clusters"], "timings": timings}
+                "clusters": base["clusters"], "timings": timings,
+                "state": base}
 
     t0 = time.time()
     delta_blocking = norm_blocks(delta_prepared, cfg).materialize()
@@ -242,11 +246,13 @@ def run_linkage_increment(base: dict, delta_transcripts_path: str,
     if n_block_rows <= cfg.norm_pairs_driver_max_rows:
         # Vocabulary-sized fast path: merge + hot/flip/dirty/touched in
         # one driver pass (see _merge_touch_driver) — no shuffle waves.
-        hot, dirty_norms_t, touched_t, delta_norms = _merge_touch_driver(
+        (hot, dirty_norms_t, touched_t, delta_norms,
+         merged_t) = _merge_touch_driver(
             _gather_blocking(base["blocking"]),
             _gather_blocking(delta_blocking), cfg)
         touched_blocking = _driver_backed(touched_t)
         touched_norms = pc.unique(touched_t["norm_mention"])
+        merged_blocking = _driver_backed(merged_t)   # chain state
     else:
         combined_blocking = merge_blocking(
             base["blocking"], delta_blocking).materialize()
@@ -303,6 +309,7 @@ def run_linkage_increment(base: dict, delta_transcripts_path: str,
             delta_blocking.groupby("norm_mention").count()
             .select_columns(["norm_mention"]).to_pandas())
         touched_norms = None
+        merged_blocking = combined_blocking          # chain state
     _prof("blocking", t0)
 
     # broadcast keep sets (driver-bounded: delta-sized + dirty-norm-sized;
@@ -343,7 +350,8 @@ def run_linkage_increment(base: dict, delta_transcripts_path: str,
     _prof("broadcast", t0)
 
     t0 = time.time()
-    mentions = base["prepared"].union(delta_prepared)
+    full_prepared = base["prepared"].union(delta_prepared)
+    mentions = full_prepared
     if touched_norms is not None:
         # every rep/member the expansion needs belongs to a norm present
         # in the touched blocking table, so the star expansion's two
@@ -401,5 +409,28 @@ def run_linkage_increment(base: dict, delta_transcripts_path: str,
                                num_partitions=num_partitions)
     _prof("clusters", t0)
 
+    # Chainable state: the same shape run_linkage returns, so the NEXT
+    # delta can pass it straight back as ``base`` (append-mostly corpora
+    # take increments day after day, not once). ``scores`` drops the
+    # dirty-mention rows wholesale — their pair universe was re-derived
+    # above — so filter(matched) over the state equals exactly the edge
+    # union the merged clusters were built from. The unions are LAZY
+    # views over materialized parents (O(delta) now); a production chain
+    # should checkpoint the state every K increments to keep lineage
+    # flat (state/checkpoint.py), same discipline as run_linkage's
+    # per-stage pins.
+    state_scores = base["scores"]
+    if len(dirty_ids_arr):
+        def _drop_dirty_rows(batch: pa.Table) -> pa.Table:
+            mask = pc.or_(
+                pc.is_in(batch["id_a"], value_set=dirty_ids_arr),
+                pc.is_in(batch["id_b"], value_set=dirty_ids_arr))
+            return batch.filter(pc.invert(mask))
+
+        state_scores = state_scores.map_batches(_drop_dirty_rows,
+                                                batch_format="pyarrow")
+    state = {"prepared": full_prepared, "blocking": merged_blocking,
+             "scores": state_scores.union(scores), "clusters": clusters}
+
     return {"prepared": delta_prepared, "scores": scores,
-            "clusters": clusters, "timings": timings}
+            "clusters": clusters, "timings": timings, "state": state}
