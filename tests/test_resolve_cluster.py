@@ -275,31 +275,3 @@ def test_approximate_seeds_fallback():
     r_off = ConversationResolver(
         alias_table, None, replace(cfg, use_approximate_seeds=False))
     assert r_off._initial_seeds("c1", rows, cand_of, {}, mw) == {}
-
-
-def test_assign_sorted_lut_pool_matches_plain_path(ray_session):
-    """Driver-mode assignment must be identical through the stateless
-    index_in path and the sorted-hash actor pool (forced with
-    assign_lut_actor_min_keys=1) — including collision-verified misses
-    (mentions absent from the LUT become singletons)."""
-    import ray.data as rd
-
-    from wned_ray.stages.cluster import assign_clusters
-
-    mentions = [f"c{i:04d}:{t}" for i in range(40) for t in range(4)]
-    prepared = rd.from_items([{"mention_id": m} for m in mentions])
-    # edges cluster each conv's turns 0-2; turn 3 stays a singleton
-    edges = rd.from_items([
-        {"id_a": f"c{i:04d}:0", "id_b": f"c{i:04d}:{t}"}
-        for i in range(40) for t in (1, 2)
-    ])
-
-    plain = (assign_clusters(prepared, edges, PipelineConfig())
-             .to_pandas().sort_values("mention_id").reset_index(drop=True))
-    pooled = (assign_clusters(prepared, edges,
-                              PipelineConfig(assign_lut_actor_min_keys=1))
-              .to_pandas().sort_values("mention_id").reset_index(drop=True))
-    pd.testing.assert_frame_equal(plain, pooled)
-    got = pooled.set_index("mention_id")["cluster_id"]
-    assert got["c0007:2"] == "c0007:0"
-    assert got["c0007:3"] == "c0007:3"      # singleton: LUT miss kept raw

@@ -268,17 +268,6 @@ class PipelineConfig:
     # (matched nodes - components), so this cap is effectively a cap on
     # DRIVER-VISIBLE NODES, not on raw matched pairs.
     cc_driver_max_pairs: int = 8_000_000
-    # Driver-mode cluster assignment: below this many LUT keys the
-    # lookup is a plain stateless task per block (pc.index_in rebuilds
-    # the value-set hash per block — C++ O(keys), cheaper than an actor
-    # spawn wave at dim scale). At multi-million-key LUTs the per-block
-    # rebuild dominates (measured ~50 s of the 32M-turn tier's 57 s
-    # clusters stage at a 5.8M-key LUT), so past the cap an ACTOR POOL
-    # sorts the LUT's uint64 content hashes once per actor and each
-    # batch probes by searchsorted + string-equality verify (exact:
-    # hash collisions are verified away; duplicate LUT hashes — P ~
-    # n^2/2^65 — fall back to index_in inside the actor).
-    assign_lut_actor_min_keys: int = 2_000_000
 
     # --- checkpointing ---
     checkpoint_dir: str | None = None

@@ -259,51 +259,6 @@ def _distributed_cc(matched_ds, cfg: PipelineConfig,
     return labels.rename_columns({"node": "mention_id"})
 
 
-class _SortedLUTAssign:
-    """Actor-pool cluster assignment for multi-million-key LUTs.
-
-    ``pc.index_in`` rebuilds its value-set hash table per call, so the
-    stateless-task path pays O(LUT) per block — ~50 s of the 32M-turn
-    tier's clusters stage at a 5.8M-key LUT. Here each actor sorts the
-    LUT's uint64 content hashes ONCE (``__init__``), and a batch probes
-    by vectorized hash + ``np.searchsorted`` + string-equality verify.
-    Exact: a probe counts as a hit only if the stored key string equals
-    the probed string (hash collisions verified away); duplicate hashes
-    WITHIN the LUT (P ~ n^2 / 2^65) would make searchsorted see only one
-    of the colliding keys, so that (never-observed) case falls back to
-    ``index_in`` inside the actor."""
-
-    def __init__(self, lut_ref):
-        import ray
-
-        from wned_ray.functions.minhash import whole_string_hashes
-
-        keys, vals = ray.get(lut_ref)          # zero-copy, shared per node
-        self.keys, self.vals = keys, vals
-        h = whole_string_hashes(keys)
-        order = np.argsort(h).astype(np.int64)
-        hs = h[order]
-        self.dup = bool(hs.size) and bool((hs[1:] == hs[:-1]).any())
-        self.hs, self.order = hs, order
-
-    def __call__(self, batch: pa.Table) -> pa.Table:
-        from wned_ray.functions.minhash import whole_string_hashes
-
-        raw = batch["mention_id"].combine_chunks()
-        if self.dup or not len(self.hs):
-            idx = pc.index_in(raw, value_set=self.keys)
-            cluster = pc.coalesce(pc.take(self.vals, idx), raw)
-            return pa.table({"mention_id": raw, "cluster_id": cluster})
-        hb = whole_string_hashes(raw)
-        pos = np.minimum(np.searchsorted(self.hs, hb), len(self.hs) - 1)
-        idx = self.order[pos]
-        cand = pa.array(self.hs[pos] == hb)
-        taken = pc.take(self.keys, pa.array(idx))
-        hit = pc.and_(cand, pc.equal(taken, raw))
-        cluster = pc.if_else(hit, pc.take(self.vals, pa.array(idx)), raw)
-        return pa.table({"mention_id": raw, "cluster_id": cluster})
-
-
 def _collect_union_find(contracted_ds) -> pa.Table:
     """Collect a (cap-bounded) contracted edge Dataset to the driver as
     Arrow — never pandas, no Python strings — and union-find it."""
@@ -386,16 +341,6 @@ def assign_clusters(prepared_ds, matched_ds, cfg: PipelineConfig,
             print(f"[profiling] cc collect+unionfind sec={t1 - t0:.1f} "
                   f"nodes={out.num_rows}; lut sec={time.time() - t1:.1f}",
                   file=sys.stderr)
-
-        if out.num_rows >= cfg.assign_lut_actor_min_keys:
-            # multi-million-key LUT: per-block index_in rebuild would
-            # dominate the stage — switch to the sorted-hash actor pool
-            # (build once per actor, probe per batch; see _SortedLUTAssign)
-            conc = max(2, int(ray.cluster_resources().get("CPU", 4)))
-            return prepared_ds.select_columns(["mention_id"]).map_batches(
-                _SortedLUTAssign, batch_format="pyarrow",
-                fn_constructor_kwargs={"lut_ref": lut_ref},
-                concurrency=conc, num_cpus=1)
 
         # plain tasks, not an actor pool: the lookup needs no per-actor
         # setup beyond a zero-copy ray.get of the broadcast LUT (shared
