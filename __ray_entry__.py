@@ -883,11 +883,12 @@ def _q_er_fit_weights(sf_dir: str):
 
 def _q_er_increment(sf_dir: str):
     """Incremental linkage gate (pipelines/increment.py): split the tier
-    corpus 80/20 by conversation, link the base, link the delta
-    INCREMENTALLY (no base re-scoring), and compare the merged assignment
-    against a full base+delta rerun. ``agree_rate_e6`` must be 1_000_000
-    (exact equivalence; global_promote off — the one documented
-    divergence is the corpus-wide promotion pass)."""
+    corpus 80/10/10 by conversation, link the base, then CHAIN two
+    increments (each consumes the previous call's merged ``state`` — the
+    append-mostly usage) and compare the final merged assignment against
+    a full rerun of the whole corpus. ``agree_rate_e6`` must be
+    1_000_000 (exact equivalence; global_promote off — the one
+    documented divergence is the corpus-wide promotion pass)."""
     import pandas as pd
     import pyarrow as pa
     import pyarrow.compute as pc
@@ -902,34 +903,45 @@ def _q_er_increment(sf_dir: str):
 
     t = pq.read_table(corpus["transcripts"])
     convs = sorted(set(t["conv_id"].to_pylist()))
-    delta_convs = pa.array(sorted(convs[: max(1, len(convs) // 5)]))
-    mask = pc.is_in(t["conv_id"], value_set=delta_convs)
-    split_dir = os.path.join("/tmp/wned_ray_fixtures",
-                             f"incsplit_{os.path.basename(corpus['transcripts']).split('.')[0]}_{t.num_rows}")
+    n = len(convs)
+    cuts = [0, max(1, int(n * 0.8)), max(2, int(n * 0.9)), n]
+    split_dir = os.path.join(
+        "/tmp/wned_ray_fixtures",
+        f"incchain_{os.path.basename(corpus['transcripts']).split('.')[0]}"
+        f"_{t.num_rows}")
     os.makedirs(split_dir, exist_ok=True)
-    base_path = os.path.join(split_dir, "base.parquet")
-    delta_path = os.path.join(split_dir, "delta.parquet")
-    pq.write_table(t.filter(pc.invert(mask)), base_path)
-    pq.write_table(t.filter(mask), delta_path)
+    parts = []
+    for i in range(3):
+        cset = pa.array(convs[cuts[i]:cuts[i + 1]])
+        p = os.path.join(split_dir, f"part{i}.parquet")
+        pq.write_table(
+            t.filter(pc.is_in(t["conv_id"], value_set=cset)), p)
+        parts.append(p)
 
     full = run_linkage(corpus["transcripts"], corpus["aliases"],
                        corpus["graph_edges"], cfg,
                        redirects_path=corpus.get("redirects"))
-    base = run_linkage(base_path, corpus["aliases"],
-                       corpus["graph_edges"], cfg,
-                       redirects_path=corpus.get("redirects"))
-    inc = run_linkage_increment(base, delta_path, corpus["aliases"],
-                                corpus["graph_edges"], cfg,
-                                redirects_path=corpus.get("redirects"))
+    state = run_linkage(parts[0], corpus["aliases"],
+                        corpus["graph_edges"], cfg,
+                        redirects_path=corpus.get("redirects"))
+    delta_mentions = scored_pairs = 0
+    for p in parts[1:]:
+        inc = run_linkage_increment(state, p, corpus["aliases"],
+                                    corpus["graph_edges"], cfg,
+                                    redirects_path=corpus.get("redirects"))
+        delta_mentions += int(inc["prepared"].count())
+        scored_pairs += int(inc["scores"].count())
+        state = inc["state"]
 
-    got = inc["clusters"].to_pandas()
+    got = state["clusters"].to_pandas()
     want = full["clusters"].to_pandas()
     merged = got.merge(want, on="mention_id", suffixes=("_inc", "_full"))
     agree = (merged["cluster_id_inc"] == merged["cluster_id_full"]).mean()
     return pd.DataFrame([{
         "mentions": len(want),
-        "delta_mentions": int(inc["prepared"].count()),
-        "scored_pairs": int(inc["scores"].count()),
+        "chained_deltas": 2,
+        "delta_mentions": delta_mentions,
+        "scored_pairs": scored_pairs,
         "agree_rate_e6": int(round(agree * 1_000_000)),
     }])
 
