@@ -150,6 +150,34 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
     inc["clusters"].count()
     queries["er_increment_delta10"] = round(time.time() - t0, 3)
 
+    # Fresh-vocabulary append — the increment's realistic regime. The
+    # 90/10 same-corpus split above is its WORST case (the synthetic
+    # vocabulary repeats across convs, so the delta touches ~78% of the
+    # base's block keys). Here the delta is a different-seed corpus
+    # (new entities, disjoint block keys); base state = the headline
+    # run's full-corpus result, dims = merged (the KB after the
+    # append). The honest comparator `er_full_rerun_fresh10` is a full
+    # rerun over the union (timed once, same cfg) in the same JSON.
+    from wned_ray.synth import CorpusSpec, fresh_delta_fixture
+
+    fresh_spec = CorpusSpec(seed=2026, with_labels=False,
+                            n_entities=max(4, spec.n_entities // 10),
+                            n_convs=max(2, spec.n_convs // 10),
+                            turns_per_conv=spec.turns_per_conv)
+    fx = fresh_delta_fixture(corpus, fresh_spec)
+    t0 = time.time()
+    inc_f = run_linkage_increment(out, fx["delta_transcripts"],
+                                  fx["aliases"], fx["graph_edges"], cfg,
+                                  redirects_path=fx["redirects"])
+    inc_f["clusters"].count()
+    queries["er_increment_fresh10"] = round(time.time() - t0, 3)
+    t0 = time.time()
+    full_f = run_linkage(fx["union_transcripts"], fx["aliases"],
+                         fx["graph_edges"], cfg,
+                         redirects_path=fx["redirects"])
+    full_f["clusters"].count()
+    queries["er_full_rerun_fresh10"] = round(time.time() - t0, 3)
+
     t0 = time.time()
     docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
                            columns=["doc_id", "text"])

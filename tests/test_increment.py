@@ -197,3 +197,52 @@ def test_increment_chain_three_deltas(ray_session, t1_corpus,
     merged = got.merge(want, on="mention_id", suffixes=("_inc", "_full"))
     diff = merged[merged["cluster_id_inc"] != merged["cluster_id_full"]]
     assert diff.empty, diff.head(20)
+
+
+def test_increment_fresh_vocab_matches_full(ray_session, t1_corpus,
+                                            tmp_path_factory):
+    """Append regime (synth.fresh_delta_fixture): the delta is a
+    different-seed corpus — fresh entity vocabulary, so its block keys
+    are disjoint from the base's up to random syllable collisions. The
+    increment must reproduce the full union rerun exactly, every scored
+    pair must touch the delta, and the freshness premise itself is
+    asserted (the delta's entity set is genuinely new)."""
+    import pyarrow.parquet as _pq
+
+    from wned_ray.synth import CorpusSpec, fresh_delta_fixture
+
+    fresh_spec = CorpusSpec(seed=777, n_entities=12, n_convs=25,
+                            turns_per_conv=8, with_labels=False)
+    fx = fresh_delta_fixture(
+        t1_corpus, fresh_spec,
+        base_dir=str(tmp_path_factory.mktemp("freshfx")))
+
+    # freshness premise: merged aliases = base entities + >= n-1 new ones
+    base_ents = set(_pq.read_table(t1_corpus["aliases"])["entity"]
+                    .to_pylist())
+    merged_ents = set(_pq.read_table(fx["aliases"])["entity"].to_pylist())
+    assert len(merged_ents - base_ents) >= fresh_spec.n_entities - 1
+
+    cfg = PipelineConfig(global_promote=False)
+    full = run_linkage(fx["union_transcripts"], fx["aliases"],
+                       fx["graph_edges"], cfg,
+                       redirects_path=fx["redirects"])
+    base = run_linkage(t1_corpus["transcripts"], fx["aliases"],
+                       fx["graph_edges"], cfg,
+                       redirects_path=fx["redirects"])
+    inc = run_linkage_increment(base, fx["delta_transcripts"],
+                                fx["aliases"], fx["graph_edges"], cfg,
+                                redirects_path=fx["redirects"])
+
+    got = _assign_df(inc["clusters"])
+    want = _assign_df(full["clusters"])
+    assert len(got) == len(want)
+    merged = got.merge(want, on="mention_id", suffixes=("_inc", "_full"))
+    diff = merged[merged["cluster_id_inc"] != merged["cluster_id_full"]]
+    assert diff.empty, diff.head(20)
+
+    # pruning bites: every scored pair has a delta endpoint ("f"-prefix)
+    sdf = inc["scores"].select_columns(["id_a", "id_b"]).to_pandas()
+    touches = (sdf["id_a"].str.startswith("f")
+               | sdf["id_b"].str.startswith("f"))
+    assert touches.all()

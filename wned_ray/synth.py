@@ -551,3 +551,60 @@ def ensure_corpus(spec: CorpusSpec, base_dir: str = "/tmp/wned_ray_fixtures"
                 and all(os.path.exists(p) for p in paths.values())):
             return paths
     return generate_corpus(spec, out_dir)
+
+
+def fresh_delta_fixture(base_corpus: dict[str, str], spec: CorpusSpec,
+                        base_dir: str = "/tmp/wned_ray_fixtures"
+                        ) -> dict[str, str]:
+    """Append-scenario fixture: a delta whose entity VOCABULARY is fresh.
+
+    The 90/10 same-corpus split used by ``er_increment_delta10`` is the
+    increment's worst case: the synthetic generator reuses one entity
+    vocabulary across conversations, so a 10% conv delta touches ~78% of
+    the base's block keys and pair pruning is bounded by that overlap
+    (BASELINE.md). The realistic append regime — new conversations about
+    mostly NEW topics — is this fixture: a second corpus generated under
+    ``spec`` (caller picks a different seed, so its entity names, and
+    hence its block keys, are disjoint from the base's up to rare random
+    syllable collisions), with
+
+    - ``delta_transcripts``: the fresh conversations, conv_ids
+      ``"f"``-prefixed so the union stays key-collision-free;
+    - ``union_transcripts``: base + delta concatenated (both halves stay
+      conversation-contiguous, so ``presorted_conversations`` holds) —
+      the full-rerun comparator;
+    - ``aliases`` / ``graph_edges`` / ``redirects``: base and fresh dim
+      tables concatenated (the KB after the append).
+
+    Cached under a key derived from the base path + spec fingerprint.
+    """
+    import pyarrow.compute as pc
+
+    key = hashlib.sha256(
+        (base_corpus["transcripts"] + "|" + spec.fingerprint()).encode()
+    ).hexdigest()[:16]
+    out_dir = os.path.join(base_dir, f"fresh_{key}")
+    manifest = os.path.join(out_dir, "_FRESH.json")
+    names = ["delta_transcripts", "union_transcripts", "aliases",
+             "graph_edges", "redirects"]
+    paths = {n: os.path.join(out_dir, f"{n}.parquet") for n in names}
+    if (os.path.exists(manifest)
+            and all(os.path.exists(p) for p in paths.values())):
+        return paths
+    fresh = ensure_corpus(spec, base_dir)
+    os.makedirs(out_dir, exist_ok=True)
+    ft = pq.read_table(fresh["transcripts"])
+    ft = ft.set_column(
+        ft.schema.get_field_index("conv_id"), "conv_id",
+        pc.binary_join_element_wise("f", ft["conv_id"], ""))
+    pq.write_table(ft, paths["delta_transcripts"])
+    bt = pq.read_table(base_corpus["transcripts"])
+    pq.write_table(pa.concat_tables([bt, ft]), paths["union_transcripts"])
+    for dim in ("aliases", "graph_edges", "redirects"):
+        merged = pa.concat_tables([pq.read_table(base_corpus[dim]),
+                                   pq.read_table(fresh[dim])])
+        pq.write_table(merged, paths[dim])
+    with open(manifest, "w") as f:
+        json.dump({"spec": asdict(spec), "base": base_corpus["transcripts"],
+                   "format": _FORMAT}, f, indent=2)
+    return paths
