@@ -140,7 +140,8 @@ def test_increment_distributed_merge_path(ray_session, split_corpus):
     now that small tiers take the Arrow driver twin by default."""
     corpus, base_path, delta_path = split_corpus
     cfg = PipelineConfig(global_promote=False,
-                         norm_pairs_driver_max_rows=0)
+                         norm_pairs_driver_max_rows=0,
+                         blocking_merge_driver_max_rows=0)
 
     full = run_linkage(corpus["transcripts"], corpus["aliases"],
                        corpus["graph_edges"], cfg,
@@ -246,3 +247,43 @@ def test_increment_fresh_vocab_matches_full(ray_session, t1_corpus,
     touches = (sdf["id_a"].str.startswith("f")
                | sdf["id_b"].str.startswith("f"))
     assert touches.all()
+
+
+def test_state_save_load_roundtrip(ray_session, split_corpus, tmp_path):
+    """save_linkage_state flattens a chain's lazy lineage to Parquet;
+    a state reloaded by load_linkage_state (as a fresh driver would)
+    must drive the next increment to the identical merged assignment."""
+    from wned_ray.pipelines.increment import (load_linkage_state,
+                                              save_linkage_state)
+
+    corpus, base_path, delta_path = split_corpus
+    cfg = PipelineConfig(global_promote=False)
+
+    base = run_linkage(base_path, corpus["aliases"],
+                       corpus["graph_edges"], cfg,
+                       redirects_path=corpus["redirects"])
+    ckpt = str(tmp_path / "state")
+    save_linkage_state(base, ckpt)
+    loaded = load_linkage_state(ckpt)
+
+    inc_mem = run_linkage_increment(base, delta_path, corpus["aliases"],
+                                    corpus["graph_edges"], cfg,
+                                    redirects_path=corpus["redirects"])
+    inc_disk = run_linkage_increment(loaded, delta_path, corpus["aliases"],
+                                     corpus["graph_edges"], cfg,
+                                     redirects_path=corpus["redirects"])
+
+    got = _assign_df(inc_disk["clusters"])
+    want = _assign_df(inc_mem["clusters"])
+    assert len(got) == len(want)
+    merged = got.merge(want, on="mention_id", suffixes=("_disk", "_mem"))
+    diff = merged[merged["cluster_id_disk"] != merged["cluster_id_mem"]]
+    assert diff.empty, diff.head(20)
+
+    # and the saved state itself is re-saveable: the increment's merged
+    # state flattens too (the every-K-increments production cadence)
+    ckpt2 = str(tmp_path / "state2")
+    save_linkage_state(inc_disk["state"], ckpt2)
+    reloaded = load_linkage_state(ckpt2)
+    assert (_assign_df(reloaded["clusters"])["cluster_id"]
+            .equals(got["cluster_id"]))

@@ -215,6 +215,18 @@ class PipelineConfig:
     # runs — same driver/distributed switch discipline as global_promote
     # and cc_driver_max_pairs.
     norm_pairs_driver_max_rows: int = 1_000_000
+    # Incremental blocking MERGE fast path (pipelines/increment.py):
+    # below this many base+delta blocking rows the merge + hot/flip/
+    # dirty/touched pruning runs as ONE driver pass of Arrow group_by +
+    # bincount kernels. The cap is deliberately higher than
+    # norm_pairs_driver_max_rows: the table is slim (norm, int64 key,
+    # int32 band, int64 weight, rep id ≈ 60-80 B/row → ~1.2 GB transient
+    # at the cap) and the alternative is FIVE shuffle waves whose
+    # aggregator-spawn overhead measured 58.7 s at the 8M-turn tier
+    # where the driver pass is ~2 s. Past the cap (vocabularies beyond
+    # ~16M distinct surface×band rows — the 100 TB regime) the
+    # distributed merge plan runs.
+    blocking_merge_driver_max_rows: int = 16_000_000
     # Relatedness precompute: below this many unique in-graph entity
     # pairs AND with the graph in dense mode (<= SMALL_GRAPH_LIMIT nodes,
     # where signatures are memoized per entity and shared across pairs),

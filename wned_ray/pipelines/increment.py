@@ -121,7 +121,7 @@ def _merge_touch_driver(base_t: pa.Table, delta_t: pa.Table,
     aggregator-spawn overhead dwarfs the data below the driver cap —
     the same switch discipline as ``norm_pairs``'s fast path
     (stages/pairs.py:212-243); the distributed path below remains for
-    blocking tables past ``cfg.norm_pairs_driver_max_rows``.
+    blocking tables past ``cfg.blocking_merge_driver_max_rows``.
 
     Returns (hot: set, dirty_norms_t, touched: pa.Table, delta_norms_t).
     """
@@ -229,8 +229,14 @@ def run_linkage_increment(base: dict, delta_transcripts_path: str,
               f"sec={timings[stage]:.1f}", file=sys.stderr)
 
     t0 = time.time()
+    # explicit read split, same reason as run_linkage: Ray sizes read
+    # tasks for ~128MB output blocks, so a delta-sized file arrives as
+    # 1-2 blocks and the prepare map (+ the promotion shuffle behind it)
+    # runs nearly serial regardless of CPUs
     delta_prepared = prepare(
-        rd.read_parquet(delta_transcripts_path), cfg).materialize()
+        rd.read_parquet(delta_transcripts_path,
+                        override_num_blocks=max(4 * num_partitions, 32)),
+        cfg).materialize()
     _prof("prepared", t0)
 
     if delta_prepared.count() == 0:
@@ -243,7 +249,7 @@ def run_linkage_increment(base: dict, delta_transcripts_path: str,
     t0 = time.time()
     delta_blocking = norm_blocks(delta_prepared, cfg).materialize()
     n_block_rows = base["blocking"].count() + delta_blocking.count()
-    if n_block_rows <= cfg.norm_pairs_driver_max_rows:
+    if n_block_rows <= cfg.blocking_merge_driver_max_rows:
         # Vocabulary-sized fast path: merge + hot/flip/dirty/touched in
         # one driver pass (see _merge_touch_driver) — no shuffle waves.
         (hot, dirty_norms_t, touched_t, delta_norms,
@@ -302,9 +308,14 @@ def run_linkage_increment(base: dict, delta_transcripts_path: str,
             delta_keys = (delta_keys.union(dirty_keys)
                           .groupby("block_key").count()
                           .select_columns(["block_key"]))
+        # materialize: gen_pairs consumes the touched blocking table more
+        # than once (norm-pair gen + star expansion); left lazy, each
+        # consumer would re-execute this join AND the merge groupby
+        # behind it (measured as the dominant cost of the distributed
+        # path at the 8M-turn tier before the pin)
         touched_blocking = combined_blocking.join(
             delta_keys, join_type="inner", num_partitions=num_partitions,
-            on=("block_key",))
+            on=("block_key",)).materialize()
         delta_norms = pa.Table.from_pandas(
             delta_blocking.groupby("norm_mention").count()
             .select_columns(["norm_mention"]).to_pandas())
@@ -434,3 +445,56 @@ def run_linkage_increment(base: dict, delta_transcripts_path: str,
 
     return {"prepared": delta_prepared, "scores": scores,
             "clusters": clusters, "timings": timings, "state": state}
+
+
+def save_linkage_state(state: dict, ckpt_dir: str) -> None:
+    """Flatten a linkage / increment-chain state to partitioned Parquet.
+
+    Each increment returns lazy unions layered over its base's datasets;
+    chained day after day that lineage grows without bound (every
+    consumer re-walks it) and dies with the driver. Writing the four
+    state tables out flattens the lineage to a disk checkpoint a NEW
+    driver can resume from (``load_linkage_state``) — the production
+    cadence is an append-mostly corpus checkpointing every K increments
+    (module docstring).
+
+    Layout: one directory per table (``prepared/`` ``blocking/``
+    ``scores/`` ``clusters/``), written by ``Dataset.write_parquet`` —
+    many files, distributed, no driver materialization. The manifest
+    (``_STATE.json``) is written LAST, so a killed save is invisible to
+    the loader and simply retried whole; a stale partial directory is
+    cleared before rewrite.
+    """
+    import json
+    import os
+    import shutil
+
+    tables = ["prepared", "blocking", "scores", "clusters"]
+    os.makedirs(ckpt_dir, exist_ok=True)
+    manifest = os.path.join(ckpt_dir, "_STATE.json")
+    if os.path.exists(manifest):
+        os.remove(manifest)
+    for t in tables:
+        d = os.path.join(ckpt_dir, t)
+        if os.path.exists(d):
+            shutil.rmtree(d)
+        state[t].write_parquet(d)
+    with open(manifest, "w") as f:
+        json.dump({"tables": tables, "format": 1}, f)
+
+
+def load_linkage_state(ckpt_dir: str) -> dict:
+    """Rehydrate a ``save_linkage_state`` checkpoint as a ``base`` dict
+    ``run_linkage_increment`` (or any downstream consumer of
+    ``run_linkage``'s output shape) accepts. Datasets are lazy Parquet
+    reads — nothing is materialized here."""
+    import json
+    import os
+
+    import ray.data as rd
+
+    manifest = os.path.join(ckpt_dir, "_STATE.json")
+    with open(manifest) as f:
+        meta = json.load(f)
+    return {t: rd.read_parquet(os.path.join(ckpt_dir, t))
+            for t in meta["tables"]}
