@@ -1213,6 +1213,83 @@ def _q_hll_distinct_terms(sf_dir: str):
                           "exact_int": int(exact), "p": est["p"]}])
 
 
+def _q_salted_join_orders(sf_dir: str):
+    """The SAME orders⨝customer aggregate as join_orders_customers, but
+    through datawork.salted_join — the skew-resilient distributed hash
+    join (per-row fact salt, dim replicated per salt, exchange keyed on
+    (key, salt)) for when the dim side is too big to broadcast and the
+    fact keys are Zipf-skewed. Identical oracle SQL: the salting must be
+    invisible in the result."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from ray.data.aggregate import Count, Sum
+    from wned_ray.pipelines.datawork import salted_join
+
+    orders = _rd().read_parquet(f"{sf_dir}/orders.parquet",
+                                columns=["o_custkey", "o_totalprice"])
+    cust = _rd().read_parquet(f"{sf_dir}/customer.parquet",
+                              columns=["c_custkey", "c_mktsegment"])
+
+    def ren(batch: pa.Table) -> pa.Table:
+        return pa.table({"o_custkey": batch["c_custkey"],
+                         "c_mktsegment": batch["c_mktsegment"]})
+
+    joined = salted_join(orders, cust.map_batches(ren,
+                                                  batch_format="pyarrow"),
+                         on="o_custkey", salt=4, num_partitions=8)
+    out = (joined.groupby("c_mktsegment")
+           .aggregate(Count(alias_name="n_orders"),
+                      Sum("o_totalprice", alias_name="total_price")))
+
+    def r(batch: pa.Table) -> pa.Table:
+        usd = pc.cast(pc.round(batch["total_price"]), pa.int64())
+        return (batch.drop(["total_price"])
+                .append_column("total_price_usd", usd))
+
+    return out.map_batches(r, batch_format="pyarrow")
+
+
+def _q_hll_group_distinct(sf_dir: str):
+    """Per-group approximate COUNT(DISTINCT user_id) GROUP BY event_type
+    via mergeable HyperLogLog register strips (datawork.
+    hll_group_distinct) — the sketch GROUP BY shape: each batch ships one
+    4 KB register blob per key present, never the values. md5 hash mode
+    keeps the per-group registers (and hence estimates) bit-reproducible
+    in DuckDB, and the exact per-group distinct rides along, so both
+    columns are value-hash checkable."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from wned_ray.pipelines.datawork import hll_group_distinct
+
+    ds = _rd().read_parquet(f"{sf_dir}/events.parquet",
+                            columns=["event_type", "user_id"])
+
+    def as_str(batch: pa.Table) -> pa.Table:
+        return pa.table({"event_type": batch["event_type"],
+                         "u": pc.cast(batch["user_id"], pa.string())})
+
+    sds = ds.map_batches(as_str, batch_format="pyarrow")
+    est = hll_group_distinct(sds, "event_type", "u", hash_mode="md5")
+
+    def uniq_pairs(batch: pa.Table) -> pa.Table:
+        return batch.group_by(["event_type", "u"]).aggregate([])
+
+    exact = (sds.map_batches(uniq_pairs, batch_format="pyarrow")
+             .groupby(["event_type", "u"]).count()
+             .groupby("event_type").count())
+
+    e1 = est.to_pandas()                       # dim-sized (n event types)
+    e2 = exact.to_pandas().rename(columns={"count()": "exact_int"})
+    out = (e1.merge(e2[["event_type", "exact_int"]], on="event_type")
+           .sort_values("event_type").reset_index(drop=True))
+    out["exact_int"] = out["exact_int"].astype("int64")
+    out["p"] = 12
+    return pd.DataFrame(out)
+
+
 def _q_curated_docs(sf_dir: str):
     """Full corpus-curation flow (lang filter -> quality filter -> exact
     dedup -> MinHash near-dup removal -> lang-partitioned parquet).
@@ -1605,9 +1682,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "er_metrics_hard": _q_er_metrics_hard,
         "er_resolve_accuracy": _q_er_resolve_accuracy,
         "er_resolve_prior_vs_full": _q_er_resolve_prior_vs_full,
-        # --- rows-only coverage (past the driver's 50-entry window;
-        #     every entry below is pytest-gated and swept by
-        #     scripts/check_all.py) ---
+        # --- past the driver's 50-entry window; every entry below is
+        #     pytest-gated and swept by scripts/check_all.py (the first
+        #     one IS SQL-oracled there — it sits past the window only
+        #     because displacing a flagship gate row would cost more) ---
+        "hll_group_distinct_users": _q_hll_group_distinct,
+        "salted_join_orders": _q_salted_join_orders,
         "er_blocking": _q_er_blocking,
         "er_pairs": _q_er_pairs,
         "er_scores": _q_er_scores,
@@ -1651,6 +1731,14 @@ def oracle_sql() -> dict[str, str]:
             "ORDER BY p_retailprice DESC, p_partkey LIMIT 20"
         ),
         "join_orders_customers": (
+            "SELECT c_mktsegment, count(*) AS n_orders, "
+            "CAST(round(sum(o_totalprice)) AS BIGINT) AS total_price_usd "
+            "FROM orders JOIN customer ON o_custkey = c_custkey "
+            "GROUP BY c_mktsegment"
+        ),
+        # the salted join must be result-identical to the plain join:
+        # same SQL as join_orders_customers
+        "salted_join_orders": (
             "SELECT c_mktsegment, count(*) AS n_orders, "
             "CAST(round(sum(o_totalprice)) AS BIGINT) AS total_price_usd "
             "FROM orders JOIN customer ON o_custkey = c_custkey "
@@ -2006,6 +2094,34 @@ def oracle_sql() -> dict[str, str]:
             "THEN 4096.0 * ln(4096.0 / zeros) ELSE raw END) AS BIGINT) "
             "AS estimate_int, "
             "(SELECT count(*) FROM u) AS exact_int, 12 AS p FROM est"
+        ),
+        # per-group twin of the hll_distinct_terms oracle: identical
+        # register/rho/correction math with GROUP BY event_type threaded
+        # through every CTE; exact side joined on
+        "hll_group_distinct_users": (
+            "WITH u AS (SELECT DISTINCT event_type, "
+            "CAST(user_id AS VARCHAR) AS v FROM events), "
+            "h AS (SELECT event_type, "
+            "('0x' || substr(md5(v), 1, 16))::UBIGINT AS hv FROM u), "
+            "parts AS (SELECT event_type, "
+            "hv // (4503599627370496)::UBIGINT AS idx, "
+            "hv % (4503599627370496)::UBIGINT AS payload FROM h), "
+            "regs AS (SELECT event_type, idx, "
+            "max(CASE WHEN payload = 0 THEN 53 "
+            "ELSE 53 - length(bin(payload)) END) AS r "
+            "FROM parts GROUP BY event_type, idx), "
+            "agg AS (SELECT event_type, sum(power(2.0, -r)) AS s, "
+            "count(*) AS nz FROM regs GROUP BY event_type), "
+            "est AS (SELECT event_type, (0.7213 / (1 + 1.079 / 4096.0)) "
+            "* 4096.0 * 4096.0 / (s + (4096 - nz)) AS raw, "
+            "(4096 - nz) AS zeros FROM agg), "
+            "ex AS (SELECT event_type, count(DISTINCT user_id) "
+            "AS exact_int FROM events GROUP BY event_type) "
+            "SELECT est.event_type, "
+            "CAST(round(CASE WHEN raw <= 2.5 * 4096 AND zeros > 0 "
+            "THEN 4096.0 * ln(4096.0 / zeros) ELSE raw END) AS BIGINT) "
+            "AS estimate_int, ex.exact_int, 12 AS p "
+            "FROM est JOIN ex USING (event_type) ORDER BY est.event_type"
         ),
         # the curation funnel's SQL-expressible slice: quality filter +
         # exact-dedup keep-min (token/punct definitions identical to the

@@ -966,6 +966,36 @@ def test_hll_md5_mode_matches_duckdb_twin(ray_session):
     assert round(est) == round(sql_est), (est, sql_est)
 
 
+def test_hll_group_distinct(ray_session):
+    """Grouped HLL: per-key estimates within the p=12 error bound of the
+    per-key exact distincts; the grouped md5 path must equal the global
+    sketch run on each key's slice alone (the strip scatter + groupby
+    merge is exactly a per-key HyperLogLog)."""
+    import ray.data as rd
+
+    from wned_ray.pipelines.datawork import (hll_count_distinct,
+                                             hll_group_distinct)
+
+    rng = np.random.default_rng(11)
+    n = 60_000
+    keys = np.array(["a", "b", "c"])[rng.integers(0, 3, n)]
+    # distinct cardinality differs per key: a~2000, b~500, c~8000
+    card = {"a": 2000, "b": 500, "c": 8000}
+    vals = np.array([f"{k}v{rng.integers(0, card[k])}" for k in keys])
+    df = pd.DataFrame({"k": keys, "v": vals})
+    ds = rd.from_pandas(df)
+
+    got = (hll_group_distinct(ds, "k", "v", hash_mode="md5")
+           .to_pandas().set_index("k")["estimate_int"])
+    for k in card:
+        exact = df.loc[df["k"] == k, "v"].nunique()
+        assert abs(got[k] - exact) / exact < 0.065, (k, got[k], exact)
+        solo = hll_count_distinct(
+            rd.from_pandas(df[df["k"] == k]), "v",
+            hash_mode="md5")["estimate"]
+        assert got[k] == int(round(solo)), (k, got[k], solo)
+
+
 def test_ngram_jaccard_dedup_matches_duckdb(docs):
     import duckdb
 
@@ -1198,3 +1228,36 @@ def test_ngram_jaccard_join_path_equals_fast_path(docs):
     assert fast[["id_a", "id_b"]].values.tolist() == \
         join[["id_a", "id_b"]].values.tolist()
     assert np.allclose(fast["jaccard"].values, join["jaccard"].values)
+
+
+def test_salted_join_equals_plain_join(ray_session):
+    """salted_join must emit the identical row multiset as Dataset.join
+    on a Zipf-skewed fact side (90% one key), for inner AND left_outer,
+    including many-to-many keys (dim carries a duplicated key)."""
+    import ray.data as rd
+
+    from wned_ray.pipelines.datawork import salted_join
+
+    rng = np.random.default_rng(3)
+    n = 20_000
+    keys = np.where(rng.random(n) < 0.9, 0,
+                    rng.integers(1, 120, n)).astype(np.int64)
+    fact = pd.DataFrame({"k": keys, "fv": np.arange(n, dtype=np.int64)})
+    # dim covers keys 0..99 (keys 100..119 unmatched -> exercises outer),
+    # and key 7 twice (many-to-many fan-out must not duplicate per salt)
+    dim = pd.DataFrame({"k": list(range(100)) + [7],
+                        "dv": list(range(100)) + [999]})
+
+    def norm(ds):
+        return (ds.to_pandas().sort_values(["k", "fv", "dv"])
+                .reset_index(drop=True))
+
+    for jt in ("inner", "left_outer"):
+        plain = rd.from_pandas(fact).join(
+            rd.from_pandas(dim), join_type=jt, num_partitions=4, on=("k",))
+        salted = salted_join(rd.from_pandas(fact), rd.from_pandas(dim),
+                             on="k", salt=4, num_partitions=4, join_type=jt)
+        p, s = norm(plain), norm(salted)
+        assert len(p) == len(s), (jt, len(p), len(s))
+        pd.testing.assert_frame_equal(p[["k", "fv", "dv"]],
+                                      s[["k", "fv", "dv"]])

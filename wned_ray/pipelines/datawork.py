@@ -1498,30 +1498,7 @@ class HyperLogLog:
         self.registers = np.zeros(self.m, np.uint8)
 
     def add_hashes(self, h: np.ndarray, mix: bool = True) -> None:
-        h = np.ascontiguousarray(h).astype(np.uint64, copy=False)
-        if mix:
-            from wned_ray.functions.bloom import _splitmix64
-
-            h = _splitmix64(h)
-        idx = (h >> np.uint64(64 - self.p)).astype(np.int64)
-        rest = h << np.uint64(self.p)           # top (64-p) payload bits
-        # rho = leading-zero count of the payload + 1, capped at 64-p+1
-        rho = np.full(len(h), 64 - self.p + 1, np.uint8)
-        nz = rest != 0
-        if nz.any():
-            # leading-zero count via bit-length: floor(log2) is exact on
-            # 32-bit halves (values < 2^53 are exact in float64)
-            r = rest[nz]
-            hi = (r >> np.uint64(32)).astype(np.uint64)
-            lo = (r & np.uint64(0xFFFFFFFF)).astype(np.uint64)
-            bl_hi = np.zeros(len(r), np.int64)
-            m_hi = hi != 0
-            bl_hi[m_hi] = np.floor(np.log2(hi[m_hi].astype(np.float64))).astype(np.int64) + 1
-            bl_lo = np.zeros(len(r), np.int64)
-            m_lo = lo != 0
-            bl_lo[m_lo] = np.floor(np.log2(lo[m_lo].astype(np.float64))).astype(np.int64) + 1
-            bitlen = np.where(m_hi, 32 + bl_hi, bl_lo)
-            rho[nz] = (64 - bitlen + 1).astype(np.uint8)
+        idx, rho = _hll_idx_rho(h, self.p, mix)
         np.maximum.at(self.registers, idx, rho)
 
     def merge(self, other: "HyperLogLog") -> None:
@@ -1536,6 +1513,37 @@ class HyperLogLog:
         if e <= 2.5 * m and zeros:
             e = m * np.log(m / zeros)           # small-range correction
         return float(e)
+
+
+def _hll_idx_rho(h: np.ndarray, p: int, mix: bool) -> tuple[np.ndarray,
+                                                            np.ndarray]:
+    """(register index, rho) per hash — the HLL update, factored out so
+    the grouped variant can scatter into per-key register strips with
+    one ``np.maximum.at``. rho = leading-zero count of the (64-p)-bit
+    payload + 1, capped at 64-p+1; bit length via floor(log2) on 32-bit
+    halves (exact in float64 below 2^53)."""
+    h = np.ascontiguousarray(h).astype(np.uint64, copy=False)
+    if mix:
+        from wned_ray.functions.bloom import _splitmix64
+
+        h = _splitmix64(h)
+    idx = (h >> np.uint64(64 - p)).astype(np.int64)
+    rest = h << np.uint64(p)                    # top (64-p) payload bits
+    rho = np.full(len(h), 64 - p + 1, np.uint8)
+    nz = rest != 0
+    if nz.any():
+        r = rest[nz]
+        hi = (r >> np.uint64(32)).astype(np.uint64)
+        lo = (r & np.uint64(0xFFFFFFFF)).astype(np.uint64)
+        bl_hi = np.zeros(len(r), np.int64)
+        m_hi = hi != 0
+        bl_hi[m_hi] = np.floor(np.log2(hi[m_hi].astype(np.float64))).astype(np.int64) + 1
+        bl_lo = np.zeros(len(r), np.int64)
+        m_lo = lo != 0
+        bl_lo[m_lo] = np.floor(np.log2(lo[m_lo].astype(np.float64))).astype(np.int64) + 1
+        bitlen = np.where(m_hi, 32 + bl_hi, bl_lo)
+        rho[nz] = (64 - bitlen + 1).astype(np.uint8)
+    return idx, rho
 
 
 def _md5_hashes64(strings) -> np.ndarray:
@@ -1616,6 +1624,75 @@ def distinct_count(ds, col: str) -> int:
             .groupby(col).count().count())
 
 
+def hll_group_distinct(ds, key: str, col: str, p: int = 12,
+                       hash_mode: str = "fast"):
+    """Per-group approximate COUNT(DISTINCT col) GROUP BY key via
+    mergeable HyperLogLog register strips — the grouped twin of
+    ``hll_count_distinct`` (same register/rho/correction math, so the
+    md5 mode stays bit-reproducible in SQL per group).
+
+    Shape at scale: each batch emits ONE (key, 2^p-byte blob) row per
+    key PRESENT in the batch — the shuffle moves n_batches x n_keys x
+    4 KB (p=12) of registers, never the values — then a single groupby
+    max-merges each key's strips and estimates. This is the
+    datasketches-style sketch GROUP BY: right when the key cardinality
+    is small-to-moderate (event types, languages, shards) and the value
+    set per key is huge; for high-cardinality keys the blobs dominate
+    the exact pair set and ``groupby(key, col)`` exact distinct is the
+    correct tool (documented, not guarded — the caller picks the
+    regime).
+
+    Returns a Dataset of (key, estimate_int: int64).
+    """
+    m = 1 << p
+
+    def partial(batch: pa.Table) -> pa.Table:
+        # distinct (key, value) pairs of the batch: registers only see
+        # distinct hashes anyway, and it bounds the md5 Python loop
+        pairs = (pa.table({key: batch[key], col: batch[col]})
+                 .drop_null().group_by([key, col]).aggregate([]))
+        if pairs.num_rows == 0:
+            return pa.table({key: pa.array([], batch[key].type),
+                             "regs": pa.array([], pa.binary())})
+        enc = pc.dictionary_encode(pairs[key].combine_chunks())
+        kidx = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        uk = enc.dictionary
+        c = pairs[col]
+        is_str = (pa.types.is_string(c.type)
+                  or pa.types.is_large_string(c.type))
+        if hash_mode == "md5":
+            if not is_str:
+                raise ValueError("hash_mode='md5' needs a string column")
+            hashes = _md5_hashes64(c.to_pylist())
+            mix = False
+        else:
+            from wned_ray.functions.minhash import whole_string_hashes
+
+            hashes = (whole_string_hashes(c) if is_str
+                      else c.to_numpy(zero_copy_only=False)
+                      .astype(np.uint64))
+            mix = True
+        idx, rho = _hll_idx_rho(hashes, p, mix)
+        regs = np.zeros(len(uk) * m, np.uint8)
+        np.maximum.at(regs, kidx * m + idx, rho)   # one scatter, all keys
+        blobs = [regs[i * m:(i + 1) * m].tobytes() for i in range(len(uk))]
+        return pa.table({key: uk, "regs": pa.array(blobs, pa.binary())})
+
+    def merge(g: pa.Table) -> pa.Table:
+        strips = np.frombuffer(
+            b"".join(g["regs"].to_pylist()), np.uint8).reshape(-1, m)
+        h = HyperLogLog(p)
+        h.registers = strips.max(axis=0)
+        return pa.table({
+            key: g[key].slice(0, 1),
+            "estimate_int": pa.array([int(round(h.estimate()))], pa.int64()),
+        })
+
+    return (ds.select_columns([key, col])
+            .map_batches(partial, batch_format="pyarrow")
+            .groupby(key).map_groups(merge, batch_format="pyarrow"))
+
+
 def bloom_semi_join(big_ds, keys_ds, on: str, key_col: str | None = None,
                     fp_rate: float = 0.01, num_partitions: int = 16):
     """EXACT semi-join with Bloom-filter pushdown: rows of ``big_ds``
@@ -1675,6 +1752,53 @@ def bloom_semi_join(big_ds, keys_ds, on: str, key_col: str | None = None,
     pre = big_ds.map_batches(prefilter, batch_format="pyarrow")
     joined = pre.join(distinct, join_type="inner",
                       num_partitions=num_partitions, on=(on,))
+    return joined.select_columns(out_cols)
+
+
+def salted_join(fact_ds, dim_ds, on: str, salt: int = 8,
+                num_partitions: int = 16, join_type: str = "inner"):
+    """Skew-resilient distributed hash join: identical rows to
+    ``fact_ds.join(dim_ds, on=(on,))`` but a hot key's fact rows spread
+    across ``salt`` shuffle partitions instead of funneling through one
+    aggregator.
+
+    Mechanics: every fact row gets a salt in ``[0, salt)`` (round-robin
+    within its batch — any assignment yields the same join result), the
+    dim side is replicated once per salt value, and the exchange keys on
+    ``(on, _salt)``. Each fact row meets every dim row of its key exactly
+    once (the replica carrying its salt), so inner/left-outer semantics
+    are preserved for one-to-many AND many-to-many keys, at the cost of
+    ``salt×`` the dim-side shuffle volume — the standard trade when the
+    dim side is too big to broadcast (``bloom_semi_join`` / in-actor dict
+    are preferred below that bar) and the fact side is Zipf-skewed.
+    Partitioning assumption: one key's fact rows / ``salt`` fits a
+    shuffle partition; pick ``salt`` ≈ hot-key share × num_partitions.
+    """
+    if join_type not in ("inner", "left_outer"):
+        raise ValueError("salted_join supports inner / left_outer")
+    if salt < 2:
+        return fact_ds.join(dim_ds, join_type=join_type,
+                            num_partitions=num_partitions, on=(on,))
+
+    def add_salt(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "_salt", pa.array(np.arange(batch.num_rows, dtype=np.int64)
+                              % salt))
+
+    def replicate(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        return pa.concat_tables([
+            batch.append_column("_salt",
+                                pa.array(np.full(n, s, np.int64)))
+            for s in range(salt)
+        ])
+
+    out_cols = [c for c in fact_ds.schema().names] + [
+        c for c in dim_ds.schema().names if c != on]
+    joined = (fact_ds.map_batches(add_salt, batch_format="pyarrow")
+              .join(dim_ds.map_batches(replicate, batch_format="pyarrow"),
+                    join_type=join_type, num_partitions=num_partitions,
+                    on=(on, "_salt")))
     return joined.select_columns(out_cols)
 
 
