@@ -1213,6 +1213,28 @@ def _q_hll_distinct_terms(sf_dir: str):
                           "exact_int": int(exact), "p": est["p"]}])
 
 
+def _q_quantile_sketch_events(sf_dir: str):
+    """Per-event-type APPROXIMATE value quantiles via mergeable t-digest
+    centroid blobs (datawork.group_quantile_sketch — the scale path for
+    keys whose history outgrows a worker), shipped NEXT TO the exact
+    per-key quantiles so the error is visible in the row. Rows-only: the
+    clustering isn't SQL-expressible; the q(1−q) rank-error bound is
+    pytest-gated (tests/test_tdigest.py) and estimates are
+    deterministic (canonical one-shot re-cluster merge)."""
+    from wned_ray.pipelines.datawork import (group_quantile_sketch,
+                                             group_quantiles)
+
+    ds = _rd().read_parquet(f"{sf_dir}/events.parquet",
+                            columns=["event_type", "value"])
+    sk = (group_quantile_sketch(ds, "event_type", "value")
+          .to_pandas().rename(columns={"value_e4": "est_e4"}))
+    ex = (group_quantiles(ds, "event_type", "value")
+          .to_pandas().rename(columns={"value_e4": "exact_e4"}))
+    out = (sk.merge(ex, on=["event_type", "quantile"])
+           .sort_values(["event_type", "quantile"]).reset_index(drop=True))
+    return out
+
+
 def _q_salted_join_orders(sf_dir: str):
     """The SAME orders⨝customer aggregate as join_orders_customers, but
     through datawork.salted_join — the skew-resilient distributed hash
@@ -1688,6 +1710,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         #     because displacing a flagship gate row would cost more) ---
         "hll_group_distinct_users": _q_hll_group_distinct,
         "salted_join_orders": _q_salted_join_orders,
+        "quantile_sketch_events": _q_quantile_sketch_events,
         "er_blocking": _q_er_blocking,
         "er_pairs": _q_er_pairs,
         "er_scores": _q_er_scores,

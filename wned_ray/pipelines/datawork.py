@@ -2276,8 +2276,9 @@ def group_quantiles(ds, key_col: str, val_col: str,
     Shape: ONE hash shuffle by key, then a single vectorized
     ``np.quantile`` per group. Partitioning assumption: one key's values
     fit a worker's heap (same unit as sessionize); at extreme per-key
-    cardinality swap in a t-digest sketch per batch + merge — exactness
-    is this operator's contract, so it keeps the per-group form.
+    cardinality use ``group_quantile_sketch`` (same output schema, O(δ)
+    state per key) — exactness is this operator's contract, so it keeps
+    the per-group form.
     ``value_e4`` is the e4-scaled int64 (repo-wide hash-stable-oracle
     discipline)."""
     qarr = np.asarray(sorted(qs), np.float64)
@@ -2299,6 +2300,60 @@ def group_quantiles(ds, key_col: str, val_col: str,
     return (ds.select_columns([key_col, val_col])
             .groupby(key_col)
             .map_groups(quant, batch_format="pandas"))
+
+
+def group_quantile_sketch(ds, key_col: str, val_col: str,
+                          qs: tuple = (0.25, 0.5, 0.9, 0.99),
+                          delta: int = 300):
+    """Per-key APPROXIMATE quantiles via mergeable t-digests — the scale
+    path ``group_quantiles`` documents for keys whose value history
+    exceeds a worker's heap: each batch ships one O(δ) centroid blob per
+    key present (values never shuffle), one groupby merges each key's
+    blobs in a single deterministic re-cluster
+    (``functions/tdigest.TDigest.merge_all``) and interpolates.
+
+    Same sketch-GROUP-BY contract as ``hll_group_distinct``: right for
+    small-to-moderate key cardinality over huge per-key value sets.
+    Rank error follows the t-digest q(1−q) profile (units assert ≤1%
+    mid-quantile, tighter at the tails, at δ=300). Deterministic:
+    blob content depends only on each batch's value multiset and the
+    final re-cluster canonicalizes order, so estimates are run-stable.
+
+    Returns (key, quantile, value_e4) — the exact operator's schema, so
+    the two are drop-in comparable."""
+    from wned_ray.functions.tdigest import TDigest
+
+    qarr = np.asarray(sorted(qs), np.float64)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = (pa.table({key_col: batch[key_col], val_col: batch[val_col]})
+             .drop_null())
+        if t.num_rows == 0:
+            return pa.table({key_col: pa.array([], batch[key_col].type),
+                             "blob": pa.array([], pa.binary())})
+        enc = pc.dictionary_encode(t[key_col].combine_chunks())
+        kidx = enc.indices.to_numpy(zero_copy_only=False)
+        uk = enc.dictionary
+        vals = t[val_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        blobs = []
+        for i in range(len(uk)):                 # bounded by keys/batch
+            blobs.append(TDigest(delta).add_values(vals[kidx == i])
+                         .to_bytes())
+        return pa.table({key_col: uk, "blob": pa.array(blobs, pa.binary())})
+
+    def merge(g: pa.Table) -> pa.Table:
+        d = TDigest.merge_all(
+            [TDigest.from_bytes(b) for b in g["blob"].to_pylist()])
+        v = np.array([d.quantile(q) for q in qarr])
+        return pa.table({
+            key_col: pa.array([g[key_col][0].as_py()] * len(qarr)),
+            "quantile": pa.array(qarr, pa.float64()),
+            "value_e4": pa.array(np.round(v * 10000).astype(np.int64)),
+        })
+
+    return (ds.select_columns([key_col, val_col])
+            .map_batches(partial, batch_format="pyarrow")
+            .groupby(key_col).map_groups(merge, batch_format="pyarrow"))
 
 
 def fingerprint(ds, id_col: str, text_col: str = "text", k: int = 8,
