@@ -1213,6 +1213,19 @@ def _q_hll_distinct_terms(sf_dir: str):
                           "exact_int": int(exact), "p": est["p"]}])
 
 
+def _q_weighted_sample_docs(sf_dir: str):
+    """Weighted sampling without replacement (Efraimidis–Spirakis),
+    inclusion probability ∝ n_chars, hash-derived uniforms — the
+    selection is a pure function of (doc_id, seed) and bit-reproducible
+    in DuckDB, so the exact 64-row sample is value-hash oracled."""
+    from wned_ray.pipelines.datawork import weighted_sample_k
+
+    ds = _rd().read_parquet(f"{sf_dir}/documents.parquet",
+                            columns=["doc_id", "n_chars"])
+    return weighted_sample_k(ds, id_col="doc_id", weight_col="n_chars",
+                             k=64, seed=0)
+
+
 def _q_quantile_sketch_events(sf_dir: str):
     """Per-event-type APPROXIMATE value quantiles via mergeable t-digest
     centroid blobs (datawork.group_quantile_sketch — the scale path for
@@ -1710,6 +1723,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         #     because displacing a flagship gate row would cost more) ---
         "hll_group_distinct_users": _q_hll_group_distinct,
         "salted_join_orders": _q_salted_join_orders,
+        "weighted_sample_docs": _q_weighted_sample_docs,
         "quantile_sketch_events": _q_quantile_sketch_events,
         "er_blocking": _q_er_blocking,
         "er_pairs": _q_er_pairs,
@@ -2145,6 +2159,16 @@ def oracle_sql() -> dict[str, str]:
             "THEN 4096.0 * ln(4096.0 / zeros) ELSE raw END) AS BIGINT) "
             "AS estimate_int, ex.exact_int, 12 AS p "
             "FROM est JOIN ex USING (event_type) ORDER BY est.event_type"
+        ),
+        # Efraimidis-Spirakis weighted sample: u from the first 8 md5
+        # bytes of "{doc_id}:{seed}" (the hll md5 trick), e = -ln(u)/w,
+        # k smallest — the Ray side must pick the identical 64 rows
+        "weighted_sample_docs": (
+            "WITH s AS (SELECT doc_id, n_chars, "
+            "-ln(((('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':0'), "
+            "1, 16))::UBIGINT)::DOUBLE + 0.5) / 18446744073709551616.0) "
+            "/ n_chars AS e FROM documents WHERE n_chars > 0) "
+            "SELECT doc_id, n_chars FROM s ORDER BY e, doc_id LIMIT 64"
         ),
         # the curation funnel's SQL-expressible slice: quality filter +
         # exact-dedup keep-min (token/punct definitions identical to the

@@ -1261,3 +1261,37 @@ def test_salted_join_equals_plain_join(ray_session):
         assert len(p) == len(s), (jt, len(p), len(s))
         pd.testing.assert_frame_equal(p[["k", "fv", "dv"]],
                                       s[["k", "fv", "dv"]])
+
+
+def test_weighted_sample_k(ray_session):
+    """Efraimidis-Spirakis: deterministic, partitioning-invariant, and
+    actually weight-proportional (heavy rows ~9x likelier than light
+    ones across seeds)."""
+    import ray.data as rd
+
+    from wned_ray.pipelines.datawork import weighted_sample_k
+
+    n = 3000
+    df = pd.DataFrame({"id": np.arange(n, dtype=np.int64),
+                       "w": np.where(np.arange(n) % 10 == 0, 9.0, 1.0)})
+    ds = rd.from_pandas(df)
+    a = weighted_sample_k(ds, "id", "w", k=50, seed=1).to_pandas()
+    b = weighted_sample_k(ds.repartition(7), "id", "w", k=50,
+                          seed=1).to_pandas()
+    assert sorted(a["id"]) == sorted(b["id"])          # combiner invariant
+    assert len(a) == 50 and a["id"].is_unique          # without replacement
+
+    heavy_rate = []
+    for seed in range(8):
+        s = weighted_sample_k(ds, "id", "w", k=100, seed=seed).to_pandas()
+        heavy_rate.append((s["id"] % 10 == 0).mean())
+    # heavy rows are 10% of the population with 9x weight => expected
+    # share 9/(9+9) = 0.5 of the sample
+    assert 0.35 < np.mean(heavy_rate) < 0.65, heavy_rate
+
+    # zero-weight rows can never be drawn
+    z = df.copy()
+    z.loc[z["id"] < 2900, "w"] = 0.0
+    s = weighted_sample_k(rd.from_pandas(z), "id", "w", k=80,
+                          seed=3).to_pandas()
+    assert (s["id"] >= 2900).all() and len(s) == 80

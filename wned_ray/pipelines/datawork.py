@@ -2125,6 +2125,46 @@ def stratified_sample_k(ds, key_col: str, id_col: str, k: int,
             .map_groups(head_k, batch_format="pandas"))
 
 
+def weighted_sample_k(ds, id_col: str, weight_col: str, k: int,
+                      seed: int = 0):
+    """Deterministic weighted sampling WITHOUT replacement (Efraimidis &
+    Spirakis 2006): the ``k`` rows with the smallest exponential draw
+    ``e_i = -ln(u_i) / w_i`` — inclusion probability proportional to
+    ``weight_col`` — where ``u_i`` is a hash-derived uniform
+    (first 8 md5 bytes of ``"{id}:{seed}"``), NOT an RNG draw: selection
+    is a pure function of (id, seed), so re-runs, resumed runs and the
+    DuckDB oracle twin agree on the exact sample (same discipline as
+    ``hash_sample`` / ``stratified_sample_k``, G8).
+
+    Scale shape: a per-batch combiner keeps each batch's k smallest
+    draws, so the final sort+limit exchange moves ≤ k rows per batch
+    regardless of input size. Zero/negative weights are excluded (their
+    inclusion probability is 0). Rows ride whole — the sample needs no
+    second join."""
+
+    def score(batch: pa.Table) -> pa.Table:
+        w = batch[weight_col].to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        batch = batch.filter(pa.array(w > 0))
+        if batch.num_rows == 0:
+            return batch.append_column("_e", pa.array([], pa.float64()))
+        w = w[w > 0]
+        ids = batch[id_col].cast(pa.string()).to_pylist()
+        h = _md5_hashes64([f"{i}:{seed}" for i in ids])
+        u = (h.astype(np.float64) + 0.5) / 18446744073709551616.0
+        e = -np.log(u) / w
+        batch = batch.append_column("_e", pa.array(e))
+        if batch.num_rows <= k:
+            return batch
+        keep = np.argpartition(e, k)[:k]        # combiner: batch top-k
+        return batch.take(pa.array(np.sort(keep)))
+
+    out_cols = ds.schema().names
+    return (ds.map_batches(score, batch_format="pyarrow")
+            .sort(["_e", id_col]).limit(k)
+            .select_columns(out_cols))
+
+
 def bm25_topk(ds, query_terms: list, k: int = 20, id_col: str = "doc_id",
               text_col: str = "text", k1: float = 1.2, b: float = 0.75):
     """Okapi BM25 top-k full-text search over a document table — the
