@@ -601,6 +601,30 @@ def _q_er_blocking(sf_dir: str):
         ["norm_mention", "n_mentions", "block_key", "band_idx"])
 
 
+def _q_er_blocking_quality(sf_dir: str):
+    """Blocking-scheme evaluation (Christen 2012 ch. 4): reduction ratio
+    (share of the quadratic pair space pruned) + pair completeness
+    (share of TRUE matches the candidate graph CONNECTS, transitively —
+    the pair generator emits spanning structures, not the quadratic
+    set) for the LSH/token blocking tier, against the fixture's
+    expected_clusters gold. Rows-only (the blocker isn't
+    SQL-expressible). Complements the F1 gates: the pairwise labels
+    mirror the blocking tier by construction, so true pairs whose
+    surfaces never co-block are invisible to F1 — this row measures
+    exactly that residual."""
+    import pandas as pd
+
+    from wned_ray.stages.evaluate import blocking_quality
+
+    corpus, _, out = _linkage(sf_dir)
+    gold = _rd().read_parquet(corpus["expected_clusters"])
+    m = blocking_quality(out["pairs"], gold)
+    m["reduction_ratio_e6"] = int(round(m.pop("reduction_ratio") * 1e6))
+    m["pair_completeness_e6"] = int(round(
+        m.pop("pair_completeness") * 1e6))
+    return pd.DataFrame([m])
+
+
 def _q_er_pairs(sf_dir: str):
     _, _, out = _linkage(sf_dir)
     return out["pairs"].select_columns(["id_a", "id_b", "block_key"])
@@ -1213,6 +1237,37 @@ def _q_hll_distinct_terms(sf_dir: str):
                           "exact_int": int(exact), "p": est["p"]}])
 
 
+def _q_scrub_pii_docs(sf_dir: str):
+    """PII redaction (email / IPv4 / SSN / phone-run → typed tokens) with
+    per-category counts — datawork.scrub_pii. Arrow and DuckDB both run
+    RE2, so the oracle twin (generated from the SAME pattern list,
+    staged identically) is byte-identical on the scrubbed text."""
+    from wned_ray.pipelines.datawork import scrub_pii
+
+    ds = _rd().read_parquet(f"{sf_dir}/documents.parquet",
+                            columns=["doc_id", "text"])
+    return scrub_pii(ds, id_col="doc_id")
+
+
+def _pii_oracle_sql() -> str:
+    """Staged-CTE twin of scrub_pii, generated from _PII_PATTERNS so the
+    two can never drift: each category is counted on the PREVIOUS
+    stage's text, exactly as the Ray kernel does."""
+    from wned_ray.pipelines.datawork import _PII_PATTERNS
+
+    inner = "SELECT doc_id, text AS t FROM documents"
+    done: list = []
+    for name, pat, tok in _PII_PATTERNS:
+        carry = ", ".join(["doc_id"] + [f"n_{x}" for x in done])
+        inner = (f"SELECT {carry}, "
+                 f"length(regexp_extract_all(t, '{pat}')) AS n_{name}, "
+                 f"regexp_replace(t, '{pat}', '{tok}', 'g') AS t "
+                 f"FROM ({inner})")
+        done.append(name)
+    cnts = ", ".join(f"n_{x}" for x in done)
+    return f"SELECT doc_id, t AS text_scrubbed, {cnts} FROM ({inner})"
+
+
 def _q_weighted_sample_docs(sf_dir: str):
     """Weighted sampling without replacement (Efraimidis–Spirakis),
     inclusion probability ∝ n_chars, hash-derived uniforms — the
@@ -1724,8 +1779,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hll_group_distinct_users": _q_hll_group_distinct,
         "salted_join_orders": _q_salted_join_orders,
         "weighted_sample_docs": _q_weighted_sample_docs,
+        "scrub_pii_docs": _q_scrub_pii_docs,
         "quantile_sketch_events": _q_quantile_sketch_events,
         "er_blocking": _q_er_blocking,
+        "er_blocking_quality": _q_er_blocking_quality,
         "er_pairs": _q_er_pairs,
         "er_scores": _q_er_scores,
         "er_clusters": _q_er_clusters,
@@ -2160,6 +2217,7 @@ def oracle_sql() -> dict[str, str]:
             "AS estimate_int, ex.exact_int, 12 AS p "
             "FROM est JOIN ex USING (event_type) ORDER BY est.event_type"
         ),
+        "scrub_pii_docs": _pii_oracle_sql(),
         # Efraimidis-Spirakis weighted sample: u from the first 8 md5
         # bytes of "{doc_id}:{seed}" (the hll md5 trick), e = -ln(u)/w,
         # k smallest — the Ray side must pick the identical 64 rows

@@ -1295,3 +1295,38 @@ def test_weighted_sample_k(ray_session):
     s = weighted_sample_k(rd.from_pandas(z), "id", "w", k=80,
                           seed=3).to_pandas()
     assert (s["id"] >= 2900).all() and len(s) == 80
+
+
+def test_scrub_pii_planted(ray_session):
+    """Each category redacts and counts; staging order keeps ip/ssn
+    digits out of the phone matcher; clean text is byte-identical."""
+    import duckdb
+    import ray.data as rd
+
+    from wned_ray.pipelines.datawork import scrub_pii
+
+    docs = pd.DataFrame({"doc_id": [1, 2, 3, 4], "text": [
+        "mail me at jo.doe+x@ex-ample.co.uk now",
+        "server 192.168.0.1 ssn 123-45-6789 call 555 867 5309 ok",
+        "two mails a@b.io c@d.org and (020) 7946-0958",
+        "clean text stays byte-identical",
+    ]})
+    out = (scrub_pii(rd.from_pandas(docs), id_col="doc_id")
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    assert out.iloc[0]["text_scrubbed"] == "mail me at <EMAIL> now"
+    assert out.iloc[1]["text_scrubbed"] == \
+        "server <IP> ssn <SSN> call <PHONE> ok"
+    assert out.iloc[2]["n_email"] == 2 and out.iloc[2]["n_phone"] == 1
+    assert out.iloc[3]["text_scrubbed"] == docs["text"][3]
+    assert list(out[["n_email", "n_ip", "n_ssn", "n_phone"]].sum()) \
+        == [3, 1, 1, 2]
+
+    # the generated staged-CTE oracle is byte-identical on planted PII
+    import __ray_entry__ as e
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t AS SELECT * FROM docs")
+    sql = e.oracle_sql()["scrub_pii_docs"].replace("documents", "t")
+    want = (con.execute(sql).fetch_df()
+            .sort_values("doc_id").reset_index(drop=True))
+    assert out.astype(str).equals(want[out.columns].astype(str))

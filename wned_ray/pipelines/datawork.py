@@ -1048,6 +1048,52 @@ def lang_id(ds, text_col: str = "text"):
     return ds.map_batches(lid, batch_format="pyarrow")
 
 
+# (name, RE2 pattern, replacement token) — applied IN ORDER, each
+# category counted on the previous stage's output (ip/ssn digits must
+# be gone before the phone run matcher sees the text). RE2 both here
+# (Arrow) and in DuckDB's regexp_* -> the oracle twin is byte-identical.
+_PII_PATTERNS = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+     "<EMAIL>"),
+    ("ip", r"\b(?:\d{1,3}\.){3}\d{1,3}\b", "<IP>"),
+    ("ssn", r"\b\d{3}-\d{2}-\d{4}\b", "<SSN>"),
+    ("phone", r"\b\d[\d() -]{6,}\d\b", "<PHONE>"),
+]
+
+
+def scrub_pii(ds, text_col: str = "text", id_col: str | None = None):
+    """PII redaction over a text column — the curation-pipeline staple
+    (emails, IPv4s, SSNs, phone-like digit runs → typed tokens), plus a
+    per-category match count per row so downstream policy filters
+    ("drop rows with ≥N hits") need no second scan.
+
+    Stateless vectorized map: one RE2 count + one RE2 rewrite per
+    category per batch, zero-copy Arrow in/out, no shuffle. Output:
+    (id?, text_scrubbed, n_email, n_ip, n_ssn, n_phone)."""
+
+    def scrub(batch: pa.Table) -> pa.Table:
+        t = batch[text_col]
+        cols, names = [], []
+        if id_col is not None:
+            cols.append(batch[id_col])
+            names.append(id_col)
+        counts = {}
+        for name, pat, tok in _PII_PATTERNS:
+            counts[f"n_{name}"] = pc.cast(
+                pc.count_substring_regex(t, pat), pa.int64())
+            t = pc.replace_substring_regex(t, pat, tok)
+        cols.append(t)
+        names.append("text_scrubbed")
+        for n, c in counts.items():
+            cols.append(c)
+            names.append(n)
+        return pa.table(cols, names=names)
+
+    keep = [text_col] if id_col is None else [id_col, text_col]
+    return ds.select_columns(keep).map_batches(scrub,
+                                               batch_format="pyarrow")
+
+
 def quality_scores(ds, text_col: str = "text"):
     """Length / punctuation / uppercase / stopword-ratio quality features."""
     def q(batch: pa.Table) -> pa.Table:

@@ -78,3 +78,73 @@ def pairwise_metrics(labels_ds, clusters_ds, num_partitions: int = 8
         "tp": int(tp), "fp": int(fp), "fn": int(fn), "tn": int(pb["tn"].sum()),
         "labeled_pairs": int(len(pb) and pb[["tp", "fp", "fn", "tn"]].to_numpy().sum()),
     }
+
+
+def blocking_quality(pairs_ds, gold_ds, num_partitions: int = 8
+                     ) -> dict[str, float]:
+    """Blocking-scheme evaluation (Christen, "Data Matching", 2012,
+    ch. 4), adapted to this pipeline's candidate structure:
+
+    - reduction ratio   RR = 1 - |C| / C(N, 2)
+    - pair completeness PC = covered true pairs / all true pairs, where
+      a true pair (same ``entity_id`` in ``gold_ds``) counts as covered
+      iff the candidate graph CONNECTS its endpoints — computed from
+      connected components over the candidate edges. Transitive
+      coverage is the right notion here because the pair generator
+      deliberately emits spanning structures (one rep-rep edge per
+      block plus same-norm star edges), not the quadratic pair set; a
+      directly-absent but connected pair still reaches the same cluster
+      whenever the scorer accepts the path's edges.
+
+    Everything is distributed: component labels via the cluster stage's
+    contract-then-union-find (``stages/cluster.connected_components``),
+    per-(entity, component) group sizes reduced to pair counts by a
+    per-batch combiner + Sum — no pair set and no label map ever
+    collects on the driver."""
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+
+    from wned_ray.config import PipelineConfig
+    from wned_ray.stages.cluster import connected_components
+
+    gold_ds = gold_ds.select_columns(["mention_id", "entity_id"])
+    n = gold_ds.count()
+    n_cand = pairs_ds.count()
+    total_pairs = n * (n - 1) // 2
+
+    def _pair_sum(grouped) -> int:
+        def p(batch: pa.Table) -> pa.Table:
+            import numpy as np
+
+            c = batch["count()"].to_numpy(zero_copy_only=False) \
+                .astype("int64")
+            return pa.table({"s": pa.array([int((c * (c - 1) // 2).sum())],
+                                           pa.int64())})
+
+        agg = grouped.map_batches(p, batch_format="pyarrow") \
+            .aggregate(Sum("s", alias_name="s"))
+        return int(agg["s"] or 0)
+
+    true_pairs = _pair_sum(gold_ds.groupby("entity_id").count())
+
+    comp = connected_components(
+        pairs_ds.select_columns(["id_a", "id_b"]), PipelineConfig())
+    joined = gold_ds.join(comp, join_type="left_outer",
+                          num_partitions=num_partitions,
+                          on=("mention_id",))
+
+    def lbl(batch: pa.Table) -> pa.Table:
+        # mentions outside every candidate edge are singleton components
+        return pa.table({
+            "entity_id": batch["entity_id"],
+            "comp": pc.coalesce(batch["cluster_id"], batch["mention_id"]),
+        })
+
+    covered = _pair_sum(joined.map_batches(lbl, batch_format="pyarrow")
+                        .groupby(["entity_id", "comp"]).count())
+
+    rr = 1.0 - (n_cand / total_pairs if total_pairs else 0.0)
+    pc_ = covered / true_pairs if true_pairs else 1.0
+    return {"n_mentions": int(n), "candidate_pairs": int(n_cand),
+            "true_pairs": true_pairs, "covered_true_pairs": covered,
+            "reduction_ratio": float(rr), "pair_completeness": float(pc_)}
