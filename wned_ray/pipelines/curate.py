@@ -74,7 +74,8 @@ def curate_corpus(docs_path: str, out_dir: str, lang_keep=("en",),
                   min_tokens: int = 5, max_punct_ratio: float = 0.2,
                   jaccard_threshold: float = 0.8,
                   checkpoint_dir: str | None = None,
-                  num_partitions: int = 16) -> dict:
+                  num_partitions: int = 16,
+                  scrub: bool = False) -> dict:
     """Run the full curation flow over ``docs_path`` and write the kept
     documents to ``out_dir`` partitioned by predicted language
     (``out_dir/lang_pred=xx/*.parquet``). Returns the stage-by-stage
@@ -84,7 +85,13 @@ def curate_corpus(docs_path: str, out_dir: str, lang_keep=("en",),
     ``jaccard_threshold``) near-duplicate of a SMALLER-id document is
     dropped — the standard LSH keep-first discipline; two documents that
     are each near-dups of a third but never co-blocked both survive (no
-    transitive closure, matching the usual curation semantics)."""
+    transitive closure, matching the usual curation semantics).
+
+    ``scrub=True`` inserts the PII-redaction stage (datawork.scrub_pii)
+    AFTER dedup — duplicates are detected on the raw bytes (scrubbing
+    first would alias distinct docs that differ only inside a redacted
+    span) and only surviving rows pay the rewrite. The written ``text``
+    is then the scrubbed form, and per-category hit counts ride along."""
     import ray.data as rd
 
     from wned_ray.pipelines.datawork import (bloom_semi_join, exact_dedup,
@@ -143,6 +150,28 @@ def curate_corpus(docs_path: str, out_dir: str, lang_keep=("en",),
     drops = _pin(_near_drop, "curate_near_drop")
     final = anti_join(exact_kept, drops, on="doc_id", key_col="id_b",
                       num_partitions=num_partitions)
+
+    if scrub:
+        # inline twin of datawork.scrub_pii (same _PII_PATTERNS, same
+        # staged order) that rewrites text IN PLACE and keeps every
+        # column — no second consume of `final`, no re-join for the
+        # partition column
+        from wned_ray.pipelines.datawork import _PII_PATTERNS
+
+        def _scrub_rows(batch: pa.Table) -> pa.Table:
+            t = batch["text"]
+            counts = []
+            for name, pat, tok in _PII_PATTERNS:
+                counts.append((f"n_{name}", pc.cast(
+                    pc.count_substring_regex(t, pat), pa.int64())))
+                t = pc.replace_substring_regex(t, pat, tok)
+            batch = batch.set_column(
+                batch.column_names.index("text"), "text", t)
+            for n, c in counts:
+                batch = batch.append_column(n, c)
+            return batch
+
+        final = final.map_batches(_scrub_rows, batch_format="pyarrow")
 
     final.write_parquet(out_dir, partition_cols=["lang_pred"])
     n_final = rd.read_parquet(out_dir).count()
