@@ -173,6 +173,8 @@ def _resolve_with(t1_corpus, **cfg_kw):
     {"mention_pref": "TFIDF"},
     {"iterative": False},
     {"iterative": False, "pref_strategy": "CTX_SIM"},
+    {"candidate_prune_limit": 3},
+    {"candidate_prune_limit": 3, "pref_strategy": "CTX_SIM"},
 ])
 def test_pref_strategy_variants_resolve_t1(ray_session, t1_corpus, kw):
     """Every PrefStrategy / useIterative combination (WNEDConfig.java:
@@ -275,3 +277,28 @@ def test_approximate_seeds_fallback():
     r_off = ConversationResolver(
         alias_table, None, replace(cfg, use_approximate_seeds=False))
     assert r_off._initial_seeds("c1", rows, cand_of, {}, mw) == {}
+
+
+def test_prune_candidates_union_semantics():
+    """CSUtils.selectCandidatesMention:180-199 — the kept set is the
+    UNION of top-k by prior and top-k by context sim: a candidate that
+    loses on prior but wins on context survives, and vice versa."""
+    from wned_ray.stages.resolve import prune_candidates
+
+    cands = [("e1", 0.5), ("e2", 0.3), ("e3", 0.1),
+             ("e4", 0.05), ("e5", 0.02)]
+    sims = {"e1": 0.0, "e2": 0.0, "e3": 0.0, "e4": 0.9, "e5": 0.8}
+
+    out = prune_candidates(cands, 2, ctx_sim=sims.get)
+    kept = {e for e, _ in out}
+    # prior side keeps e1,e2; ctx side keeps e4,e5; e3 loses both
+    assert kept == {"e1", "e2", "e4", "e5"}
+    # original (entity, prior) tuples and order are preserved
+    assert out == [c for c in cands if c[0] in kept]
+
+    # prior-only fallback (no entity-context dim)
+    out2 = prune_candidates(cands, 2, ctx_sim=None)
+    assert {e for e, _ in out2} == {"e1", "e2"}
+
+    # short lists pass through untouched
+    assert prune_candidates(cands[:2], 3, ctx_sim=sims.get) == cands[:2]

@@ -103,6 +103,14 @@ class PipelineConfig:
     # --- candidate selection (J1/G2/G3) ---
     top_k_candidates: int = 20   # CandidateSelectionLucene.java:41-44
     prior_floor: float = 2e-5    # CSUtils.java:190-199
+    # Resolver candidate prune (CSUtils.selectCandidatesMention:180-199):
+    # per mention keep the UNION of top-K by context similarity and
+    # top-K by prior (PRUNE_LIMIT = 3, CSUtils.java:34) before the
+    # iterative loop. 0 = off (keep the full top_k_candidates list —
+    # the default here, since the gold gates are measured without it);
+    # set 3 for reference-default parity. The context ranking engages
+    # only when the CTX_SIM entity-context dim is loaded.
+    candidate_prune_limit: int = 0
 
     # Restart-vector preference strategies for the resolver's document
     # signature — the reference's split mention/entity PrefStrategy pair

@@ -78,6 +78,26 @@ def build_norm_idf(prepared_ds) -> pa.Table:
     })
 
 
+def prune_candidates(cands: list, k: int, ctx_sim=None) -> list:
+    """Reference candidate prune (``CSUtils.selectCandidatesMention:
+    180-199``): keep the UNION of the top-k by context similarity and
+    the top-k by prior (``PRUNE_LIMIT = 3``, ``CSUtils.java:34``); the
+    2e-5 floor is already applied upstream in
+    ``build_alias_candidates``. With no entity-context dim loaded
+    (``ctx_sim=None``) only the prior ranking applies — the reference
+    always has its entity-context cache, so pass the CTX_SIM dim for
+    full parity. Ties break lexicographically (deterministic where the
+    reference relies on sort stability)."""
+    if len(cands) <= k:
+        return cands
+    by_prior = sorted(cands, key=lambda t: (-t[1], t[0]))[:k]
+    keep = {e for e, _ in by_prior}
+    if ctx_sim is not None:
+        by_ctx = sorted(cands, key=lambda t: (-ctx_sim(t[0]), t[0]))[:k]
+        keep |= {e for e, _ in by_ctx}
+    return [t for t in cands if t[0] in keep]
+
+
 def build_entity_contexts(prepared_ds, alias_table: pa.Table,
                           cfg: PipelineConfig,
                           max_terms: int = 64) -> pa.Table:
@@ -321,6 +341,15 @@ class ConversationResolver:
         ctx_of: dict[str, str] = {}
         if "ctx" in g.columns:
             ctx_of = dict(zip(g["mention_id"], g["ctx"]))
+
+        if cfg.candidate_prune_limit:
+            k = cfg.candidate_prune_limit
+            cand_of = {
+                mid: prune_candidates(
+                    c, k,
+                    (lambda ent, _mid=mid: self._ctx_sim(
+                        ctx_of.get(_mid), ent)) if self.ent_ctx else None)
+                for mid, c in cand_of.items()}
 
         # seeds: PrefStrategy-weighted (K11 seed step / WeightCache)
         mw = self._mention_weights(g, rows)
