@@ -762,6 +762,10 @@ def _q_er_resolve_strategies(sf_dir: str):
         ("RANDOM_iter", {"pref_strategy": "RANDOM"}),
         ("TFIDF_mention_iter", {"mention_pref": "TFIDF"}),
         ("PRIOR_PROB_oneshot", {"iterative": False}),
+        # reference-default candidate prune (CSUtils PRUNE_LIMIT=3):
+        # union of top-3 by ctx-sim and top-3 by prior per mention
+        ("CTX_SIM_prune3", {"pref_strategy": "CTX_SIM",
+                            "candidate_prune_limit": 3}),
     ]
     rows = []
     for name, kw in variants:
@@ -1660,6 +1664,61 @@ def _q_media_features(sf_dir: str):
     return out.select_columns(["media_id", "kind", "feature_dim"])
 
 
+def _q_media_resize_frames(sf_dir: str):
+    """REAL image resize + frame sampling (the brief's resize /
+    frame-sample media stages): synthesize a deterministic per-doc
+    multi-frame PNM stream (pixel values keyed by doc_id; the codec-free
+    video analog), sample every 2nd frame, nearest-neighbor resize each
+    kept frame to 4x4, and re-decode the resized bytes through the PNM
+    feature extractor to prove the re-encoded payloads are valid.
+    Rows-only (binary media is not SQL-expressible); exact-pixel
+    assertions live in test_media_resize_and_frame_sample."""
+    import numpy as np
+    import pyarrow as pa
+
+    from wned_ray.pipelines.datawork import (decode_media, resize_media,
+                                             sample_frames)
+
+    ds = (_rd().read_parquet(f"{sf_dir}/documents.parquet",
+                             columns=["doc_id"]).limit(64))
+
+    def to_stream(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_pylist()
+        payloads = []
+        for d in ids:
+            frames = []
+            for f in range(5):                 # 5 frames of 8x8 RGB
+                v = (d * 31 + f * 7) % 256
+                px = np.full((8, 8, 3), v, np.uint8)
+                frames.append(b"P6\n8 8\n255\n" + px.tobytes())
+            payloads.append(b"".join(frames))
+        return pa.table({"media_id": pa.array(ids, pa.int64()),
+                         "payload": pa.array(payloads, pa.binary())})
+
+    stream = ds.map_batches(to_stream, batch_format="pyarrow")
+    kept = sample_frames(stream, every_n=2)     # frames 0, 2, 4
+
+    def as_media(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "media_id": batch["media_id"],
+            "frame_idx": batch["frame_idx"],
+            "payload": batch["frame"],
+        })
+
+    resized = resize_media(kept.map_batches(as_media,
+                                            batch_format="pyarrow"),
+                           out_w=4, out_h=4)
+
+    def with_kind(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "kind", pa.array(["image"] * batch.num_rows))
+
+    feats = decode_media(resized.map_batches(with_kind,
+                                             batch_format="pyarrow"),
+                         feature_dim=8, fake=False)
+    return feats.select_columns(["media_id", "kind", "feature_dim"])
+
+
 def _q_media_wav_features(sf_dir: str):
     """REAL multimodal decode (not the fake path): synthesize a
     deterministic per-doc WAV payload (stdlib wave; tone frequency keyed
@@ -1798,6 +1857,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_embeddings": _q_ann_embeddings,
         "media_features": _q_media_features,
         "media_wav_features": _q_media_wav_features,
+        "media_resize_frames": _q_media_resize_frames,
     }
 
 

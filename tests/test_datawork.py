@@ -1330,3 +1330,56 @@ def test_scrub_pii_planted(ray_session):
     want = (con.execute(sql).fetch_df()
             .sort_values("doc_id").reset_index(drop=True))
     assert out.astype(str).equals(want[out.columns].astype(str))
+
+
+def _ppm(w, h, rgb_rows):
+    return b"P6\n%d %d\n255\n" % (w, h) + bytes(rgb_rows)
+
+
+def test_media_resize_and_frame_sample(ray_session):
+    """REAL nearest-neighbor PNM resize (exact pixel assertions) and
+    frame sampling over concatenated-PNM streams (byte-identical frames
+    out), both end-to-end through the actor-pool stages."""
+    import ray.data as rd
+
+    from wned_ray.pipelines.datawork import (FrameSampler, MediaResizer,
+                                             resize_media, sample_frames)
+
+    # 2x2 RGB: quadrants R G / B W -> 1x1 nearest = pixel at (1,1) = W
+    px = [255, 0, 0,  0, 255, 0,
+          0, 0, 255,  255, 255, 255]
+    img = _ppm(2, 2, px)
+    r = MediaResizer(out_w=1, out_h=1)
+    out = r.resize_payload(img)
+    assert out == b"P6\n1 1\n255\n" + bytes([255, 255, 255])
+    # 4x4 grayscale ramp -> 2x2 nearest picks centers (1,1),(1,3),...
+    ramp = bytes(range(16))
+    pgm = b"P5\n4 4\n255\n" + ramp
+    out2 = MediaResizer(out_w=2, out_h=2).resize_payload(pgm)
+    assert out2 == b"P5\n2 2\n255\n" + bytes([5, 7, 13, 15])
+    # upscale round-trips the single pixel
+    up = MediaResizer(out_w=3, out_h=3).resize_payload(
+        b"P5\n1 1\n255\n" + bytes([42]))
+    assert up == b"P5\n3 3\n255\n" + bytes([42] * 9)
+
+    # frame stream: 5 concatenated frames, every 2nd -> 0, 2, 4 exact
+    frames = [_ppm(1, 1, [i, i, i]) for i in range(5)]
+    stream = b"".join(frames)
+    s = FrameSampler(every_n=2)
+    assert s.split_frames(stream) == frames
+
+    ds = rd.from_items([{"media_id": 0, "payload": stream},
+                        {"media_id": 1, "payload": frames[0]}])
+    got = (sample_frames(ds, every_n=2).to_pandas()
+           .sort_values(["media_id", "frame_idx"]).reset_index(drop=True))
+    assert list(got["frame_idx"]) == [0, 2, 4, 0]
+    assert bytes(got["frame"][1]) == frames[2]
+
+    # resize stage end-to-end; codec formats still raise honestly
+    rs = (resize_media(rd.from_items(
+        [{"media_id": 7, "payload": img}]), out_w=1, out_h=1)
+        .to_pandas())
+    assert bytes(rs["payload"][0]).endswith(bytes([255, 255, 255]))
+    import pytest as _pytest
+    with _pytest.raises(Exception):
+        MediaResizer().resize_payload(b"\x89PNG....")
