@@ -1241,6 +1241,68 @@ def _q_hll_distinct_terms(sf_dir: str):
                           "exact_int": int(exact), "p": est["p"]}])
 
 
+def _q_full_outer_join(sf_dir: str):
+    """Native FULL OUTER hash join (Dataset.join join_type='full_outer')
+    with unmatched rows on BOTH sides (high-value orders vs low-balance
+    customers), classified per row and reduced to one checkable summary
+    — n_both / n_left_only / n_right_only plus value sums per class."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from ray.data.aggregate import Sum
+
+    orders = (_rd().read_parquet(f"{sf_dir}/orders.parquet",
+                                 columns=["o_custkey", "o_totalprice"])
+              .filter(expr="o_totalprice > 420000.0")
+              .groupby("o_custkey")
+              .aggregate(Sum("o_totalprice", alias_name="big_total")))
+    cust = (_rd().read_parquet(f"{sf_dir}/customer.parquet",
+                               columns=["c_custkey", "c_acctbal"])
+            .filter(expr="c_acctbal < 1000.0"))
+
+    def ren(batch: pa.Table) -> pa.Table:
+        return pa.table({"o_custkey": batch["c_custkey"],
+                         "c_acctbal": batch["c_acctbal"]})
+
+    j = orders.join(cust.map_batches(ren, batch_format="pyarrow"),
+                    join_type="full_outer", num_partitions=8,
+                    on=("o_custkey",))
+
+    def classify(batch: pa.Table) -> pa.Table:
+        has_l = pc.is_valid(batch["big_total"])
+        has_r = pc.is_valid(batch["c_acctbal"])
+        both = pc.and_(has_l, has_r)
+        lo = pc.and_(has_l, pc.invert(has_r))
+        ro = pc.and_(pc.invert(has_l), has_r)
+
+        def n(m):
+            return pa.array([pc.sum(pc.cast(m, pa.int64())).as_py() or 0],
+                            pa.int64())
+
+        tot = pc.if_else(has_l, batch["big_total"], pa.scalar(0.0))
+        return pa.table({
+            "n_both": n(both), "n_left_only": n(lo), "n_right_only": n(ro),
+            "left_total": pa.array([pc.sum(tot).as_py() or 0.0],
+                                   pa.float64()),
+        })
+
+    agg = (j.map_batches(classify, batch_format="pyarrow")
+           .aggregate(Sum("n_both", alias_name="n_both"),
+                      Sum("n_left_only", alias_name="n_left_only"),
+                      Sum("n_right_only", alias_name="n_right_only"),
+                      Sum("left_total", alias_name="left_total")))
+    import pandas as pd
+
+    # round the TOTAL once (whole dollars) — per-batch rounding would be
+    # irreproducible in the SQL twin
+    return pd.DataFrame([{
+        "n_both": int(agg["n_both"]),
+        "n_left_only": int(agg["n_left_only"]),
+        "n_right_only": int(agg["n_right_only"]),
+        "left_total_usd": int(round(agg["left_total"])),
+    }])
+
+
 def _q_scrub_pii_docs(sf_dir: str):
     """PII redaction (email / IPv4 / SSN / phone-run → typed tokens) with
     per-category counts — datawork.scrub_pii. Arrow and DuckDB both run
@@ -1858,6 +1920,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_features": _q_media_features,
         "media_wav_features": _q_media_wav_features,
         "media_resize_frames": _q_media_resize_frames,
+        "full_outer_join_summary": _q_full_outer_join,
     }
 
 
@@ -2279,6 +2342,24 @@ def oracle_sql() -> dict[str, str]:
             "FROM est JOIN ex USING (event_type) ORDER BY est.event_type"
         ),
         "scrub_pii_docs": _pii_oracle_sql(),
+        # native FULL OUTER join summary (both sides carry unmatched keys)
+        "full_outer_join_summary": (
+            "WITH o AS (SELECT o_custkey, sum(o_totalprice) AS big_total "
+            "FROM orders WHERE o_totalprice > 420000.0 GROUP BY o_custkey), "
+            "c AS (SELECT c_custkey, c_acctbal FROM customer "
+            "WHERE c_acctbal < 1000.0), "
+            "j AS (SELECT o.big_total, c.c_acctbal FROM o "
+            "FULL JOIN c ON o.o_custkey = c.c_custkey) "
+            "SELECT "
+            "count(*) FILTER (big_total IS NOT NULL AND c_acctbal IS NOT "
+            "NULL) AS n_both, "
+            "count(*) FILTER (big_total IS NOT NULL AND c_acctbal IS NULL) "
+            "AS n_left_only, "
+            "count(*) FILTER (big_total IS NULL AND c_acctbal IS NOT NULL) "
+            "AS n_right_only, "
+            "CAST(round(sum(coalesce(big_total, 0.0))) AS BIGINT) "
+            "AS left_total_usd FROM j"
+        ),
         # Efraimidis-Spirakis weighted sample: u from the first 8 md5
         # bytes of "{doc_id}:{seed}" (the hll md5 trick), e = -ln(u)/w,
         # k smallest — the Ray side must pick the identical 64 rows
