@@ -1833,6 +1833,215 @@ def _q_media_wav_features(sf_dir: str):
     return out.map_batches(project, batch_format="pandas")
 
 
+def _q_multiway_join_revenue(sf_dir: str):
+    """TPC-H Q5-shaped 5-table join: lineitem ⋈ orders via the native
+    distributed hash join (both sides fact-sized), customer / supplier /
+    nation-region as broadcast probe LUTs (dim-sized, shipped once via
+    ``ray.put``), revenue per nation for one region + date window with
+    the Q5 local-supplier predicate (supplier nation == customer
+    nation). The planning shape IS the point: two big tables meet in
+    ONE shuffle; every dim rides along as a broadcast."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+    import ray
+
+    from ray.data.aggregate import Sum
+
+    nat = pq.read_table(f"{sf_dir}/nation.parquet")
+    reg = pq.read_table(f"{sf_dir}/region.parquet")
+    asia = reg.filter(pc.equal(reg["r_name"], "ASIA"))["r_regionkey"]
+    nat_asia = nat.filter(pc.is_in(nat["n_regionkey"], value_set=asia))
+    cust = pq.read_table(f"{sf_dir}/customer.parquet",
+                         columns=["c_custkey", "c_nationkey"])
+    cust = cust.filter(pc.is_in(cust["c_nationkey"],
+                                value_set=nat_asia["n_nationkey"]))
+    supp = pq.read_table(f"{sf_dir}/supplier.parquet",
+                         columns=["s_suppkey", "s_nationkey"])
+    ref = ray.put((cust["c_custkey"].combine_chunks(),
+                   pc.cast(cust["c_nationkey"], pa.int32()).combine_chunks(),
+                   supp["s_suppkey"].combine_chunks(),
+                   pc.cast(supp["s_nationkey"], pa.int32()).combine_chunks()))
+
+    import datetime as _dt
+
+    cutoff = pa.scalar(_dt.datetime(1998, 1, 1), pa.timestamp("us"))
+
+    class OrderSide:
+        def __init__(self):
+            self.ckeys, self.cnat, _, _ = ray.get(ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            batch = batch.filter(pc.less(batch["o_orderdate"], cutoff))
+            idx = pc.index_in(batch["o_custkey"], value_set=self.ckeys)
+            t = pa.table({"o_orderkey": batch["o_orderkey"],
+                          "c_nat": self.cnat.take(idx)})
+            return t.filter(pc.is_valid(t["c_nat"]))   # region semi-join
+
+    class LineSide:
+        def __init__(self):
+            _, _, self.skeys, self.snat = ray.get(ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            idx = pc.index_in(batch["l_suppkey"], value_set=self.skeys)
+            rev = pc.multiply(batch["l_extendedprice"],
+                              pc.subtract(pa.scalar(1.0),
+                                          batch["l_discount"]))
+            return pa.table({"l_orderkey": batch["l_orderkey"],
+                             "s_nat": self.snat.take(idx),
+                             "revenue": rev})
+
+    orders = (_rd().read_parquet(f"{sf_dir}/orders.parquet",
+                                 columns=["o_orderkey", "o_custkey",
+                                          "o_orderdate"])
+              .map_batches(OrderSide, batch_format="pyarrow",
+                           concurrency=2)
+              .select_columns(["o_orderkey", "c_nat"]))
+    line = (_rd().read_parquet(f"{sf_dir}/lineitem.parquet",
+                               columns=["l_orderkey", "l_suppkey",
+                                        "l_extendedprice", "l_discount"])
+            .map_batches(LineSide, batch_format="pyarrow", concurrency=2))
+    j = line.join(orders, join_type="inner", num_partitions=8,
+                  on=("l_orderkey",), right_on=("o_orderkey",))
+
+    nat_lut = ray.put((pc.cast(nat_asia["n_nationkey"],
+                               pa.int32()).combine_chunks(),
+                       nat_asia["n_name"].combine_chunks()))
+
+    class Local:
+        def __init__(self):
+            self.nkeys, self.nnames = ray.get(nat_lut)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            t = batch.filter(pc.equal(batch["c_nat"], batch["s_nat"]))
+            idx = pc.index_in(t["c_nat"], value_set=self.nkeys)
+            return pa.table({"n_name": self.nnames.take(idx),
+                             "revenue": t["revenue"]})
+
+    agg = (j.map_batches(Local, batch_format="pyarrow", concurrency=2)
+           .groupby("n_name")
+           .aggregate(Sum("revenue", alias_name="revenue")))
+
+    def r(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "n_name": batch["n_name"],
+            "revenue_usd": pc.cast(pc.round(batch["revenue"]), pa.int64()),
+        })
+
+    return agg.map_batches(r, batch_format="pyarrow")
+
+
+def _q_cross_join_nation_types(sf_dir: str):
+    """CROSS JOIN with a broadcast small side (analytics
+    .broadcast_cross_join): every nation × every distinct event type.
+    The distinct side is computed distributed, collected dim-sized."""
+    import pyarrow as pa
+
+    from wned_ray.pipelines.analytics import broadcast_cross_join
+
+    types = (_rd().read_parquet(f"{sf_dir}/events.parquet",
+                                columns=["event_type"])
+             .groupby("event_type").count()
+             .select_columns(["event_type"]).take_all())   # dim-sized
+    small = pa.table({"event_type":
+                      pa.array(sorted(r["event_type"] for r in types))})
+    ds = _rd().read_parquet(f"{sf_dir}/nation.parquet",
+                            columns=["n_name"])
+    return broadcast_cross_join(ds, small)
+
+
+def _q_string_agg_sources(sf_dir: str):
+    """Grouped string/list aggregation (analytics.string_agg_by_key):
+    per language, the sorted distinct sources concatenated — ANSI
+    ``string_agg(DISTINCT source, ',' ORDER BY source)``."""
+    from wned_ray.pipelines.analytics import string_agg_by_key
+
+    ds = _rd().read_parquet(f"{sf_dir}/documents.parquet",
+                            columns=["lang", "source"])
+    return string_agg_by_key(ds, "lang", "source", sep=",",
+                             out_col="sources")
+
+
+def _q_histogram_events(sf_dir: str):
+    """Fixed-width histogram (analytics.histogram_fixed): 20 buckets of
+    25.0 over event value, edge-clamped, zero counts included."""
+    from wned_ray.pipelines.analytics import histogram_fixed
+
+    ds = _rd().read_parquet(f"{sf_dir}/events.parquet", columns=["value"])
+    return histogram_fixed(ds, "value", lo=0.0, hi=500.0, nbins=20)
+
+
+def _q_grouping_sets_events(sf_dir: str):
+    """GROUP BY GROUPING SETS ((event_type, day), (day), ()) — the
+    generalization rollup/cube now delegate to; this set list is
+    neither a rollup nor a cube."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from wned_ray.pipelines.datawork import grouping_sets_aggregate
+
+    ds = _rd().read_parquet(f"{sf_dir}/events.parquet",
+                            columns=["event_type", "ts", "value"])
+
+    def day(batch: pa.Table) -> pa.Table:
+        d = pc.cast(pc.floor_temporal(batch["ts"], unit="day"), pa.date32())
+        return pa.table({"event_type": batch["event_type"],
+                         "day": pc.cast(d, pa.string()),
+                         "value": batch["value"]})
+
+    out = grouping_sets_aggregate(
+        ds.map_batches(day, batch_format="pyarrow"),
+        keys=["event_type", "day"],
+        sets=[("event_type", "day"), ("day",), ()])
+
+    def r(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "event_type": batch["event_type"], "day": batch["day"],
+            "n_events": batch["n_events"],
+            "sum_value_e2": pc.cast(
+                pc.round(pc.multiply(batch["sum_value"], 100.0)), pa.int64()),
+        })
+
+    return out.map_batches(r, batch_format="pyarrow")
+
+
+def _q_explode_doc_terms(sf_dir: str):
+    """Regex explode (analytics.explode_matches): one row per long-word
+    match with its 1-based per-document position — SQL ``unnest`` +
+    ``generate_subscripts``. The flatten is Arrow-offset-native."""
+    from wned_ray.pipelines.analytics import explode_matches
+
+    ds = _rd().read_parquet(f"{sf_dir}/documents.parquet",
+                            columns=["doc_id", "text"])
+    return explode_matches(ds, "doc_id", "text", r"[a-z]{7,}")
+
+
+def _q_canonical_docs(sf_dir: str):
+    """ER survivorship / golden records (analytics.golden_records):
+    group by the 4-token blocking head key, elect min-id keep,
+    longest-text representative, per-attribute mode — the canonical
+    post-linkage step, SQL-oracled end to end."""
+    from wned_ray.pipelines.analytics import golden_records
+
+    ds = _rd().read_parquet(f"{sf_dir}/documents.parquet",
+                            columns=["doc_id", "text", "lang", "source"])
+    return golden_records(ds)
+
+
+def _q_kmeans_embeddings(sf_dir: str):
+    """Distributed Lloyd's k-means over the embedding column
+    (analytics.kmeans): seeded md5 init, broadcast centroids, per-batch
+    partial-sum reduction. Deterministic — exactness vs a single-process
+    numpy reference is pytest-gated (no tractable SQL twin)."""
+    from wned_ray.pipelines.analytics import kmeans
+
+    ds = _rd().read_parquet(f"{sf_dir}/embeddings.parquet",
+                            columns=["vec_id", "embedding"])
+    assign, _ = kmeans(ds, k=8, n_iter=5, seed=7)
+    return assign
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # ORDER MATTERS: the round driver sweeps this dict in insertion order
     # and records the FIRST 50 entries (round-3 CORRECTNESS captured
@@ -1921,6 +2130,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_wav_features": _q_media_wav_features,
         "media_resize_frames": _q_media_resize_frames,
         "full_outer_join_summary": _q_full_outer_join,
+        # --- round-4 continuation batch (SQL-oracled, past the window;
+        #     swept by scripts/check_all.py like the two above) ---
+        "multiway_join_revenue": _q_multiway_join_revenue,
+        "cross_join_nation_types": _q_cross_join_nation_types,
+        "string_agg_sources": _q_string_agg_sources,
+        "histogram_events": _q_histogram_events,
+        "grouping_sets_events": _q_grouping_sets_events,
+        "explode_doc_terms": _q_explode_doc_terms,
+        "canonical_docs": _q_canonical_docs,
+        "kmeans_embeddings": _q_kmeans_embeddings,   # rows-only: pytest
     }
 
 
@@ -2383,6 +2602,76 @@ def oracle_sql() -> dict[str, str]:
             "keep AS (SELECT min(doc_id) AS doc_id FROM good "
             "GROUP BY text) "
             "SELECT g.doc_id, g.n_tokens FROM good g JOIN keep USING (doc_id)"
+        ),
+        # TPC-H Q5 shape: revenue per ASIA nation, local-supplier rule
+        "multiway_join_revenue": (
+            "SELECT n_name, "
+            "CAST(round(sum(l_extendedprice * (1.0 - l_discount))) "
+            "AS BIGINT) AS revenue_usd "
+            "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
+            "JOIN customer ON o_custkey = c_custkey "
+            "JOIN supplier ON l_suppkey = s_suppkey "
+            "JOIN nation ON c_nationkey = n_nationkey "
+            "JOIN region ON n_regionkey = r_regionkey "
+            "WHERE r_name = 'ASIA' AND s_nationkey = c_nationkey "
+            "AND o_orderdate < TIMESTAMP '1998-01-01' "
+            "GROUP BY n_name"
+        ),
+        "cross_join_nation_types": (
+            "SELECT n_name, event_type FROM nation "
+            "CROSS JOIN (SELECT DISTINCT event_type FROM events)"
+        ),
+        "string_agg_sources": (
+            "SELECT lang, count(DISTINCT source) AS n_vals, "
+            "string_agg(DISTINCT source, ',' ORDER BY source) AS sources "
+            "FROM documents GROUP BY lang"
+        ),
+        # fixed-width histogram, edge-clamped, zero buckets included
+        "histogram_events": (
+            "WITH g AS (SELECT unnest(range(20)) AS bucket), "
+            "b AS (SELECT CAST(least(greatest(floor(value / 25.0), 0), 19) "
+            "AS BIGINT) AS bucket FROM events), "
+            "c AS (SELECT bucket, count(*) AS n FROM b GROUP BY bucket) "
+            "SELECT g.bucket, CAST(g.bucket * 2500 AS BIGINT) AS lo_e2, "
+            "CAST((g.bucket + 1) * 2500 AS BIGINT) AS hi_e2, "
+            "coalesce(c.n, 0) AS n FROM g LEFT JOIN c USING (bucket)"
+        ),
+        "grouping_sets_events": (
+            "SELECT event_type, CAST(CAST(ts AS DATE) AS VARCHAR) AS day, "
+            "count(*) AS n_events, "
+            "CAST(round(sum(value) * 100) AS BIGINT) AS sum_value_e2 "
+            "FROM events "
+            "GROUP BY GROUPING SETS ((event_type, day), (day), ())"
+        ),
+        "explode_doc_terms": (
+            "WITH m AS (SELECT doc_id, "
+            "regexp_extract_all(text, '[a-z]{7,}') AS arr FROM documents) "
+            "SELECT doc_id, unnest(arr) AS term, "
+            "generate_subscripts(arr, 1) AS pos FROM m"
+        ),
+        # golden records: same head key / tie-breaks as
+        # analytics.golden_records (min id, longest text then min id,
+        # mode then lexicographic min)
+        "canonical_docs": (
+            "WITH k AS (SELECT doc_id, text, lang, source, "
+            "array_to_string(list_slice(regexp_extract_all(lower(text), "
+            "'[a-z0-9]+'), 1, 4), ' ') AS _k FROM documents), "
+            "g AS (SELECT _k, min(doc_id) AS keep_id, "
+            "count(*) AS n_members FROM k GROUP BY _k), "
+            "rep AS (SELECT _k, doc_id AS rep_id FROM k "
+            "QUALIFY row_number() OVER (PARTITION BY _k "
+            "ORDER BY length(text) DESC, doc_id) = 1), "
+            "lm AS (SELECT _k, lang AS lang_mode FROM "
+            "(SELECT _k, lang, count(*) AS c FROM k GROUP BY _k, lang) "
+            "QUALIFY row_number() OVER (PARTITION BY _k "
+            "ORDER BY c DESC, lang) = 1), "
+            "sm AS (SELECT _k, source AS source_mode FROM "
+            "(SELECT _k, source, count(*) AS c FROM k GROUP BY _k, source) "
+            "QUALIFY row_number() OVER (PARTITION BY _k "
+            "ORDER BY c DESC, source) = 1) "
+            "SELECT keep_id, n_members, rep_id, lang_mode, source_mode "
+            "FROM g JOIN rep USING (_k) JOIN lm USING (_k) "
+            "JOIN sm USING (_k)"
         ),
     }
 

@@ -70,6 +70,12 @@ def canon(df: pd.DataFrame) -> str:
 
 qs = e.queries()
 oracles = e.oracle_sql()
+only = set(sys.argv[1:])         # optional: sweep just the named queries
+if only:
+    unknown = only - set(qs)
+    if unknown:
+        sys.exit(f"unknown queries: {sorted(unknown)}")
+    qs = {k: v for k, v in qs.items() if k in only}
 results = {}
 for name, fn in qs.items():
     t0 = time.time()

@@ -1,0 +1,199 @@
+"""Unit tests for wned_ray.pipelines.analytics (relational batch 2 +
+k-means). The SQL-twinned operators are also swept end-to-end by
+scripts/check_all.py; these tests pin the kernel semantics on small
+constructed inputs where ties and edge cases are explicit."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+
+def test_broadcast_cross_join(ray_session):
+    import ray.data as rd
+
+    from wned_ray.pipelines.analytics import broadcast_cross_join
+
+    ds = rd.from_pandas(pd.DataFrame({"a": [1, 2, 3]}))
+    small = pa.table({"b": ["x", "y"]})
+    got = (broadcast_cross_join(ds, small).to_pandas()
+           .sort_values(["a", "b"]).reset_index(drop=True))
+    assert len(got) == 6
+    assert got["a"].tolist() == [1, 1, 2, 2, 3, 3]
+    assert got["b"].tolist() == ["x", "y"] * 3
+
+
+def test_string_agg_by_key_distinct_and_sorted(ray_session):
+    import ray.data as rd
+
+    from wned_ray.pipelines.analytics import string_agg_by_key
+
+    df = pd.DataFrame({"k": ["a", "a", "a", "b", "b"],
+                       "v": ["z", "m", "z", "q", "q"]})   # dups collapse
+    got = (string_agg_by_key(rd.from_pandas(df), "k", "v", sep="|",
+                             out_col="vals")
+           .to_pandas().sort_values("k").reset_index(drop=True))
+    assert got["vals"].tolist() == ["m|z", "q"]
+    assert got["n_vals"].tolist() == [2, 1]
+
+
+def test_histogram_fixed_clamps_and_zero_buckets(ray_session):
+    import ray.data as rd
+
+    from wned_ray.pipelines.analytics import histogram_fixed
+
+    # -5 clamps into bucket 0; 99 and 1e9 clamp into the top bucket;
+    # bucket 2 stays empty but must still be emitted with n=0
+    df = pd.DataFrame({"x": [-5.0, 0.0, 9.9, 10.0, 35.0, 99.0, 1e9]})
+    got = (histogram_fixed(rd.from_pandas(df), "x", lo=0.0, hi=40.0,
+                           nbins=4).to_pandas()
+           .sort_values("bucket").reset_index(drop=True))
+    assert got["bucket"].tolist() == [0, 1, 2, 3]
+    assert got["n"].tolist() == [3, 1, 0, 3]
+    assert got["lo_e2"].tolist() == [0, 1000, 2000, 3000]
+    assert got["hi_e2"].tolist() == [1000, 2000, 3000, 4000]
+
+
+def test_explode_matches_positions(ray_session):
+    import ray.data as rd
+
+    from wned_ray.pipelines.analytics import explode_matches
+
+    df = pd.DataFrame({"id": [1, 2, 3],
+                       "t": ["aa bb aa", "cc", "no match here x"]})
+    got = (explode_matches(rd.from_pandas(df), "id", "t", r"[a-c]{2}",
+                           out_col="m")
+           .to_pandas().sort_values(["id", "pos"]).reset_index(drop=True))
+    assert got[["id", "m", "pos"]].values.tolist() == [
+        [1, "aa", 1], [1, "bb", 2], [1, "aa", 3], [2, "cc", 1]]
+
+
+def test_grouping_sets_matches_duckdb(ray_session):
+    import duckdb
+    import ray.data as rd
+
+    from wned_ray.pipelines.datawork import grouping_sets_aggregate
+
+    rng = np.random.default_rng(5)
+    df = pd.DataFrame({
+        "a": rng.choice(["x", "y", "z"], 500),
+        "b": rng.integers(0, 5, 500),
+        "value": rng.normal(size=500).round(2),
+    })
+    # neither a rollup nor a cube: includes (b) but not (a)
+    out = grouping_sets_aggregate(
+        rd.from_pandas(df), keys=["a", "b"],
+        sets=[("a", "b"), ("b",), ()]).to_pandas()
+    out["sum_value"] = out["sum_value"].round(4)
+    out = (out.sort_values(["a", "b"], na_position="first")
+           .reset_index(drop=True))
+    want = duckdb.connect().execute(
+        "SELECT a, b, count(*) AS n_events, round(sum(value), 4) AS "
+        "sum_value FROM df GROUP BY GROUPING SETS ((a, b), (b), ()) "
+        "ORDER BY a NULLS FIRST, b NULLS FIRST").fetch_df()
+    assert len(out) == len(want)
+    assert out["n_events"].tolist() == want["n_events"].tolist()
+    assert np.allclose(out["sum_value"], want["sum_value"])
+    assert (out["a"].isna() == want["a"].isna()).all()
+    assert (out["b"].isna() == want["b"].isna()).all()
+
+    with pytest.raises(ValueError):
+        grouping_sets_aggregate(rd.from_pandas(df), keys=["a"],
+                                sets=[("nope",)])
+
+
+def test_golden_records_tie_breaks(ray_session):
+    import ray.data as rd
+
+    from wned_ray.pipelines.analytics import golden_records
+
+    # one head-key group: ids 10/11/12 share the first 4 tokens.
+    # longest text ties between 11 and 12 -> min id 11 wins;
+    # lang mode ties de/en 1:1... make it 2:1; source ties s1/s2 -> s1
+    df = pd.DataFrame({
+        "doc_id": np.array([12, 10, 11, 99], np.int64),
+        "text": ["alpha beta gamma delta XX", "alpha beta gamma delta",
+                 "alpha beta gamma delta YY", "other words entirely here"],
+        "lang": ["en", "en", "de", "fr"],
+        "source": ["s2", "s1", "s1", "s9"],
+    })
+    got = (golden_records(rd.from_pandas(df)).to_pandas()
+           .sort_values("keep_id").reset_index(drop=True))
+    assert len(got) == 2
+    g = got.iloc[0]
+    assert g["keep_id"] == 10 and g["n_members"] == 3
+    assert g["rep_id"] == 11                    # longest-text tie: min id
+    assert g["lang_mode"] == "en"               # 2:1 majority
+    assert g["source_mode"] == "s1"             # 2:1 majority
+    assert got.iloc[1]["keep_id"] == 99
+
+
+def _ref_kmeans(ids, X, k, n_iter, seed):
+    """Single-process reference Lloyd's with the SAME seeded-md5 init."""
+    import hashlib
+
+    h = np.array([int.from_bytes(
+        hashlib.md5(f"{seed}:{v}".encode()).digest()[:8], "big")
+        for v in ids], np.uint64) >> np.uint64(1)
+    cent = X[np.argsort(h.astype(np.int64))[:k]].astype(np.float64).copy()
+    for _ in range(n_iter):
+        d = ((X[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+        a = d.argmin(axis=1)
+        for c in range(k):
+            if (a == c).any():
+                cent[c] = X[a == c].mean(axis=0)
+    d = ((X[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+    return d.argmin(axis=1), cent
+
+
+def test_kmeans_matches_reference(ray_session):
+    import ray.data as rd
+
+    from wned_ray.pipelines.analytics import kmeans
+
+    rng = np.random.default_rng(11)
+    k, dim, n = 4, 8, 400
+    # well-separated blobs so no point sits on a boundary
+    centers = rng.normal(scale=10.0, size=(k, dim))
+    X = (centers[rng.integers(0, k, n)]
+         + rng.normal(scale=0.5, size=(n, dim))).astype(np.float64)
+    ids = np.arange(n, dtype=np.int64)
+    tbl = pa.table({
+        "vec_id": pa.array(ids),
+        "embedding": pa.array(list(X), pa.list_(pa.float64())),
+    })
+    assign_ds, cent = kmeans(rd.from_arrow(tbl).repartition(5),
+                             id_col="vec_id", vec_col="embedding",
+                             k=k, n_iter=4, seed=3)
+    got = (assign_ds.to_pandas().sort_values("vec_id")
+           .reset_index(drop=True))
+    ref_a, ref_c = _ref_kmeans(ids, X, k, 4, 3)
+    assert np.allclose(cent, ref_c, atol=1e-8)
+    assert got["cluster"].to_numpy().tolist() == ref_a.tolist()
+    # dist column is the euclidean distance to the assigned centroid
+    d0 = np.sqrt(((X[0] - cent[ref_a[0]]) ** 2).sum())
+    assert abs(got["dist_e6"].iloc[0] - round(d0 * 1e6)) <= 1
+
+
+def test_kmeans_deterministic_across_runs(ray_session):
+    import ray.data as rd
+
+    from wned_ray.pipelines.analytics import kmeans
+
+    rng = np.random.default_rng(2)
+    X = rng.normal(size=(120, 6))
+    tbl = pa.table({
+        "vec_id": pa.array(np.arange(120, dtype=np.int64)),
+        "embedding": pa.array(list(X), pa.list_(pa.float64())),
+    })
+    runs = []
+    for _ in range(2):
+        a, c = kmeans(rd.from_arrow(tbl).repartition(3),
+                      id_col="vec_id", vec_col="embedding",
+                      k=3, n_iter=3, seed=9)
+        runs.append((a.to_pandas().sort_values("vec_id")["cluster"]
+                     .tolist(), c))
+    assert runs[0][0] == runs[1][0]
+    assert np.array_equal(runs[0][1], runs[1][1])

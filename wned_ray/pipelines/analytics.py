@@ -1,0 +1,297 @@
+"""Relational / analytical operators composed Ray-Data-first.
+
+Second toolkit module beside ``datawork`` (which holds the dedup / ANN /
+text-analysis family): the operators here are the remaining relational
+shapes a warehouse-style user expects from the engine —
+
+- broadcast cross join    : cartesian with a broadcast small side (the
+                            only sane cross-join shape at scale: the big
+                            side streams, the small side ships once)
+- grouped string agg      : ANSI ``string_agg(DISTINCT v, sep ORDER BY
+                            v)`` — distinct pairs first (one shuffle over
+                            |distinct| rows), concat per dim-sized group
+- fixed-width histogram   : per-batch ``np.bincount`` combiner, one
+                            bucket-count shuffle (nbins rows per batch)
+- regex explode           : findall -> one output row per match with its
+                            per-document match position (``unnest`` +
+                            ``generate_subscripts`` in SQL terms)
+- golden records          : per blocking-key group pick the canonical
+                            row (min id, longest text, per-attribute
+                            mode) — the classic ER "survivorship" step
+- k-means (Lloyd's)       : broadcast centroids, per-batch partial sums,
+                            driver-side k x dim update — the standard
+                            scalable clustering loop for embedding
+                            columns
+
+All functions take/return ``ray.data.Dataset`` and never call
+``ray.init()``. Rounding-to-int conventions for oracle-hashability match
+``__ray_entry__`` (whole-unit or e-scaled int64).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+
+def broadcast_cross_join(ds, small: pa.Table):
+    """CROSS JOIN with a broadcast small side: every input row paired
+    with every row of ``small``. The big side streams through
+    ``map_batches``; the small side is ``ray.put`` once and read
+    zero-copy by every task — no shuffle, no driver loop.
+
+    Partitioning assumption: ``small`` is dim-sized (its rows multiply
+    the output — at 100 TB the big side stays the streaming side)."""
+    import ray
+
+    small = small.combine_chunks()
+    ref = ray.put(small)
+
+    class Cross:
+        def __init__(self):
+            self.small = ray.get(ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            n, m = batch.num_rows, self.small.num_rows
+            left = batch.take(pa.array(np.repeat(np.arange(n), m)))
+            right = self.small.take(pa.array(np.tile(np.arange(m), n)))
+            cols = {c: left[c] for c in left.column_names}
+            for c in right.column_names:
+                cols[c] = right[c]
+            return pa.table(cols)
+
+    return ds.map_batches(Cross, batch_format="pyarrow", concurrency=2)
+
+
+def string_agg_by_key(ds, key_col: str, val_col: str, sep: str = ",",
+                      out_col: str = "agg"):
+    """Grouped ``string_agg(DISTINCT val, sep ORDER BY val)`` — the list
+    /string aggregation reducer.
+
+    Scale shape: distinct (key, val) pairs first (ONE hash shuffle that
+    moves |distinct pairs| rows, with Ray's groupby doing the combine),
+    then the per-key sorted concat runs over dim-sized groups. The
+    concat group is |distinct vals per key| — bounded by the value
+    vocabulary, not by input rows."""
+    pairs = (ds.select_columns([key_col, val_col])
+             .groupby([key_col, val_col]).count()
+             .select_columns([key_col, val_col]))
+
+    def concat(g: pd.DataFrame) -> pd.DataFrame:
+        vals = sorted(g[val_col].astype(str).tolist())
+        return pd.DataFrame({key_col: [g[key_col].iloc[0]],
+                             "n_vals": np.array([len(vals)], np.int64),
+                             out_col: [sep.join(vals)]})
+
+    return pairs.groupby(key_col).map_groups(concat, batch_format="pandas")
+
+
+def histogram_fixed(ds, col: str, lo: float, hi: float, nbins: int):
+    """Fixed-width histogram over ``[lo, hi)`` with edge-clamped
+    overflow bins (ANSI ``least(greatest(floor((x-lo)/w),0),nbins-1)``).
+
+    Scale shape: per-batch ``np.bincount`` combiner emits nbins partial
+    rows per batch; the only exchange is a groupby-sum over
+    |batches| x nbins partials. Emits every bucket, zero counts
+    included, with e2-scaled int64 edges (hash-stable)."""
+    width = (hi - lo) / nbins
+
+    def partial(batch: pa.Table) -> pa.Table:
+        x = batch[col].to_numpy(zero_copy_only=False).astype(np.float64)
+        idx = np.clip(np.floor((x - lo) / width), 0, nbins - 1)
+        cnt = np.bincount(idx.astype(np.int64), minlength=nbins)
+        return pa.table({
+            "bucket": pa.array(np.arange(nbins, dtype=np.int64)),
+            "_n": pa.array(cnt.astype(np.int64)),
+        })
+
+    from ray.data.aggregate import Sum
+
+    agg = (ds.select_columns([col])
+           .map_batches(partial, batch_format="pyarrow")
+           .groupby("bucket")
+           .aggregate(Sum("_n", alias_name="n")))
+
+    def edges(batch: pa.Table) -> pa.Table:
+        b = batch["bucket"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "bucket": batch["bucket"],
+            "lo_e2": pa.array(np.round((lo + b * width) * 100)
+                              .astype(np.int64)),
+            "hi_e2": pa.array(np.round((lo + (b + 1) * width) * 100)
+                              .astype(np.int64)),
+            "n": batch["n"],
+        })
+
+    return agg.map_batches(edges, batch_format="pyarrow")
+
+
+def explode_matches(ds, id_col: str, text_col: str, pattern: str,
+                    out_col: str = "term"):
+    """Regex findall -> one row per match with its 1-based per-document
+    position (SQL ``unnest(regexp_extract_all(..)) +
+    generate_subscripts``). The flatten is Arrow-native: list offsets
+    give both the parent row and the in-list position, no Python loop
+    over matches."""
+    import re
+
+    rx = re.compile(pattern)
+
+    def f(batch: pa.Table) -> pa.Table:
+        texts = batch[text_col].to_pandas()
+        lists = pa.array(texts.map(rx.findall), pa.list_(pa.string()))
+        counts = pc.list_value_length(lists).to_numpy(zero_copy_only=False)
+        total = int(counts.sum())
+        # in-list position: global arange minus each row's start offset
+        starts = np.repeat(np.cumsum(counts) - counts, counts)
+        pos = np.arange(total, dtype=np.int64) - starts + 1
+        parents = pc.list_parent_indices(lists)
+        return pa.table({
+            id_col: batch[id_col].take(parents),
+            out_col: pc.list_flatten(lists),
+            "pos": pa.array(pos),
+        })
+
+    return ds.select_columns([id_col, text_col]).map_batches(
+        f, batch_format="pyarrow")
+
+
+_TOKEN_RE = r"[a-z0-9]+"
+
+
+def head_key(texts: pd.Series, n_tokens: int = 4) -> pd.Series:
+    """Blocking key for survivorship: first ``n_tokens`` lowercase
+    alphanumeric tokens joined by single spaces (the same key the SQL
+    twin builds with ``regexp_extract_all`` + ``list_slice``)."""
+    import re
+
+    rx = re.compile(_TOKEN_RE)
+    return texts.str.lower().map(lambda t: " ".join(rx.findall(t)[:n_tokens]))
+
+
+def golden_records(ds, id_col: str = "doc_id", text_col: str = "text",
+                   attr_cols: tuple = ("lang", "source"),
+                   n_tokens: int = 4):
+    """ER survivorship: group rows by a blocking head key and elect one
+    canonical ("golden") record per group — min id as the keep id, the
+    longest text (min-id tie-break) as the representative, and the mode
+    (lexicographic-min tie-break) of each attribute. The reference's
+    linkage produces clusters; this is the standard step a user runs on
+    them afterward, expressed over the dup-blocking key so it is
+    SQL-oracle-checkable.
+
+    Scale shape: ONE hash shuffle by head key; each group is a dup
+    block (bounded by duplication factor, not corpus size)."""
+    cols = [id_col, text_col, *attr_cols]
+
+    def key(batch: pa.Table) -> pa.Table:
+        texts = batch[text_col].to_pandas()
+        t = batch.append_column("_k", pa.array(head_key(texts, n_tokens)))
+        return t
+
+    def elect(g: pd.DataFrame) -> pd.DataFrame:
+        lens = g[text_col].str.len()
+        rep = g.loc[lens.eq(lens.max())].sort_values(id_col).iloc[0]
+        row = {
+            "keep_id": np.array([g[id_col].min()], np.int64),
+            "n_members": np.array([len(g)], np.int64),
+            "rep_id": np.array([rep[id_col]], np.int64),
+        }
+        for a in attr_cols:
+            vc = g[a].value_counts()
+            top = vc[vc.eq(vc.max())].index.min()
+            row[f"{a}_mode"] = [top]
+        return pd.DataFrame(row)
+
+    return (ds.select_columns(cols)
+            .map_batches(key, batch_format="pyarrow")
+            .groupby("_k").map_groups(elect, batch_format="pandas"))
+
+
+def kmeans(ds, id_col: str = "vec_id", vec_col: str = "embedding",
+           k: int = 8, n_iter: int = 5, seed: int = 7):
+    """Distributed Lloyd's k-means over an embedding column.
+
+    Deterministic init: the k vectors whose md5(seed || id) is smallest
+    (a seeded uniform draw, same trick as ``hash_sample``). Each
+    iteration: centroids broadcast via ``ray.put``; ``map_batches``
+    assigns each vector to its nearest centroid (one numpy matmul per
+    batch) and emits k partial rows (sum vector + count); the driver
+    reduces |batches| x k partials to the new k x dim centroids. Driver
+    state is k x dim floats — bounded, never data-sized.
+
+    Returns ``(assignments_ds, centroids)``: a Dataset of (id, cluster,
+    dist_e6) and the final centroid matrix."""
+    import ray
+
+    from wned_ray.pipelines.datawork import _md5_hashes64
+
+    # --- seeded init: distributed top-k by hash (k rows to the driver).
+    # int63 mask (>>1) so the sort key survives the int64 cast — the
+    # same shuffle-safety rule every hash key in datawork follows.
+    def cand(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        h = (_md5_hashes64(f"{seed}:{v}" for v in ids)
+             >> np.uint64(1)).astype(np.int64)
+        order = np.argsort(h)[:k]
+        return pa.table({id_col: pa.array(ids[order]),
+                         "_h": pa.array(h[order]),
+                         vec_col: batch[vec_col].take(pa.array(order))})
+
+    top = (ds.map_batches(cand, batch_format="pyarrow")
+           .sort("_h").limit(k).take_all())              # k rows, bounded
+    centroids = np.array([r[vec_col] for r in top], np.float64)
+
+    def _iter_stage(cent: np.ndarray, emit_assign: bool):
+        ref = ray.put(cent)
+
+        class Assign:
+            def __init__(self):
+                self.c = ray.get(ref)                    # k x dim
+                self.c_sq = (self.c ** 2).sum(axis=1)
+
+            def __call__(self, batch: pa.Table) -> pa.Table:
+                ids = batch[id_col].to_numpy(zero_copy_only=False)
+                x = np.asarray(batch[vec_col].combine_chunks()
+                               .flatten().to_numpy(zero_copy_only=False)
+                               .reshape(len(ids), -1), np.float64)
+                # squared distance via the expanded form; one matmul
+                d = (x ** 2).sum(axis=1)[:, None] - 2.0 * (x @ self.c.T) \
+                    + self.c_sq[None, :]
+                a = d.argmin(axis=1)
+                if emit_assign:
+                    return pa.table({
+                        id_col: batch[id_col],
+                        "cluster": pa.array(a.astype(np.int64)),
+                        "dist_e6": pa.array(np.round(np.sqrt(
+                            np.maximum(d[np.arange(len(a)), a], 0.0))
+                            * 1e6).astype(np.int64)),
+                    })
+                kk, dim = self.c.shape
+                sums = np.zeros((kk, dim), np.float64)
+                np.add.at(sums, a, x)
+                cnt = np.bincount(a, minlength=kk).astype(np.int64)
+                return pa.table({
+                    "cluster": pa.array(np.arange(kk, dtype=np.int64)),
+                    "_sum": pa.array(list(sums),
+                                     pa.list_(pa.float64())),
+                    "_cnt": pa.array(cnt),
+                })
+
+        return ds.select_columns([id_col, vec_col]).map_batches(
+            Assign, batch_format="pyarrow", concurrency=2)
+
+    for _ in range(n_iter):
+        parts = _iter_stage(centroids, emit_assign=False).take_all()
+        sums = np.zeros_like(centroids)
+        cnts = np.zeros(k, np.int64)
+        for r in parts:                    # |batches| x k rows, bounded
+            sums[r["cluster"]] += np.asarray(r["_sum"])
+            cnts[r["cluster"]] += r["_cnt"]
+        nonzero = cnts > 0
+        centroids[nonzero] = sums[nonzero] / cnts[nonzero, None]
+        # empty clusters keep their previous centroid (standard Lloyd's)
+
+    return _iter_stage(centroids, emit_assign=True), centroids

@@ -1312,21 +1312,34 @@ def range_join_count(left_ds, right_ds, key_col: str, ts_col: str,
     return u.groupby(key_col).map_groups(sweep, batch_format="pandas")
 
 
-def rollup_aggregate(ds, keys: list, val_col: str = "value"):
-    """GROUP BY ROLLUP(k1, k2, ...): count + sum(val) at every prefix
-    level, rolled-up key columns emitted as NULL (ANSI semantics).
+def grouping_sets_aggregate(ds, keys: list, sets: list,
+                            val_col: str = "value"):
+    """GROUP BY GROUPING SETS: count + sum(val_col) at each requested
+    key subset, non-grouped key columns emitted as NULL (ANSI
+    semantics). ``keys`` is the full ordered output key list; each
+    entry of ``sets`` is an iterable subset of it (``()`` = the grand
+    total). ROLLUP and CUBE are the prefix / power-set specializations
+    (``rollup_aggregate`` / ``cube_aggregate`` delegate here).
 
-    Scale shape: the events table is shuffled ONCE, at the finest grain
-    (with a per-batch Arrow combiner, so the exchange moves |distinct
-    finest keys| partials); every coarser level re-aggregates the
-    FINEST RESULT — a dim-sized table — never a second pass over the
-    input. The grand-total level is a single global aggregate over the
-    finest result."""
-    from ray.data.aggregate import Count, Sum
+    Scale shape: the input is shuffled ONCE, at the finest grain over
+    the full key set (with a per-batch Arrow combiner, so the exchange
+    moves |distinct finest keys| partials); every requested set
+    re-aggregates the FINEST RESULT — a dim-sized table — never a
+    second pass over the input. The grand-total set is a single global
+    aggregate over the finest result."""
+    import ray.data as rd
+
+    from ray.data.aggregate import Sum
+
+    keys = list(keys)
+    sets = [tuple(s) for s in sets]
+    for s in sets:
+        if not set(s) <= set(keys):
+            raise ValueError(f"grouping set {s!r} not a subset of {keys}")
 
     def partial(batch: pa.Table) -> pa.Table:
-        t = batch.select(list(keys) + [val_col])
-        g = t.group_by(list(keys)).aggregate(
+        t = batch.select(keys + [val_col])
+        g = t.group_by(keys).aggregate(
             [(val_col, "sum"),
              (val_col, "count", pc.CountOptions(mode="all"))])
         cols = {k: g[k] for k in keys}
@@ -1334,17 +1347,15 @@ def rollup_aggregate(ds, keys: list, val_col: str = "value"):
         cols["_pcnt"] = pc.cast(g[f"{val_col}_count"], pa.int64())
         return pa.table(cols)
 
-    finest = (ds.select_columns(list(keys) + [val_col])
+    finest = (ds.select_columns(keys + [val_col])
               .map_batches(partial, batch_format="pyarrow")
-              .groupby(list(keys))
+              .groupby(keys)
               .aggregate(Sum("_pcnt", alias_name="n_events"),
                          Sum("_psum", alias_name="sum_value"))
-              .materialize())                 # consumed once per level
+              .materialize())                 # consumed once per set
     if finest.count() == 0:
         # empty input: no groups at any level -> empty typed table (key
         # types from the input schema; sum type follows Ray's Sum rule)
-        import ray.data as rd
-
         sch = ds.schema()
         base = sch.base_schema
 
@@ -1364,127 +1375,81 @@ def rollup_aggregate(ds, keys: list, val_col: str = "value"):
             "sum_value": pa.nulls(0, sum_t),
         })
         return rd.from_arrow(empty)
+
     key_types = {f.name: f.type for f in finest.schema().base_schema
                  if f.name in keys}
+    val_types = {f.name: f.type for f in finest.schema().base_schema
+                 if f.name in ("n_events", "sum_value")}
 
     def _align(level_keys):
-        """Pad a level's table to the full key set with typed nulls."""
+        """Pad a set's table to the full key list with typed nulls."""
+        lk = set(level_keys)
+
         def f(batch: pa.Table) -> pa.Table:
             cols = {}
             for k in keys:
-                cols[k] = (batch[k] if k in level_keys
+                cols[k] = (batch[k] if k in lk
                            else pa.nulls(batch.num_rows, key_types[k]))
             cols["n_events"] = batch["n_events"]
             cols["sum_value"] = batch["sum_value"]
             return pa.table(cols)
         return f
 
-    levels = [finest.map_batches(_align(keys), batch_format="pyarrow")]
-    for i in range(len(keys) - 1, 0, -1):
-        sub = keys[:i]
-        lvl = (finest.groupby(list(sub))
-               .aggregate(Sum("n_events", alias_name="n_events"),
-                          Sum("sum_value", alias_name="sum_value")))
-        levels.append(lvl.map_batches(_align(sub), batch_format="pyarrow"))
-
-    import ray.data as rd
-
-    # Grand-total row typed from finest's schema (Sum of an int val_col
-    # is int64; hardcoding float64 here made the union mixed-schema).
-    val_types = {f.name: f.type for f in finest.schema().base_schema
-                 if f.name in ("n_events", "sum_value")}
-    totals = finest.aggregate(Sum("n_events", alias_name="n_events"),
-                              Sum("sum_value", alias_name="sum_value"))
-    if totals is None or totals.get("n_events") is None:
-        # empty input: no finest groups -> emit the empty typed table
-        # the levels already produce, with no grand row built from nulls
-        out = levels[0]
-        for lvl in levels[1:]:
-            out = out.union(lvl)
-        return out
-    grand = pa.table({
-        **{k: pa.nulls(1, key_types[k]) for k in keys},
-        "n_events": pa.array([totals["n_events"]], val_types["n_events"]),
-        "sum_value": pa.array([totals["sum_value"]], val_types["sum_value"]),
-    })
-    levels.append(rd.from_arrow(grand))
+    levels = []
+    for s in sets:
+        if len(s) == len(keys):
+            levels.append(finest.map_batches(_align(s),
+                                             batch_format="pyarrow"))
+        elif s:
+            lvl = (finest.groupby(list(s))
+                   .aggregate(Sum("n_events", alias_name="n_events"),
+                              Sum("sum_value", alias_name="sum_value")))
+            levels.append(lvl.map_batches(_align(s),
+                                          batch_format="pyarrow"))
+        else:
+            # Grand-total row typed from finest's schema (Sum of an int
+            # val_col is int64; a hardcoded float64 here would make the
+            # union mixed-schema).
+            totals = finest.aggregate(
+                Sum("n_events", alias_name="n_events"),
+                Sum("sum_value", alias_name="sum_value"))
+            if totals is None or totals.get("n_events") is None:
+                continue
+            grand = pa.table({
+                **{k: pa.nulls(1, key_types[k]) for k in keys},
+                "n_events": pa.array([totals["n_events"]],
+                                     val_types["n_events"]),
+                "sum_value": pa.array([totals["sum_value"]],
+                                      val_types["sum_value"]),
+            })
+            levels.append(rd.from_arrow(grand))
 
     out = levels[0]
     for lvl in levels[1:]:
         out = out.union(lvl)
     return out
+
+
+def rollup_aggregate(ds, keys: list, val_col: str = "value"):
+    """GROUP BY ROLLUP(k1, k2, ...): every prefix level plus the grand
+    total — the prefix specialization of ``grouping_sets_aggregate``
+    (one finest-grain shuffle, dim-sized re-aggregation per level)."""
+    sets = [tuple(keys[:i]) for i in range(len(keys), -1, -1)]
+    return grouping_sets_aggregate(ds, keys, sets, val_col)
 
 
 def cube_aggregate(ds, keys: list, val_col: str = "value"):
-    """GROUP BY CUBE(k1, k2, ...): count + sum(val) at EVERY subset of
-    the key set (ANSI semantics, rolled-up keys emitted as NULL).
-
-    Same scale shape as ``rollup_aggregate``: the input is shuffled ONCE
-    at the finest grain with a per-batch Arrow combiner; every coarser
-    subset re-aggregates the FINEST RESULT (dim-sized), never the input.
-    2^len(keys) levels — keys lists are short by construction."""
+    """GROUP BY CUBE(k1, k2, ...): EVERY subset of the key set — the
+    power-set specialization of ``grouping_sets_aggregate`` (one
+    finest-grain shuffle; 2^len(keys) dim-sized re-aggregations — key
+    lists are short by construction)."""
     import itertools
 
-    from ray.data.aggregate import Sum
-
-    def partial(batch: pa.Table) -> pa.Table:
-        t = batch.select(list(keys) + [val_col])
-        g = t.group_by(list(keys)).aggregate(
-            [(val_col, "sum"),
-             (val_col, "count", pc.CountOptions(mode="all"))])
-        cols = {k: g[k] for k in keys}
-        cols["_psum"] = g[f"{val_col}_sum"]
-        cols["_pcnt"] = pc.cast(g[f"{val_col}_count"], pa.int64())
-        return pa.table(cols)
-
-    finest = (ds.select_columns(list(keys) + [val_col])
-              .map_batches(partial, batch_format="pyarrow")
-              .groupby(list(keys))
-              .aggregate(Sum("_pcnt", alias_name="n_events"),
-                         Sum("_psum", alias_name="sum_value"))
-              .materialize())
-    if finest.count() == 0:
-        # reuse rollup's empty-input shape (same output schema)
-        return rollup_aggregate(ds, keys, val_col)
-    key_types = {f.name: f.type for f in finest.schema().base_schema
-                 if f.name in keys}
-    val_types = {f.name: f.type for f in finest.schema().base_schema
-                 if f.name in ("n_events", "sum_value")}
-
-    def _align(level_keys):
-        def f(batch: pa.Table) -> pa.Table:
-            cols = {}
-            for k in keys:
-                cols[k] = (batch[k] if k in level_keys
-                           else pa.nulls(batch.num_rows, key_types[k]))
-            cols["n_events"] = batch["n_events"]
-            cols["sum_value"] = batch["sum_value"]
-            return pa.table(cols)
-        return f
-
-    import ray.data as rd
-    from ray.data.aggregate import Sum as _Sum
-
-    levels = [finest.map_batches(_align(set(keys)), batch_format="pyarrow")]
+    sets = [tuple(keys)]
     for r in range(len(keys) - 1, 0, -1):
-        for sub in itertools.combinations(keys, r):
-            lvl = (finest.groupby(list(sub))
-                   .aggregate(_Sum("n_events", alias_name="n_events"),
-                              _Sum("sum_value", alias_name="sum_value")))
-            levels.append(lvl.map_batches(_align(set(sub)),
-                                          batch_format="pyarrow"))
-    totals = finest.aggregate(_Sum("n_events", alias_name="n_events"),
-                              _Sum("sum_value", alias_name="sum_value"))
-    grand = pa.table({
-        **{k: pa.nulls(1, key_types[k]) for k in keys},
-        "n_events": pa.array([totals["n_events"]], val_types["n_events"]),
-        "sum_value": pa.array([totals["sum_value"]], val_types["sum_value"]),
-    })
-    levels.append(rd.from_arrow(grand))
-    out = levels[0]
-    for lvl in levels[1:]:
-        out = out.union(lvl)
-    return out
+        sets.extend(itertools.combinations(keys, r))
+    sets.append(())
+    return grouping_sets_aggregate(ds, keys, sets, val_col)
 
 
 def pivot_counts(ds, key_col: str, pivot_col: str, values: list):
