@@ -197,3 +197,63 @@ def test_kmeans_deterministic_across_runs(ray_session):
                      .tolist(), c))
     assert runs[0][0] == runs[1][0]
     assert np.array_equal(runs[0][1], runs[1][1])
+
+
+def test_funnel_strict_ordering(ray_session):
+    import ray.data as rd
+
+    from wned_ray.pipelines.analytics import funnel_counts
+
+    t0 = pd.Timestamp("2024-01-01")
+    h = pd.Timedelta(hours=1)
+    rows = []
+    # u1 completes all 3 in order; u2 clicks BEFORE viewing (click must
+    # not count, and the later purchase needs a post-view click -> depth
+    # stops at 1); u3 views only; u4 has no funnel events at all
+    for u, seq in [(1, [("view", 0), ("click", 1), ("purchase", 2)]),
+                   (2, [("click", 0), ("view", 1), ("purchase", 2)]),
+                   (3, [("view", 0)]),
+                   (4, [("error", 0)])]:
+        rows += [{"user_id": u, "event_type": e, "ts": t0 + i * h}
+                 for e, i in seq]
+    got = (funnel_counts(rd.from_pandas(pd.DataFrame(rows)),
+                         steps=["view", "click", "purchase"])
+           .to_pandas().sort_values("step").reset_index(drop=True))
+    assert got["event_type"].tolist() == ["view", "click", "purchase"]
+    assert got["n_users"].tolist() == [3, 1, 1]
+
+
+def test_funnel_same_timestamp_not_after(ray_session):
+    import ray.data as rd
+
+    from wned_ray.pipelines.analytics import funnel_counts
+
+    t0 = pd.Timestamp("2024-01-01")
+    df = pd.DataFrame([
+        {"user_id": 1, "event_type": "view", "ts": t0},
+        {"user_id": 1, "event_type": "click", "ts": t0},   # ties: not after
+    ])
+    got = (funnel_counts(rd.from_pandas(df), steps=["view", "click"])
+           .to_pandas().sort_values("step"))
+    assert got["n_users"].tolist() == [1, 0]
+
+
+def test_cohort_retention_week_offsets(ray_session):
+    import ray.data as rd
+
+    from wned_ray.pipelines.analytics import cohort_retention
+
+    # 2024-01-03 is a Wednesday -> cohort week starts Monday 2024-01-01.
+    # u1: first event Wed, active again 6 days later (offset 0) and 7
+    # days later (offset 1). u2: first event the NEXT Monday.
+    df = pd.DataFrame([
+        {"user_id": 1, "ts": pd.Timestamp("2024-01-03 10:00")},
+        {"user_id": 1, "ts": pd.Timestamp("2024-01-09 09:00")},  # +6d
+        {"user_id": 1, "ts": pd.Timestamp("2024-01-10 23:00")},  # +7d
+        {"user_id": 2, "ts": pd.Timestamp("2024-01-08 00:00")},
+    ])
+    got = (cohort_retention(rd.from_pandas(df)).to_pandas()
+           .sort_values(["cohort_week", "week_offset"])
+           .reset_index(drop=True))
+    assert got.values.tolist() == [
+        ["2024-01-01", 0, 1], ["2024-01-01", 1, 1], ["2024-01-08", 0, 1]]

@@ -295,3 +295,117 @@ def kmeans(ds, id_col: str = "vec_id", vec_col: str = "embedding",
         # empty clusters keep their previous centroid (standard Lloyd's)
 
     return _iter_stage(centroids, emit_assign=True), centroids
+
+
+def funnel_counts(ds, steps: list, user_col: str = "user_id",
+                  ts_col: str = "ts", type_col: str = "event_type"):
+    """Ordered funnel: how many users completed step 1, then step 2
+    STRICTLY AFTER their step-1 time, and so on (the greedy earliest-
+    completion semantics every funnel product uses). Emits one row per
+    step: (step, event_type, n_users) with n_users non-increasing.
+
+    Scale shape: the read is pre-filtered to the step types; ONE hash
+    shuffle by user; the per-user greedy scan is a few numpy masks over
+    that user's events (bounded by per-user activity, the same unit as
+    sessionize); the depth histogram that leaves the shuffle is
+    |steps|-sized."""
+    from ray.data.aggregate import Sum
+
+    step_list = list(steps)
+    step_idx = {s: i for i, s in enumerate(step_list)}
+
+    def keep(batch: pa.Table) -> pa.Table:
+        m = pc.is_in(batch[type_col],
+                     value_set=pa.array(step_list, pa.string()))
+        t = batch.filter(m)
+        return pa.table({
+            user_col: t[user_col],
+            "_ts": pc.cast(t[ts_col], pa.int64()),
+            "_step": pc.cast(pc.index_in(
+                t[type_col], value_set=pa.array(step_list, pa.string())),
+                pa.int8()),
+        })
+
+    def depth(g: pd.DataFrame) -> pd.DataFrame:
+        ts = g["_ts"].to_numpy()
+        st = g["_step"].to_numpy()
+        t = -np.inf
+        d = 0
+        for i in range(len(step_list)):       # |steps| iterations, tiny
+            cand = ts[(st == i) & (ts > t)]
+            if len(cand) == 0:
+                break
+            t = cand.min()
+            d += 1
+        onehot = (np.arange(1, len(step_list) + 1) <= d).astype(np.int64)
+        return pd.DataFrame({"step": np.arange(1, len(step_list) + 1,
+                                               dtype=np.int64),
+                             "_n": onehot})
+
+    agg = (ds.select_columns([user_col, ts_col, type_col])
+           .map_batches(keep, batch_format="pyarrow")
+           .groupby(user_col).map_groups(depth, batch_format="pandas")
+           .groupby("step").aggregate(Sum("_n", alias_name="n_users")))
+
+    names = pa.array(step_list)
+
+    def label(batch: pa.Table) -> pa.Table:
+        idx = pc.subtract(batch["step"], pa.scalar(1, pa.int64()))
+        return pa.table({"step": batch["step"],
+                         "event_type": names.take(idx),
+                         "n_users": batch["n_users"]})
+
+    return agg.map_batches(label, batch_format="pyarrow")
+
+
+_EPOCH_MON_SHIFT = 3   # 1970-01-01 was a Thursday; Monday-start weeks
+
+
+def cohort_retention(ds, user_col: str = "user_id", ts_col: str = "ts"):
+    """Cohort retention: users grouped by the Monday-start week of
+    their FIRST event; for each (cohort_week, week_offset) the number
+    of distinct users active that many weeks later (offset 0 = the
+    cohort week itself).
+
+    Scale shape: distinct (user, day) pairs first (per-batch Arrow
+    combiner + ONE hash shuffle that moves |distinct| rows), then the
+    per-user offsets come from a min inside each user's group (bounded
+    by active days per user), and the final count is a dim-sized
+    (cohorts x offsets) groupby."""
+    from ray.data.aggregate import Count
+
+    def days(batch: pa.Table) -> pa.Table:
+        d = pc.cast(pc.cast(pc.floor_temporal(batch[ts_col], unit="day"),
+                            pa.date32()), pa.int32())
+        return pa.table({user_col: batch[user_col], "_day": d})
+
+    pairs = (ds.select_columns([user_col, ts_col])
+             .map_batches(days, batch_format="pyarrow")
+             .groupby([user_col, "_day"]).count()
+             .select_columns([user_col, "_day"]))
+
+    def offsets(g: pd.DataFrame) -> pd.DataFrame:
+        d = np.sort(g["_day"].to_numpy().astype(np.int64))
+        d0 = d[0]
+        week_start = d0 - ((d0 + _EPOCH_MON_SHIFT) % 7)
+        off = np.unique((d - d0) // 7)
+        return pd.DataFrame({
+            "cohort_day": np.full(len(off), week_start, np.int32),
+            "week_offset": off.astype(np.int64),
+        })
+
+    agg = (pairs.groupby(user_col)
+           .map_groups(offsets, batch_format="pandas")
+           .groupby(["cohort_day", "week_offset"])
+           .aggregate(Count(alias_name="n_users")))
+
+    def label(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "cohort_week": pc.cast(pc.cast(pc.cast(batch["cohort_day"],
+                                                   pa.int32()),
+                                           pa.date32()), pa.string()),
+            "week_offset": batch["week_offset"],
+            "n_users": batch["n_users"],
+        })
+
+    return agg.map_batches(label, batch_format="pyarrow")
