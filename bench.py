@@ -324,6 +324,34 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
         on="o_custkey", key_col="c_custkey").count()
     queries["bloom_semi_join_orders"] = round(time.time() - t0, 3)
 
+    # round-4 continuation: relational batch 2 + sequence analytics
+    import __ray_entry__ as entry_mod
+
+    t0 = time.time()
+    entry_mod._q_multiway_join_revenue(sf_dir).count()
+    queries["multiway_join_revenue"] = round(time.time() - t0, 3)
+
+    from wned_ray.pipelines.analytics import (cohort_retention,
+                                              funnel_counts, kmeans)
+
+    t0 = time.time()
+    funnel_counts(rd.read_parquet(f"{sf_dir}/events.parquet",
+                                  columns=["user_id", "ts", "event_type"]),
+                  steps=["view", "click", "purchase"]).count()
+    queries["funnel_events"] = round(time.time() - t0, 3)
+
+    t0 = time.time()
+    cohort_retention(rd.read_parquet(f"{sf_dir}/events.parquet",
+                                     columns=["user_id", "ts"])).count()
+    queries["cohort_retention"] = round(time.time() - t0, 3)
+
+    t0 = time.time()
+    assign, _ = kmeans(rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                                       columns=["vec_id", "embedding"]),
+                       k=8, n_iter=5, seed=7)
+    assign.count()
+    queries["kmeans_embeddings"] = round(time.time() - t0, 3)
+
     ray.shutdown()
     return {
         "metric": "er_linkage_wall_sec",

@@ -257,3 +257,55 @@ def test_cohort_retention_week_offsets(ray_session):
            .reset_index(drop=True))
     assert got.values.tolist() == [
         ["2024-01-01", 0, 1], ["2024-01-01", 1, 1], ["2024-01-08", 0, 1]]
+
+
+def test_event_paths_order_and_day_split(ray_session):
+    import ray.data as rd
+
+    from wned_ray.pipelines.analytics import event_paths
+
+    df = pd.DataFrame([
+        # u1 day one: b then a (ts order, not insertion order)
+        {"user_id": 1, "event_id": 2, "event_type": "a",
+         "ts": pd.Timestamp("2024-01-01 02:00")},
+        {"user_id": 1, "event_id": 1, "event_type": "b",
+         "ts": pd.Timestamp("2024-01-01 01:00")},
+        # u1 next day: its own path
+        {"user_id": 1, "event_id": 3, "event_type": "a",
+         "ts": pd.Timestamp("2024-01-02 01:00")},
+        # u2 same day: same path as u1 day one -> count 2
+        {"user_id": 2, "event_id": 4, "event_type": "b",
+         "ts": pd.Timestamp("2024-01-01 01:00")},
+        {"user_id": 2, "event_id": 5, "event_type": "a",
+         "ts": pd.Timestamp("2024-01-01 02:00")},
+        # tie timestamps -> event_id breaks the tie
+        {"user_id": 3, "event_id": 7, "event_type": "y",
+         "ts": pd.Timestamp("2024-01-01 01:00")},
+        {"user_id": 3, "event_id": 6, "event_type": "x",
+         "ts": pd.Timestamp("2024-01-01 01:00")},
+    ])
+    got = (event_paths(rd.from_pandas(df)).to_pandas()
+           .sort_values("path").reset_index(drop=True))
+    assert got.values.tolist() == [["a", 1], ["b>a", 2], ["x>y", 1]]
+
+
+def test_transition_counts_matches_lag(ray_session):
+    import ray.data as rd
+
+    from wned_ray.pipelines.analytics import transition_counts
+
+    t0 = pd.Timestamp("2024-01-01")
+    m = pd.Timedelta(minutes=1)
+    df = pd.DataFrame([
+        {"user_id": 1, "event_id": i, "event_type": t, "ts": t0 + i * m}
+        for i, t in enumerate(["a", "b", "a", "b"])
+    ] + [
+        {"user_id": 2, "event_id": 10, "event_type": "a", "ts": t0},
+        {"user_id": 2, "event_id": 11, "event_type": "a", "ts": t0 + m},
+        {"user_id": 3, "event_id": 20, "event_type": "z", "ts": t0},  # lone
+    ])
+    got = (transition_counts(rd.from_pandas(df)).to_pandas()
+           .sort_values(["prev_type", "next_type"]).reset_index(drop=True))
+    # u1: a>b, b>a, a>b ; u2: a>a ; u3: none
+    assert got.values.tolist() == [
+        ["a", "a", 1], ["a", "b", 2], ["b", "a", 1]]

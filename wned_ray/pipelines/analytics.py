@@ -228,6 +228,11 @@ def kmeans(ds, id_col: str = "vec_id", vec_col: str = "embedding",
 
     from wned_ray.pipelines.datawork import _md5_hashes64
 
+    # n_iter + 2 consumers walk the same input: pin the projected blocks
+    # once (object-store-resident, spill-backed) instead of re-reading
+    # the source every pass — the standard iterative-ML trade
+    ds = ds.select_columns([id_col, vec_col]).materialize()
+
     # --- seeded init: distributed top-k by hash (k rows to the driver).
     # int63 mask (>>1) so the sort key survives the int64 cast — the
     # same shuffle-safety rule every hash key in datawork follows.
@@ -245,43 +250,44 @@ def kmeans(ds, id_col: str = "vec_id", vec_col: str = "embedding",
     centroids = np.array([r[vec_col] for r in top], np.float64)
 
     def _iter_stage(cent: np.ndarray, emit_assign: bool):
+        # plain-task map_batches, NOT an actor pool: the only state is
+        # the broadcast centroid matrix, and reading it is a zero-copy
+        # local-object-store get per task — there is nothing to amortize
+        # across batches, and n_iter short-lived actor-pool spawns would
+        # dominate the loop's wall time
         ref = ray.put(cent)
+        cent_sq_ref = ray.put((cent ** 2).sum(axis=1))
 
-        class Assign:
-            def __init__(self):
-                self.c = ray.get(ref)                    # k x dim
-                self.c_sq = (self.c ** 2).sum(axis=1)
-
-            def __call__(self, batch: pa.Table) -> pa.Table:
-                ids = batch[id_col].to_numpy(zero_copy_only=False)
-                x = np.asarray(batch[vec_col].combine_chunks()
-                               .flatten().to_numpy(zero_copy_only=False)
-                               .reshape(len(ids), -1), np.float64)
-                # squared distance via the expanded form; one matmul
-                d = (x ** 2).sum(axis=1)[:, None] - 2.0 * (x @ self.c.T) \
-                    + self.c_sq[None, :]
-                a = d.argmin(axis=1)
-                if emit_assign:
-                    return pa.table({
-                        id_col: batch[id_col],
-                        "cluster": pa.array(a.astype(np.int64)),
-                        "dist_e6": pa.array(np.round(np.sqrt(
-                            np.maximum(d[np.arange(len(a)), a], 0.0))
-                            * 1e6).astype(np.int64)),
-                    })
-                kk, dim = self.c.shape
-                sums = np.zeros((kk, dim), np.float64)
-                np.add.at(sums, a, x)
-                cnt = np.bincount(a, minlength=kk).astype(np.int64)
+        def assign(batch: pa.Table) -> pa.Table:
+            c = ray.get(ref)                             # k x dim
+            c_sq = ray.get(cent_sq_ref)
+            ids = batch[id_col].to_numpy(zero_copy_only=False)
+            x = np.asarray(batch[vec_col].combine_chunks()
+                           .flatten().to_numpy(zero_copy_only=False)
+                           .reshape(len(ids), -1), np.float64)
+            # squared distance via the expanded form; one matmul
+            d = (x ** 2).sum(axis=1)[:, None] - 2.0 * (x @ c.T) \
+                + c_sq[None, :]
+            a = d.argmin(axis=1)
+            if emit_assign:
                 return pa.table({
-                    "cluster": pa.array(np.arange(kk, dtype=np.int64)),
-                    "_sum": pa.array(list(sums),
-                                     pa.list_(pa.float64())),
-                    "_cnt": pa.array(cnt),
+                    id_col: batch[id_col],
+                    "cluster": pa.array(a.astype(np.int64)),
+                    "dist_e6": pa.array(np.round(np.sqrt(
+                        np.maximum(d[np.arange(len(a)), a], 0.0))
+                        * 1e6).astype(np.int64)),
                 })
+            kk, dim = c.shape
+            sums = np.zeros((kk, dim), np.float64)
+            np.add.at(sums, a, x)
+            cnt = np.bincount(a, minlength=kk).astype(np.int64)
+            return pa.table({
+                "cluster": pa.array(np.arange(kk, dtype=np.int64)),
+                "_sum": pa.array(list(sums), pa.list_(pa.float64())),
+                "_cnt": pa.array(cnt),
+            })
 
-        return ds.select_columns([id_col, vec_col]).map_batches(
-            Assign, batch_format="pyarrow", concurrency=2)
+        return ds.map_batches(assign, batch_format="pyarrow")
 
     for _ in range(n_iter):
         parts = _iter_stage(centroids, emit_assign=False).take_all()
@@ -409,3 +415,75 @@ def cohort_retention(ds, user_col: str = "user_id", ts_col: str = "ts"):
         })
 
     return agg.map_batches(label, batch_format="pyarrow")
+
+
+def event_paths(ds, user_col: str = "user_id", ts_col: str = "ts",
+                type_col: str = "event_type", id_col: str = "event_id",
+                sep: str = ">"):
+    """Per (user, day) ordered event-type path ("view>click>purchase"),
+    counted across the corpus — the top-paths analysis run on session
+    logs / conversation transcripts. Ordering ties broken by id so the
+    path string is deterministic.
+
+    Scale shape: ONE hash shuffle keyed (user, day); each group is one
+    user-day of events (bounded by daily activity); the path-count
+    groupby that follows moves |distinct paths| rows."""
+    from ray.data.aggregate import Count
+
+    def days(batch: pa.Table) -> pa.Table:
+        d = pc.cast(pc.cast(pc.floor_temporal(batch[ts_col], unit="day"),
+                            pa.date32()), pa.string())
+        return pa.table({user_col: batch[user_col], "_day": d,
+                         "_ts": pc.cast(batch[ts_col], pa.int64()),
+                         id_col: batch[id_col],
+                         type_col: batch[type_col]})
+
+    def path(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["_ts", id_col])
+        return pd.DataFrame({"path": [sep.join(g[type_col].tolist())]})
+
+    return (ds.select_columns([user_col, ts_col, type_col, id_col])
+            .map_batches(days, batch_format="pyarrow")
+            .groupby([user_col, "_day"])
+            .map_groups(path, batch_format="pandas")
+            .groupby("path").aggregate(Count(alias_name="n_user_days")))
+
+
+def transition_counts(ds, user_col: str = "user_id", ts_col: str = "ts",
+                      type_col: str = "event_type",
+                      id_col: str = "event_id"):
+    """First-order Markov transition counts over each user's ordered
+    event stream: (prev_type, next_type, n) — the co-occurrence-edge
+    extraction of the reference (WikiGraphExtractor's windowed pair
+    emission, ``…/graph/extraction/WikiGraphExtractor.java:74``) recast
+    as an ordered-lag edge list over transcripts.
+
+    Scale shape: ONE user-keyed shuffle; per-group vectorized shift
+    (sort + zip with itself), then the edge groupby moves
+    |type vocabulary|² partials at most."""
+    from ray.data.aggregate import Sum
+
+    def prep(batch: pa.Table) -> pa.Table:
+        return pa.table({user_col: batch[user_col],
+                         "_ts": pc.cast(batch[ts_col], pa.int64()),
+                         id_col: batch[id_col],
+                         type_col: batch[type_col]})
+
+    def edges(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["_ts", id_col])
+        t = g[type_col].to_numpy()
+        if len(t) < 2:
+            return pd.DataFrame({"prev_type": [], "next_type": [],
+                                 "_n": np.array([], np.int64)})
+        e = pd.DataFrame({"prev_type": t[:-1], "next_type": t[1:]})
+        out = (e.groupby(["prev_type", "next_type"], sort=False)
+               .size().reset_index(name="_n"))
+        out["_n"] = out["_n"].astype(np.int64)
+        return out
+
+    return (ds.select_columns([user_col, ts_col, type_col, id_col])
+            .map_batches(prep, batch_format="pyarrow")
+            .groupby(user_col)
+            .map_groups(edges, batch_format="pandas")
+            .groupby(["prev_type", "next_type"])
+            .aggregate(Sum("_n", alias_name="n_transitions")))
