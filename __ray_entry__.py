@@ -2087,6 +2087,58 @@ def _q_transition_counts(sf_dir: str):
     return transition_counts(ds)
 
 
+def _q_unpivot_part(sf_dir: str):
+    """UNPIVOT / melt (analytics.unpivot): one row per (part, numeric
+    column), mixed int/double value columns cast to one float64."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from wned_ray.pipelines.analytics import unpivot
+
+    ds = _rd().read_parquet(f"{sf_dir}/part.parquet",
+                            columns=["p_partkey", "p_size",
+                                     "p_retailprice"])
+    out = unpivot(ds, id_cols=["p_partkey"],
+                  value_cols=["p_size", "p_retailprice"])
+
+    def r(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "p_partkey": batch["p_partkey"], "name": batch["name"],
+            "value_e2": pc.cast(pc.round(
+                pc.multiply(batch["value"], 100.0)), pa.int64()),
+        })
+
+    return out.map_batches(r, batch_format="pyarrow")
+
+
+def _q_er_bcubed(sf_dir: str):
+    """B-cubed precision/recall/F1 of the flagship linkage clustering vs
+    gold entity classes (evaluate.bcubed_metrics) — the per-mention ER
+    clustering metric beside the pairwise gates; cell-table reduction,
+    nothing per-mention on the driver. Rows-only (clustering is not
+    SQL-expressible); the hand-worked example is pytest-gated."""
+    import pandas as pd
+
+    from wned_ray.stages.evaluate import bcubed_metrics
+
+    corpus, cfg, out = _linkage(sf_dir)
+    gold = _rd().read_parquet(corpus["expected_clusters"])
+    # two gold definitions: the transitive closure of the gold matched
+    # pairs (the linkage's exact expectation — B3 should be 1.0) and the
+    # underlying global entity (cross-conversation mentions the labeled
+    # pair universe never connects — recall < 1 here is honest scope,
+    # not error; see BASELINE.md)
+    rows = []
+    for name, g in [
+        ("expected_cluster",
+         gold.select_columns(["mention_id", "cluster_id"])
+         .rename_columns({"cluster_id": "entity_id"})),
+        ("entity", gold.select_columns(["mention_id", "entity_id"])),
+    ]:
+        rows.append({"gold": name, **bcubed_metrics(out["clusters"], g)})
+    return pd.DataFrame(rows)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # ORDER MATTERS: the round driver sweeps this dict in insertion order
     # and records the FIRST 50 entries (round-3 CORRECTNESS captured
@@ -2190,6 +2242,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cohort_retention": _q_cohort_retention,
         "event_paths": _q_event_paths,
         "transition_counts": _q_transition_counts,
+        "unpivot_part": _q_unpivot_part,
+        "er_bcubed": _q_er_bcubed,      # rows-only: pytest hand example
     }
 
 
@@ -2766,6 +2820,13 @@ def oracle_sql() -> dict[str, str]:
             "SELECT prev_type, event_type AS next_type, "
             "count(*) AS n_transitions FROM l "
             "WHERE prev_type IS NOT NULL GROUP BY prev_type, next_type"
+        ),
+        "unpivot_part": (
+            "SELECT p_partkey, name, "
+            "CAST(round(value * 100) AS BIGINT) AS value_e2 FROM "
+            "(UNPIVOT (SELECT p_partkey, CAST(p_size AS DOUBLE) AS p_size, "
+            "p_retailprice FROM part) "
+            "ON p_size, p_retailprice INTO NAME name VALUE value)"
         ),
     }
 

@@ -309,3 +309,50 @@ def test_transition_counts_matches_lag(ray_session):
     # u1: a>b, b>a, a>b ; u2: a>a ; u3: none
     assert got.values.tolist() == [
         ["a", "a", 1], ["a", "b", 2], ["b", "a", 1]]
+
+
+def test_unpivot_mixed_types(ray_session):
+    import ray.data as rd
+
+    from wned_ray.pipelines.analytics import unpivot
+
+    df = pd.DataFrame({"id": [1, 2],
+                       "a": np.array([10, 20], np.int32),
+                       "b": [0.5, 1.5]})
+    got = (unpivot(rd.from_pandas(df), ["id"], ["a", "b"]).to_pandas()
+           .sort_values(["id", "name"]).reset_index(drop=True))
+    assert got.values.tolist() == [
+        [1, "a", 10.0], [1, "b", 0.5], [2, "a", 20.0], [2, "b", 1.5]]
+    assert got["value"].dtype == np.float64
+
+
+def test_bcubed_hand_example(ray_session):
+    """Bagga-Baldwin worked example: C1={a,b,c}, C2={d,e} vs gold
+    G1={a,b}, G2={c,d}, G3={e} -> P=8/15, R=4/5, F1=0.64."""
+    import ray.data as rd
+
+    from wned_ray.stages.evaluate import bcubed_metrics
+
+    clusters = rd.from_pandas(pd.DataFrame({
+        "mention_id": ["a", "b", "c", "d", "e"],
+        "cluster_id": [1, 1, 1, 2, 2]}))
+    gold = rd.from_pandas(pd.DataFrame({
+        "mention_id": ["a", "b", "c", "d", "e"],
+        "entity_id": ["g1", "g1", "g2", "g2", "g3"]}))
+    m = bcubed_metrics(clusters, gold)
+    assert m["n_mentions"] == 5
+    assert abs(m["bcubed_precision"] - 8 / 15) < 1e-12
+    assert abs(m["bcubed_recall"] - 4 / 5) < 1e-12
+    assert abs(m["bcubed_f1"] - 0.64) < 1e-12
+
+
+def test_bcubed_perfect_clustering(ray_session):
+    import ray.data as rd
+
+    from wned_ray.stages.evaluate import bcubed_metrics
+
+    df = pd.DataFrame({"mention_id": list("abcdef"),
+                       "cluster_id": [1, 1, 2, 2, 3, 3]})
+    gold = df.rename(columns={"cluster_id": "entity_id"})
+    m = bcubed_metrics(rd.from_pandas(df), rd.from_pandas(gold))
+    assert m["bcubed_f1"] == 1.0 and m["n_mentions"] == 6

@@ -204,3 +204,21 @@ def test_fuzzy_topn_union_keeps_linkage_f1(ray_session, t1_corpus):
     m = pairwise_metrics(rd.read_parquet(t1_corpus["labels"]),
                          out["clusters"])
     assert m["micro_f1"] >= 0.99, m
+
+
+def test_bcubed_vs_expected_clusters(linked):
+    """B-cubed per-mention gate beside the pairwise one: against the
+    transitive gold closure the clustering must stay >= 0.99 on both
+    axes (the hand-worked B3 math is pinned in test_analytics)."""
+    import ray.data as rd
+
+    from wned_ray.stages.evaluate import bcubed_metrics
+
+    corpus, cfg, out = linked
+    gold = (rd.read_parquet(corpus["expected_clusters"])
+            .select_columns(["mention_id", "cluster_id"])
+            .rename_columns({"cluster_id": "entity_id"}))
+    m = bcubed_metrics(out["clusters"], gold)
+    assert m["n_mentions"] == out["clusters"].count()
+    assert m["bcubed_precision"] >= 0.99, m
+    assert m["bcubed_recall"] >= 0.99, m

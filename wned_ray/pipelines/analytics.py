@@ -487,3 +487,24 @@ def transition_counts(ds, user_col: str = "user_id", ts_col: str = "ts",
             .map_groups(edges, batch_format="pandas")
             .groupby(["prev_type", "next_type"])
             .aggregate(Sum("_n", alias_name="n_transitions")))
+
+
+def unpivot(ds, id_cols: list, value_cols: list, var_col: str = "name",
+            val_col: str = "value"):
+    """UNPIVOT / melt: one output row per (input row, value column),
+    value columns cast to float64 so mixed numeric types share one
+    column (ANSI UNPIVOT semantics over a pre-cast projection).
+
+    Scale shape: stateless per-batch concat of |value_cols| projected
+    slices — NO shuffle, output rows = N × |value_cols|."""
+    def melt(batch: pa.Table) -> pa.Table:
+        parts = []
+        for v in value_cols:
+            cols = {c: batch[c] for c in id_cols}
+            cols[var_col] = pa.array([v] * batch.num_rows)
+            cols[val_col] = pc.cast(batch[v], pa.float64())
+            parts.append(pa.table(cols))
+        return pa.concat_tables(parts)
+
+    return ds.select_columns(list(id_cols) + list(value_cols)).map_batches(
+        melt, batch_format="pyarrow")

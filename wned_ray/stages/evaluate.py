@@ -148,3 +148,62 @@ def blocking_quality(pairs_ds, gold_ds, num_partitions: int = 8
     return {"n_mentions": int(n), "candidate_pairs": int(n_cand),
             "true_pairs": true_pairs, "covered_true_pairs": covered,
             "reduction_ratio": float(rr), "pair_completeness": float(pc_)}
+
+
+def bcubed_metrics(clusters_ds, gold_ds, num_partitions: int = 8
+                   ) -> dict[str, float]:
+    """B-cubed precision / recall / F1 of a clustering against gold
+    classes (Bagga & Baldwin 1998; the Amigó et al. 2009 formulation) —
+    the standard ER clustering metric beside pairwise F1, and the one
+    that penalizes both over-merging (precision) and over-splitting
+    (recall) per MENTION rather than per pair.
+
+    Inputs: ``clusters_ds`` (mention_id, cluster_id), ``gold_ds``
+    (mention_id, entity_id). Per mention m, P(m) = |C(m) ∩ G(m)| /
+    |C(m)| and R(m) = |C(m) ∩ G(m)| / |G(m)|; corpus scores are means
+    over mentions.
+
+    Distributed shape: ONE hash join aligns predicted and gold ids,
+    then everything reduces through the (cluster, entity) contingency
+    CELL table — the identity Σ_m |C(m)∩G(m)|/|C(m)| = Σ_cells n²/|C|
+    turns the per-mention mean into two cell-table shuffles (by cluster
+    to attach |C|, by class to attach |G|; each group = the cells of
+    one cluster/class, bounded by its overlap count) and a global sum.
+    No per-mention state ever reaches the driver."""
+    from ray.data.aggregate import Count, Sum
+
+    j = clusters_ds.join(
+        gold_ds.select_columns(["mention_id", "entity_id"]),
+        join_type="inner", num_partitions=num_partitions,
+        on=("mention_id",))
+
+    cells = (j.groupby(["cluster_id", "entity_id"])
+             .aggregate(Count(alias_name="n")))
+
+    def p_mass(g: pd.DataFrame) -> pd.DataFrame:
+        n = g["n"].astype("float64")
+        g["p_mass"] = n * n / n.sum()
+        return g
+
+    def r_mass(g: pd.DataFrame) -> pd.DataFrame:
+        n = g["n"].astype("float64")
+        g["r_mass"] = n * n / n.sum()
+        return g
+
+    w = (cells.groupby("cluster_id")
+         .map_groups(p_mass, batch_format="pandas")
+         .groupby("entity_id")
+         .map_groups(r_mass, batch_format="pandas"))
+
+    tot = w.aggregate(Sum("n", alias_name="n"),
+                      Sum("p_mass", alias_name="p_mass"),
+                      Sum("r_mass", alias_name="r_mass"))
+    n = int(tot["n"] or 0)
+    if n == 0:
+        return {"bcubed_precision": 1.0, "bcubed_recall": 1.0,
+                "bcubed_f1": 1.0, "n_mentions": 0}
+    p = tot["p_mass"] / n
+    r = tot["r_mass"] / n
+    f1 = 2 * p * r / (p + r) if p + r else 0.0
+    return {"bcubed_precision": float(p), "bcubed_recall": float(r),
+            "bcubed_f1": float(f1), "n_mentions": n}
