@@ -2139,6 +2139,18 @@ def _q_er_bcubed(sf_dir: str):
     return pd.DataFrame(rows)
 
 
+def _q_er_pr_curve(sf_dir: str):
+    """Precision/recall threshold sweep over the hard tier's labeled x
+    scored pairs (evaluate.pr_curve) — the evidence behind
+    match_threshold, beside the fitted variant (er_fit_weights).
+    Rows-only; exactness vs a single-process sweep is pytest-gated."""
+    from wned_ray.stages.evaluate import pr_curve
+
+    corpus, cfg, out = _hard_linkage()
+    labels = _rd().read_parquet(corpus["labels"])
+    return pr_curve(labels, out["scores"], n_bins=20)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # ORDER MATTERS: the round driver sweeps this dict in insertion order
     # and records the FIRST 50 entries (round-3 CORRECTNESS captured
@@ -2244,6 +2256,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "transition_counts": _q_transition_counts,
         "unpivot_part": _q_unpivot_part,
         "er_bcubed": _q_er_bcubed,      # rows-only: pytest hand example
+        "er_pr_curve": _q_er_pr_curve,  # rows-only: pytest exactness
     }
 
 

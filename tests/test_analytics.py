@@ -356,3 +356,38 @@ def test_bcubed_perfect_clustering(ray_session):
     gold = df.rename(columns={"cluster_id": "entity_id"})
     m = bcubed_metrics(rd.from_pandas(df), rd.from_pandas(gold))
     assert m["bcubed_f1"] == 1.0 and m["n_mentions"] == 6
+
+
+def test_pr_curve_exact_vs_reference(ray_session):
+    import ray.data as rd
+
+    from wned_ray.stages.evaluate import pr_curve
+
+    rng = np.random.default_rng(4)
+    n, n_bins = 3000, 20
+    ids = np.arange(n, dtype=np.int64)
+    score = rng.uniform(0, 1, n)
+    # matches skew high, negatives low — a realistic separable-ish sweep
+    is_match = rng.uniform(0, 1, n) < np.clip(score, 0.05, 0.95)
+    labels = pd.DataFrame({"id_a": ids, "id_b": ids + n,
+                           "is_match": is_match})
+    scores = pd.DataFrame({"id_a": ids, "id_b": ids + n, "score": score})
+    got = pr_curve(rd.from_pandas(labels).repartition(4),
+                   rd.from_pandas(scores).repartition(3), n_bins=n_bins)
+    assert len(got) == n_bins
+    # reference sweep at the same bin thresholds
+    for i in [0, 5, 13, 19]:
+        thr = i / n_bins
+        pred = score >= thr
+        # binning: a score lands in bin floor(s*n_bins); >= bin i means
+        # s >= i/n_bins up to fp rounding of the bin assignment itself
+        pred = (score * n_bins).astype(np.int64).clip(0, n_bins - 1) >= i
+        tp = int((pred & is_match).sum())
+        fp = int((pred & ~is_match).sum())
+        row = got.iloc[i]
+        assert row["tp"] == tp and row["fp"] == fp
+        assert row["fn"] == int(is_match.sum()) - tp
+        prec = tp / (tp + fp) if tp + fp else 1.0
+        assert row["precision_e6"] == round(prec * 1e6)
+    # recall is non-increasing as the threshold rises
+    assert (np.diff(got["recall_e6"].to_numpy()) <= 0).all()

@@ -207,3 +207,63 @@ def bcubed_metrics(clusters_ds, gold_ds, num_partitions: int = 8
     f1 = 2 * p * r / (p + r) if p + r else 0.0
     return {"bcubed_precision": float(p), "bcubed_recall": float(r),
             "bcubed_f1": float(f1), "n_mentions": n}
+
+
+def pr_curve(labels_ds, scores_ds, n_bins: int = 50,
+             num_partitions: int = 8) -> pd.DataFrame:
+    """Precision/recall sweep over the fused score — the threshold-
+    selection evidence behind ``PipelineConfig.match_threshold`` (the
+    reference tunes its threshold the same way on held-out labels; the
+    graft's fitted variant lives in ``fusion.fit_config``).
+
+    Distributed shape: ONE hash join aligns labels with scored pairs,
+    scores bucket into ``n_bins`` fixed bins with a per-batch
+    ``np.bincount`` tally (2 x n_bins partial rows per batch), ONE
+    dim-sized groupby-sum; the cumulative-from-the-top precision /
+    recall per threshold is computed on the n_bins-row result. Returns
+    one row per bin threshold: (threshold_e4, tp, fp, fn,
+    precision_e6, recall_e6)."""
+    import numpy as np
+
+    from ray.data.aggregate import Sum
+
+    j = labels_ds.select_columns(["id_a", "id_b", "is_match"]).join(
+        scores_ds.select_columns(["id_a", "id_b", "score"]),
+        join_type="inner", num_partitions=num_partitions,
+        on=("id_a", "id_b"))
+
+    def tally(batch: pa.Table) -> pa.Table:
+        s = batch["score"].to_numpy(zero_copy_only=False)
+        m = batch["is_match"].to_numpy(zero_copy_only=False).astype(bool)
+        b = np.clip((s * n_bins).astype(np.int64), 0, n_bins - 1)
+        return pa.table({
+            "bin": pa.array(np.arange(n_bins, dtype=np.int64)),
+            "pos": pa.array(np.bincount(b[m], minlength=n_bins)
+                            .astype(np.int64)),
+            "neg": pa.array(np.bincount(b[~m], minlength=n_bins)
+                            .astype(np.int64)),
+        })
+
+    pb = (j.map_batches(tally, batch_format="pyarrow")
+          .groupby("bin")
+          .aggregate(Sum("pos", alias_name="pos"),
+                     Sum("neg", alias_name="neg"))
+          .to_pandas().sort_values("bin"))          # n_bins rows — tiny
+    pos = np.zeros(n_bins, np.int64)
+    neg = np.zeros(n_bins, np.int64)
+    pos[pb["bin"].to_numpy()] = pb["pos"].to_numpy()
+    neg[pb["bin"].to_numpy()] = pb["neg"].to_numpy()
+    # predicted-positive at threshold t = everything in bin >= t's bin
+    tp = np.cumsum(pos[::-1])[::-1]
+    fp = np.cumsum(neg[::-1])[::-1]
+    total_pos = int(pos.sum())
+    fn = total_pos - tp
+    prec = np.where(tp + fp > 0, tp / np.maximum(tp + fp, 1), 1.0)
+    rec = (tp / total_pos) if total_pos else np.ones(n_bins)
+    return pd.DataFrame({
+        "threshold_e4": (np.arange(n_bins) * 10_000 // n_bins)
+        .astype(np.int64),
+        "tp": tp, "fp": fp, "fn": fn,
+        "precision_e6": np.round(prec * 1e6).astype(np.int64),
+        "recall_e6": np.round(rec * 1e6).astype(np.int64),
+    })
