@@ -2151,6 +2151,44 @@ def _q_er_pr_curve(sf_dir: str):
     return pr_curve(labels, out["scores"], n_bins=20)
 
 
+def _q_er_fs_em(sf_dir: str):
+    """Unsupervised Fellegi-Sunter probabilistic linkage
+    (scoring.fs_em_fit / functions.fellegi): EM over the 2^F agreement-
+    pattern counts fits lambda and per-feature m/u WITHOUT labels — the
+    label-free complement to er_fit_weights, and the regime a brand-new
+    100 TB corpus is actually in. Reports the learned parameters and
+    the posterior-0.5 classification's P/R/F1 against the hard tier's
+    held-out labels (labels used for EVALUATION only, never fitting).
+    Rows-only; EM parameter recovery is pytest-gated on a generative
+    model with known m/u."""
+    import pandas as pd
+
+    from wned_ray.stages.scoring import fs_classify, fs_em_fit
+
+    corpus, cfg, out = _hard_linkage()
+    fit = fs_em_fit(out["scores"])
+    cls = fs_classify(out["scores"], fit).to_pandas()
+    labels = _rd().read_parquet(corpus["labels"]).to_pandas()
+    m = labels.merge(cls, on=["id_a", "id_b"])
+    gold = m["is_match"].astype(bool)
+    tp = int((m["fs_matched"] & gold).sum())
+    fp = int((m["fs_matched"] & ~gold).sum())
+    fn = int((~m["fs_matched"] & gold).sum())
+    p = tp / (tp + fp) if tp + fp else 1.0
+    r = tp / (tp + fn) if tp + fn else 1.0
+    row = {
+        "eval_pairs": len(m), "tp": tp, "fp": fp, "fn": fn,
+        "precision_e6": int(round(p * 1e6)),
+        "recall_e6": int(round(r * 1e6)),
+        "f1_e6": int(round(2 * p * r / (p + r) * 1e6)) if p + r else 0,
+        "lambda_e6": int(round(fit["lambda"] * 1e6)),
+    }
+    for i, c in enumerate(("prior", "local", "sem_sim", "name_sim")):
+        row[f"m_{c}_e4"] = int(round(fit["m"][i] * 1e4))
+        row[f"u_{c}_e4"] = int(round(fit["u"][i] * 1e4))
+    return pd.DataFrame([row])
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # ORDER MATTERS: the round driver sweeps this dict in insertion order
     # and records the FIRST 50 entries (round-3 CORRECTNESS captured
@@ -2257,6 +2295,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "unpivot_part": _q_unpivot_part,
         "er_bcubed": _q_er_bcubed,      # rows-only: pytest hand example
         "er_pr_curve": _q_er_pr_curve,  # rows-only: pytest exactness
+        "er_fs_em": _q_er_fs_em,        # rows-only: pytest EM recovery
     }
 
 

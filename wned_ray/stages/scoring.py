@@ -619,3 +619,86 @@ def score_pairs(pairs_ds, alias_ref, graph_ref, cfg: PipelineConfig):
         pairs_ds.materialize(), alias_ref, graph_ref, cfg,
         precompute_rel=True)
     return finalize_scores(scored_norm, cfg)
+
+
+def fs_em_fit(scores_ds, feature_cols=("prior", "local", "sem_sim",
+                                       "name_sim"),
+              thresholds: dict | None = None, n_iter: int = 100) -> dict:
+    """Unsupervised Fellegi–Sunter fit over scored pairs
+    (``functions.fellegi``) — the label-free complement to the
+    supervised ``fusion.fit_config``. Features binarize at the given
+    thresholds (default: each feature's global mean, computed in one
+    streaming aggregate); the distributed work is a per-batch pattern
+    bincount combiner + ONE 2^F-row groupby; EM runs on the driver over
+    that tiny count vector.
+
+    Returns the fellegi.em_fit dict plus ``thresholds`` (ordered like
+    ``feature_cols``) and ``pattern_counts``."""
+    import pyarrow.compute as pc
+
+    from ray.data.aggregate import Mean, Sum
+
+    from wned_ray.functions.fellegi import em_fit
+
+    cols = list(feature_cols)
+    n_f = len(cols)
+    n_pat = 1 << n_f
+    if thresholds is None:
+        agg = scores_ds.aggregate(*[Mean(c, alias_name=c) for c in cols])
+        thresholds = {c: float(agg[c]) for c in cols}
+    thr = np.array([thresholds[c] for c in cols])
+
+    def tally(batch: pa.Table) -> pa.Table:
+        feat = np.column_stack([
+            batch[c].to_numpy(zero_copy_only=False).astype(np.float64)
+            for c in cols])
+        from wned_ray.functions.fellegi import patterns_from_features
+
+        pat = patterns_from_features(feat, thr)
+        return pa.table({
+            "pattern": pa.array(np.arange(n_pat, dtype=np.int64)),
+            "_n": pa.array(np.bincount(pat, minlength=n_pat)
+                           .astype(np.int64)),
+        })
+
+    pb = (scores_ds.select_columns(cols)
+          .map_batches(tally, batch_format="pyarrow")
+          .groupby("pattern").aggregate(Sum("_n", alias_name="n"))
+          .to_pandas())                           # 2^F rows — tiny
+    counts = np.zeros(n_pat, np.int64)
+    counts[pb["pattern"].to_numpy()] = pb["n"].to_numpy()
+    fit = em_fit(counts, n_f, n_iter=n_iter)
+    fit["thresholds"] = thresholds
+    fit["pattern_counts"] = counts
+    return fit
+
+
+def fs_classify(scores_ds, fit: dict,
+                feature_cols=("prior", "local", "sem_sim", "name_sim"),
+                min_posterior: float = 0.5):
+    """Apply a ``fs_em_fit`` result: per pair, look up the pattern's
+    match posterior and weight (broadcast 2^F-entry arrays, Arrow take)
+    and emit (id_a, id_b, pattern, weight_e4, fs_matched). Stateless
+    vectorized tasks — no shuffle."""
+    cols = list(feature_cols)
+    thr = np.array([fit["thresholds"][c] for c in cols])
+    post = fit["pattern_posteriors"]
+    weights = fit["pattern_weights"]
+
+    def apply(batch: pa.Table) -> pa.Table:
+        from wned_ray.functions.fellegi import patterns_from_features
+
+        feat = np.column_stack([
+            batch[c].to_numpy(zero_copy_only=False).astype(np.float64)
+            for c in cols])
+        pat = patterns_from_features(feat, thr)
+        return pa.table({
+            "id_a": batch["id_a"], "id_b": batch["id_b"],
+            "pattern": pa.array(pat),
+            "weight_e4": pa.array(np.round(weights[pat] * 1e4)
+                                  .astype(np.int64)),
+            "fs_matched": pa.array(post[pat] >= min_posterior),
+        })
+
+    return scores_ds.select_columns(["id_a", "id_b", *cols]).map_batches(
+        apply, batch_format="pyarrow")
