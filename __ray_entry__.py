@@ -2111,6 +2111,76 @@ def _q_unpivot_part(sf_dir: str):
     return out.map_batches(r, batch_format="pyarrow")
 
 
+def _q_decontaminate_docs(sf_dir: str):
+    """Benchmark decontamination (datawork.decontaminate): eval set =
+    docs with doc_id % 10 == 0, train = the rest; a train doc is
+    contaminated when it shares any word 4-gram with the eval set. Eval
+    grams broadcast once via ray.put; the train side is one stateless
+    no-shuffle map."""
+    import pyarrow as pa
+
+    from wned_ray.pipelines.datawork import decontaminate
+
+    ds = _rd().read_parquet(f"{sf_dir}/documents.parquet",
+                            columns=["doc_id", "text"])
+
+    def _mod10(is_eval: bool):
+        def f(batch: pa.Table) -> pa.Table:
+            ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+            m = (ids % 10 == 0) if is_eval else (ids % 10 != 0)
+            return batch.filter(pa.array(m))
+        return f
+
+    train = ds.map_batches(_mod10(False), batch_format="pyarrow")
+    ev = ds.map_batches(_mod10(True), batch_format="pyarrow")
+    return decontaminate(train, ev, n=4)
+
+
+def _q_repetition_docs(sf_dir: str):
+    """Gopher-style repetition quality signals
+    (datawork.repetition_signals): top-word / duplicate-word / top-2-gram
+    fractions per doc, single stateless pass."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from wned_ray.pipelines.datawork import repetition_signals
+
+    ds = _rd().read_parquet(f"{sf_dir}/documents.parquet",
+                            columns=["doc_id", "text"])
+    out = repetition_signals(ds)
+
+    def r(batch: pa.Table) -> pa.Table:
+        cols = {"doc_id": batch["doc_id"], "n_tokens": batch["n_tokens"]}
+        for c in ("top_word_frac", "dup_word_frac", "top_bigram_frac"):
+            cols[c] = pc.round(batch[c], ndigits=_ROUND)
+        return pa.table(cols)
+
+    return out.map_batches(r, batch_format="pyarrow")
+
+
+def _q_dup_span_docs(sf_dir: str):
+    """Duplicated-span statistics (datawork.dup_span_stats): per doc, the
+    count and fraction of its distinct word 5-grams appearing in more
+    than one doc — the Lee et al. exact-substring-dedup signal."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from wned_ray.pipelines.datawork import dup_span_stats
+
+    ds = _rd().read_parquet(f"{sf_dir}/documents.parquet",
+                            columns=["doc_id", "text"])
+    out = dup_span_stats(ds, n=5)
+
+    def r(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_id": batch["doc_id"], "n_grams": batch["n_grams"],
+            "n_dup_grams": batch["n_dup_grams"],
+            "dup_frac": pc.round(batch["dup_frac"], ndigits=_ROUND),
+        })
+
+    return out.map_batches(r, batch_format="pyarrow")
+
+
 def _q_er_bcubed(sf_dir: str):
     """B-cubed precision/recall/F1 of the flagship linkage clustering vs
     gold entity classes (evaluate.bcubed_metrics) — the per-mention ER
@@ -2293,6 +2363,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_paths": _q_event_paths,
         "transition_counts": _q_transition_counts,
         "unpivot_part": _q_unpivot_part,
+        "decontaminate_docs": _q_decontaminate_docs,
+        "repetition_docs": _q_repetition_docs,
+        "dup_span_docs": _q_dup_span_docs,
         "er_bcubed": _q_er_bcubed,      # rows-only: pytest hand example
         "er_pr_curve": _q_er_pr_curve,  # rows-only: pytest exactness
         "er_fs_em": _q_er_fs_em,        # rows-only: pytest EM recovery
@@ -2879,6 +2952,71 @@ def oracle_sql() -> dict[str, str]:
             "(UNPIVOT (SELECT p_partkey, CAST(p_size AS DOUBLE) AS p_size, "
             "p_retailprice FROM part) "
             "ON p_size, p_retailprice INTO NAME name VALUE value)"
+        ),
+        # word tokenization in the three below mirrors ngram_jaccard_dedup:
+        # lower -> collapse ws -> trim -> split on single spaces
+        "decontaminate_docs": (
+            r"WITH w AS (SELECT doc_id, string_split(lower(trim("
+            r"regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS ws "
+            "FROM documents), "
+            "g AS (SELECT doc_id, unnest(list_distinct("
+            "[array_to_string(ws[i:i+3], ' ') "
+            "for i in generate_series(1, len(ws)-3)])) AS gram "
+            "FROM w WHERE len(ws) >= 4), "
+            "ev AS (SELECT DISTINCT gram FROM g WHERE doc_id % 10 = 0), "
+            "h AS (SELECT g.doc_id, CAST(count(*) AS BIGINT) AS "
+            "n_hit_grams FROM g JOIN ev USING (gram) "
+            "WHERE g.doc_id % 10 <> 0 GROUP BY g.doc_id) "
+            "SELECT d.doc_id, "
+            "CAST(coalesce(h.n_hit_grams, 0) AS BIGINT) AS n_hit_grams, "
+            "CAST(CASE WHEN coalesce(h.n_hit_grams, 0) > 0 THEN 1 ELSE 0 "
+            "END AS BIGINT) AS contaminated "
+            "FROM documents d LEFT JOIN h USING (doc_id) "
+            "WHERE d.doc_id % 10 <> 0"
+        ),
+        "repetition_docs": (
+            r"WITH w AS (SELECT doc_id, string_split(lower(trim("
+            r"regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS ws "
+            "FROM documents), "
+            "tok AS (SELECT doc_id, unnest(ws) AS t FROM w), "
+            "c AS (SELECT doc_id, t, count(*) AS c FROM tok "
+            "GROUP BY doc_id, t), "
+            "wa AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens, "
+            "max(c) AS mx, sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS dup "
+            "FROM c GROUP BY doc_id), "
+            "g AS (SELECT doc_id, unnest([array_to_string(ws[i:i+1], ' ') "
+            "for i in generate_series(1, len(ws)-1)]) AS gram "
+            "FROM w WHERE len(ws) >= 2), "
+            "gc AS (SELECT doc_id, gram, count(*) AS c FROM g "
+            "GROUP BY doc_id, gram), "
+            "ga AS (SELECT doc_id, max(c) AS mx2, sum(c) AS n2 FROM gc "
+            "GROUP BY doc_id) "
+            "SELECT wa.doc_id, wa.n_tokens, "
+            "round(wa.mx * 1.0 / wa.n_tokens, 6) AS top_word_frac, "
+            "round(wa.dup * 1.0 / wa.n_tokens, 6) AS dup_word_frac, "
+            "round(coalesce(ga.mx2 * 1.0 / ga.n2, 0), 6) "
+            "AS top_bigram_frac "
+            "FROM wa LEFT JOIN ga USING (doc_id)"
+        ),
+        "dup_span_docs": (
+            r"WITH w AS (SELECT doc_id, string_split(lower(trim("
+            r"regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS ws "
+            "FROM documents), "
+            "g AS (SELECT doc_id, unnest(list_distinct("
+            "[array_to_string(ws[i:i+4], ' ') "
+            "for i in generate_series(1, len(ws)-4)])) AS gram "
+            "FROM w WHERE len(ws) >= 5), "
+            "s AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams "
+            "FROM g GROUP BY doc_id), "
+            "nd AS (SELECT gram, count(*) AS nd FROM g GROUP BY gram), "
+            "d AS (SELECT g.doc_id, CAST(count(*) AS BIGINT) AS "
+            "n_dup_grams FROM g JOIN nd USING (gram) WHERE nd.nd > 1 "
+            "GROUP BY g.doc_id) "
+            "SELECT s.doc_id, s.n_grams, "
+            "CAST(coalesce(d.n_dup_grams, 0) AS BIGINT) AS n_dup_grams, "
+            "round(coalesce(d.n_dup_grams, 0) * 1.0 / s.n_grams, 6) "
+            "AS dup_frac "
+            "FROM s LEFT JOIN d USING (doc_id)"
         ),
     }
 

@@ -312,6 +312,31 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
     group_quantile_sketch(ev, "event_type", "value").count()
     queries["quantile_sketch_events"] = round(time.time() - t0, 3)
 
+    from wned_ray.pipelines.datawork import (decontaminate, dup_span_stats,
+                                             repetition_signals)
+    import pyarrow as _pa
+
+    def _mod10(is_eval: bool):
+        def f(batch):
+            ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+            m = (ids % 10 == 0) if is_eval else (ids % 10 != 0)
+            return batch.filter(_pa.array(m))
+        return f
+
+    t0 = time.time()
+    decontaminate(docs.map_batches(_mod10(False), batch_format="pyarrow"),
+                  docs.map_batches(_mod10(True), batch_format="pyarrow"),
+                  n=4).count()
+    queries["decontaminate_docs"] = round(time.time() - t0, 3)
+
+    t0 = time.time()
+    repetition_signals(docs).count()
+    queries["repetition_docs"] = round(time.time() - t0, 3)
+
+    t0 = time.time()
+    dup_span_stats(docs, n=5).count()
+    queries["dup_span_docs"] = round(time.time() - t0, 3)
+
     from wned_ray.pipelines.datawork import bloom_semi_join
 
     t0 = time.time()

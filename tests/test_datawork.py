@@ -1383,3 +1383,73 @@ def test_media_resize_and_frame_sample(ray_session):
     import pytest as _pytest
     with _pytest.raises(Exception):
         MediaResizer().resize_payload(b"\x89PNG....")
+
+
+# ------------------------------------------ decontamination / repetition / spans
+
+def test_decontaminate_flags_shared_ngrams(ray_session):
+    import ray.data as rd
+
+    from wned_ray.pipelines.datawork import decontaminate
+
+    ev = rd.from_items([
+        {"doc_id": 100, "text": "the quick brown fox jumps"},
+        {"doc_id": 101, "text": "pack my box with liquor"},
+    ])
+    train = rd.from_items([
+        # shares "the quick brown fox" AND "quick brown fox jumps"
+        {"doc_id": 0, "text": "see THE  Quick brown fox jumps high"},
+        # shares nothing at 4-gram granularity (only a 3-gram overlap)
+        {"doc_id": 1, "text": "quick brown fox sleeps all day"},
+        # too short for any 4-gram
+        {"doc_id": 2, "text": "brown fox"},
+        # exact eval duplicate: 2 distinct 4-grams, both hits
+        {"doc_id": 3, "text": "pack my box with liquor"},
+    ])
+    got = (decontaminate(train, ev, n=4).to_pandas()
+           .sort_values("doc_id").reset_index(drop=True))
+    assert list(got["doc_id"]) == [0, 1, 2, 3]
+    assert list(got["n_hit_grams"]) == [2, 0, 0, 2]
+    assert list(got["contaminated"]) == [1, 0, 0, 1]
+
+
+def test_repetition_signals_hand_example(ray_session):
+    import ray.data as rd
+
+    from wned_ray.pipelines.datawork import repetition_signals
+
+    ds = rd.from_items([
+        {"doc_id": 0, "text": "a a b"},     # top a=2/3, dup 2/3,
+                                            # bigrams {a a, a b} -> 1/2
+        {"doc_id": 1, "text": "x"},         # single token, zero bigrams
+        {"doc_id": 2, "text": "c c c c"},   # fully repeated: 1.0 / 1.0 /
+                                            # bigram "c c" x3 -> 1.0
+    ])
+    got = (repetition_signals(ds).to_pandas()
+           .sort_values("doc_id").reset_index(drop=True))
+    assert list(got["n_tokens"]) == [3, 1, 4]
+    assert np.allclose(got["top_word_frac"], [2 / 3, 1.0, 1.0])
+    assert np.allclose(got["dup_word_frac"], [2 / 3, 0.0, 1.0])
+    assert np.allclose(got["top_bigram_frac"], [1 / 2, 0.0, 1.0])
+
+
+def test_dup_span_stats_hand_example(ray_session):
+    import ray.data as rd
+
+    from wned_ray.pipelines.datawork import dup_span_stats
+
+    ds = rd.from_items([
+        # docs 0 and 1 share the 2-grams "b c" and "c d"; doc 0's "a b"
+        # and doc 1's "e b" are unique; doc 2 shares nothing; doc 3 is
+        # below n tokens and must be absent from the output
+        {"doc_id": 0, "text": "a b c d"},
+        {"doc_id": 1, "text": "e b c d"},
+        {"doc_id": 2, "text": "p q r"},
+        {"doc_id": 3, "text": "z"},
+    ])
+    got = (dup_span_stats(ds, n=2, num_partitions=2).to_pandas()
+           .sort_values("doc_id").reset_index(drop=True))
+    assert list(got["doc_id"]) == [0, 1, 2]
+    assert list(got["n_grams"]) == [3, 3, 2]
+    assert list(got["n_dup_grams"]) == [2, 2, 0]
+    assert np.allclose(got["dup_frac"], [2 / 3, 2 / 3, 0.0])

@@ -407,6 +407,230 @@ def ngram_jaccard_dedup(ds, id_col: str = "doc_id", text_col: str = "text",
             .filter(expr=f"jaccard >= {threshold}"))
 
 
+# ---------------------------------------- decontamination / repetition / spans
+
+_INT63 = np.uint64(0x7FFF_FFFF_FFFF_FFFF)
+
+
+def _batch_word_grams(batch: pa.Table, text_col: str, n: int,
+                      distinct: bool = True):
+    """Per-row word-n-gram hashes for one Arrow batch.
+
+    Tokenization matches ngram_jaccard_dedup and its DuckDB twin exactly:
+    lowercase, collapse whitespace, trim, split on single spaces; rows
+    with fewer than ``n`` tokens contribute zero grams. Returns
+    ``(row_idx uint64, gram uint64, nrows)`` with per-row DISTINCT grams
+    when ``distinct`` (the set semantics every consumer below wants),
+    else all positions in order. Fully vectorized — the UTF-8 buffers
+    are viewed zero-copy and the rolling gram combine runs once over the
+    flat token-hash array (functions/minhash.word_ngram_hashes)."""
+    from wned_ray.functions.minhash import (whole_string_hashes,
+                                            word_ngram_hashes)
+
+    nrows = batch.num_rows
+    x = pc.utf8_lower(batch[text_col])
+    x = pc.replace_substring_regex(x, r"\s+", " ")
+    x = pc.utf8_trim_whitespace(x)
+    toks = pc.split_pattern(x, " ")
+    flat = pc.list_flatten(toks)
+    th = whole_string_hashes(flat)
+    lens = pc.fill_null(pc.list_value_length(toks), 0)
+    lens = lens.to_numpy(zero_copy_only=False).astype(np.int64)
+    row_off = np.zeros(nrows + 1, np.int64)
+    np.cumsum(lens, out=row_off[1:])
+    grams, goff = word_ngram_hashes(th, row_off, n)
+    if len(grams) == 0:
+        return np.zeros(0, np.uint64), np.zeros(0, np.uint64), nrows
+    row_idx = np.repeat(np.arange(nrows, dtype=np.uint64), np.diff(goff))
+    if not distinct:
+        return row_idx, grams, nrows
+    uniq = np.unique(np.stack([row_idx, grams], axis=1), axis=0)
+    return uniq[:, 0], uniq[:, 1], nrows
+
+
+def _make_gram_explode(id_col: str, text_col: str, n: int):
+    """map_batches fn: rows -> DISTINCT (id, gram int63, sz) gram rows,
+    ``sz`` = the row's distinct-gram-set size riding along (the
+    ngram_jaccard explode discipline — text itself never shuffles)."""
+    def explode(batch: pa.Table) -> pa.Table:
+        rows, grams, nrows = _batch_word_grams(batch, text_col, n)
+        if len(grams) == 0:
+            return pa.table({id_col: batch[id_col].slice(0, 0),
+                             "gram": pa.array([], pa.int64()),
+                             "sz": pa.array([], pa.int64())})
+        r = rows.astype(np.int64)
+        sz = np.bincount(r, minlength=nrows)
+        return pa.table({
+            id_col: batch[id_col].take(pa.array(r, pa.int64())),
+            "gram": pa.array((grams & _INT63).astype(np.int64)),
+            "sz": pa.array(sz[r], pa.int64()),
+        })
+    return explode
+
+
+def decontaminate(train_ds, eval_ds, id_col: str = "doc_id",
+                  text_col: str = "text", n: int = 4):
+    """Benchmark decontamination: flag every training document sharing
+    at least one word n-gram with an evaluation corpus — the n-gram
+    overlap discipline of GPT-3's appendix C (Brown et al. 2020) and the
+    Pile's decontamination pass, at exact-n-gram granularity.
+
+    Shape: the eval side is benchmark-sized BY DEFINITION, so its
+    distinct gram-hash set is collected once on the driver (bounded
+    broadcast, SCALE.md discipline) and shipped via ``ray.put``; the
+    training side streams through ONE stateless ``map_batches`` probing
+    the sorted int64 array with ``np.searchsorted``. No shuffle at all:
+    the naive join-on-gram formulation is replaced by the broadcast,
+    the right trade whenever |eval grams| << |train grams| (always, for
+    decontamination). Every train row is kept in the output:
+    ``(id, n_hit_grams, contaminated)`` with ``n_hit_grams`` counting
+    the row's DISTINCT grams present in the eval set."""
+    import ray
+
+    explode = _make_gram_explode(id_col, text_col, n)
+    parts = [b["gram"].to_numpy(zero_copy_only=False)
+             for b in (eval_ds.select_columns([id_col, text_col])
+                       .map_batches(explode, batch_format="pyarrow")
+                       .iter_batches(batch_format="pyarrow"))
+             if b.num_rows]
+    ev = (np.unique(np.concatenate(parts)) if parts
+          else np.zeros(0, np.int64))
+    ev_ref = ray.put(ev)
+
+    def probe(batch: pa.Table) -> pa.Table:
+        ev = ray.get(ev_ref)                 # plasma-cached, zero-copy view
+        rows, grams, nrows = _batch_word_grams(batch, text_col, n)
+        n_hit = np.zeros(nrows, np.int64)
+        if len(grams) and len(ev):
+            g = (grams & _INT63).astype(np.int64)
+            pos = np.minimum(np.searchsorted(ev, g), len(ev) - 1)
+            hit = ev[pos] == g
+            n_hit = np.bincount(rows.astype(np.int64)[hit],
+                                minlength=nrows).astype(np.int64)
+        return pa.table({
+            id_col: batch[id_col],
+            "n_hit_grams": pa.array(n_hit),
+            "contaminated": pa.array((n_hit > 0).astype(np.int64)),
+        })
+
+    return (train_ds.select_columns([id_col, text_col])
+            .map_batches(probe, batch_format="pyarrow"))
+
+
+def repetition_signals(ds, id_col: str = "doc_id", text_col: str = "text"):
+    """Gopher-style within-document repetition quality signals (Rae et
+    al. 2021 §A1.1): fraction of tokens taken by the most frequent word,
+    fraction of tokens occurring more than once, and fraction of 2-gram
+    positions taken by the most frequent 2-gram.
+
+    Shape: stateless single-pass ``map_batches`` — per batch, one flat
+    token-hash array, one ``np.unique`` over (row, token) pairs with
+    counts, and segmented ``maximum.reduceat`` / ``bincount`` reductions.
+    No shuffle, no per-row Python; the signals join the quality_scores
+    family as curation-filter inputs."""
+    def rep(batch: pa.Table) -> pa.Table:
+        nrows = batch.num_rows
+        rows1, toks, _ = _batch_word_grams(batch, text_col, 1,
+                                           distinct=False)
+        n_tok = np.bincount(rows1.astype(np.int64), minlength=nrows)
+
+        def seg_max_counts(rows_u: np.ndarray, cnt: np.ndarray):
+            """rows_u sorted ascending -> per-row max(cnt), 0 if absent."""
+            per_row = np.bincount(rows_u, minlength=nrows)
+            starts = np.zeros(nrows, np.int64)
+            if nrows > 1:
+                np.cumsum(per_row[:-1], out=starts[1:])
+            mx = np.zeros(nrows, np.int64)
+            ne = per_row > 0
+            if cnt.size and ne.any():
+                mx[ne] = np.maximum.reduceat(cnt, starts[ne])
+            return mx
+
+        top = np.zeros(nrows, np.int64)
+        dup = np.zeros(nrows, np.int64)
+        if len(toks):
+            u, cnt = np.unique(np.stack([rows1, toks], axis=1), axis=0,
+                               return_counts=True)
+            ru = u[:, 0].astype(np.int64)
+            top = seg_max_counts(ru, cnt)
+            dup = np.bincount(ru, weights=np.where(cnt > 1, cnt, 0),
+                              minlength=nrows).astype(np.int64)
+
+        rows2, g2, _ = _batch_word_grams(batch, text_col, 2,
+                                         distinct=False)
+        n_g2 = np.bincount(rows2.astype(np.int64), minlength=nrows)
+        top2 = np.zeros(nrows, np.int64)
+        if len(g2):
+            u2, cnt2 = np.unique(np.stack([rows2, g2], axis=1), axis=0,
+                                 return_counts=True)
+            top2 = seg_max_counts(u2[:, 0].astype(np.int64), cnt2)
+
+        d_tok = np.maximum(n_tok, 1).astype(np.float64)
+        d_g2 = np.maximum(n_g2, 1).astype(np.float64)
+        return pa.table({
+            id_col: batch[id_col],
+            "n_tokens": pa.array(n_tok.astype(np.int64)),
+            "top_word_frac": pa.array(top / d_tok),
+            "dup_word_frac": pa.array(dup / d_tok),
+            "top_bigram_frac": pa.array(top2 / d_g2),
+        })
+
+    return (ds.select_columns([id_col, text_col])
+            .map_batches(rep, batch_format="pyarrow"))
+
+
+def dup_span_stats(ds, id_col: str = "doc_id", text_col: str = "text",
+                   n: int = 5, num_partitions: int = 16):
+    """Per-document duplicated-span statistics: how many of a doc's
+    DISTINCT word n-grams appear in more than one document — the
+    exact-substring-duplication signal of Lee et al. 2022
+    ("Deduplicating Training Data Makes Language Models Better"), at
+    word-window granularity instead of a suffix array.
+
+    Shape: one distinct-gram explode (int63 gram hashes — text never
+    shuffles) -> ``groupby(gram).count()`` (count-combiner shuffle) =
+    docs-per-gram -> filter nd > 1 -> distributed inner hash join back
+    to the exploded rows -> per-doc count. The join output is LINEAR in
+    gram occurrences (each exploded row matches at most one nd row) —
+    the deliberate contrast with ngram_jaccard_dedup's quadratic
+    self-join; hot boilerplate grams cost their occurrence count, never
+    a pair blowup. Docs with fewer than ``n`` tokens contribute no grams
+    and are absent, matching the SQL twin."""
+    from ray.data.aggregate import Count, Min
+
+    from wned_ray.util import safe_partitions
+
+    exploded = (ds.select_columns([id_col, text_col])
+                .map_batches(_make_gram_explode(id_col, text_col, n),
+                             batch_format="pyarrow")
+                .materialize())           # consumed three times below
+    num_partitions = safe_partitions(num_partitions, rows=exploded.count())
+    totals = exploded.groupby(id_col).aggregate(
+        Min("sz", alias_name="n_grams"))
+    nd = (exploded.groupby("gram").aggregate(Count(alias_name="nd"))
+          .filter(expr="nd > 1"))
+    dup_counts = (exploded.select_columns([id_col, "gram"])
+                  .join(nd, join_type="inner",
+                        num_partitions=num_partitions, on=("gram",))
+                  .groupby(id_col)
+                  .aggregate(Count(alias_name="n_dup_grams")))
+    out = totals.join(dup_counts, join_type="left_outer",
+                      num_partitions=num_partitions, on=(id_col,))
+
+    def finish(batch: pa.Table) -> pa.Table:
+        ndup = pc.fill_null(batch["n_dup_grams"], 0)
+        frac = pc.divide(pc.cast(ndup, pa.float64()),
+                         pc.cast(batch["n_grams"], pa.float64()))
+        return pa.table({
+            id_col: batch[id_col],
+            "n_grams": batch["n_grams"],
+            "n_dup_grams": pc.cast(ndup, pa.int64()),
+            "dup_frac": frac,
+        })
+
+    return out.map_batches(finish, batch_format="pyarrow")
+
+
 # ------------------------------------------------------------------- SimHash
 
 def simhash(ds, id_col: str, text_col: str = "text", seed: int = 42):
