@@ -1453,3 +1453,17 @@ def test_dup_span_stats_hand_example(ray_session):
     assert list(got["n_grams"]) == [3, 3, 2]
     assert list(got["n_dup_grams"]) == [2, 2, 0]
     assert np.allclose(got["dup_frac"], [2 / 3, 2 / 3, 0.0])
+
+
+def test_dup_span_join_path_equals_fast_path(docs):
+    from wned_ray.pipelines.datawork import dup_span_stats
+
+    fast = (dup_span_stats(docs, n=5).to_pandas()
+            .sort_values("doc_id").reset_index(drop=True))
+    dist = (dup_span_stats(docs, n=5, driver_max_rows=0).to_pandas()
+            .sort_values("doc_id").reset_index(drop=True))
+    assert list(fast["doc_id"]) == list(dist["doc_id"])
+    assert list(fast["n_grams"]) == list(dist["n_grams"])
+    assert list(fast["n_dup_grams"]) == list(dist["n_dup_grams"])
+    assert np.allclose(fast["dup_frac"], dist["dup_frac"])
+    assert fast["n_dup_grams"].sum() > 0          # non-degenerate corpus

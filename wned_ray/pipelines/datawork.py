@@ -579,8 +579,47 @@ def repetition_signals(ds, id_col: str = "doc_id", text_col: str = "text"):
             .map_batches(rep, batch_format="pyarrow"))
 
 
+def _dup_span_local(exploded, id_col: str):
+    """Driver twin of the dup-span join plan: one vectorized pass over
+    the collected (id, gram, sz) rows — sort grams, run-length
+    docs-per-gram, bincount per-doc dup counts. Same semantics, none of
+    the shuffle-wave fixed cost (norm_pairs_driver_max_rows discipline:
+    the exploded table is corpus-VOCABULARY-shaped at this size)."""
+    import ray
+    import ray.data as rd
+
+    parts = [t for t in ray.get(exploded.to_arrow_refs())
+             if t.num_columns > 0 and t.num_rows > 0]
+    empty = pa.table({id_col: pa.array([], pa.int64()),
+                      "n_grams": pa.array([], pa.int64()),
+                      "n_dup_grams": pa.array([], pa.int64()),
+                      "dup_frac": pa.array([], pa.float64())})
+    if not parts:
+        return rd.from_arrow(empty)
+    t = pa.concat_tables(parts).combine_chunks()
+    ids_all = t[id_col].to_numpy(zero_copy_only=False)
+    grams = t["gram"].to_numpy(zero_copy_only=False)
+    sz_all = t["sz"].to_numpy(zero_copy_only=False)
+    icodes, ivals = pd.factorize(ids_all)
+    n_grams = np.zeros(len(ivals), np.int64)
+    n_grams[icodes] = sz_all                     # sz constant per doc
+    order = np.argsort(grams, kind="stable")
+    g = grams[order]
+    runs = np.flatnonzero(np.r_[True, g[1:] != g[:-1]])
+    lens = np.diff(np.r_[runs, len(g)])
+    dup_row = np.repeat(lens > 1, lens)          # row's gram in >1 doc
+    n_dup = np.bincount(icodes[order][dup_row], minlength=len(ivals))
+    return rd.from_arrow(pa.table({
+        id_col: pa.array(ivals),
+        "n_grams": pa.array(n_grams),
+        "n_dup_grams": pa.array(n_dup.astype(np.int64)),
+        "dup_frac": pa.array(n_dup / np.maximum(n_grams, 1)),
+    }))
+
+
 def dup_span_stats(ds, id_col: str = "doc_id", text_col: str = "text",
-                   n: int = 5, num_partitions: int = 16):
+                   n: int = 5, num_partitions: int = 16,
+                   driver_max_rows: int = 4_000_000):
     """Per-document duplicated-span statistics: how many of a doc's
     DISTINCT word n-grams appear in more than one document — the
     exact-substring-duplication signal of Lee et al. 2022
@@ -604,7 +643,12 @@ def dup_span_stats(ds, id_col: str = "doc_id", text_col: str = "text",
                 .map_batches(_make_gram_explode(id_col, text_col, n),
                              batch_format="pyarrow")
                 .materialize())           # consumed three times below
-    num_partitions = safe_partitions(num_partitions, rows=exploded.count())
+    n_exploded = exploded.count()
+    if n_exploded <= driver_max_rows:
+        # driver fast path (equivalence pytest-gated); the distributed
+        # plan below is the scale path past the cap
+        return _dup_span_local(exploded, id_col)
+    num_partitions = safe_partitions(num_partitions, rows=n_exploded)
     totals = exploded.groupby(id_col).aggregate(
         Min("sz", alias_name="n_grams"))
     nd = (exploded.groupby("gram").aggregate(Count(alias_name="nd"))
