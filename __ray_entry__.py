@@ -2181,6 +2181,18 @@ def _q_dup_span_docs(sf_dir: str):
     return out.map_batches(r, batch_format="pyarrow")
 
 
+def _q_bpe_token_count_docs(sf_dir: str):
+    """Whitespace + BPE-ish (GPT-2-style pre-tokenizer regex) token
+    counts per doc (datawork.bpe_token_count) — the tokenizer-cost proxy
+    of the training-data brief; identical RE2 pattern in the oracle."""
+    from wned_ray.pipelines.datawork import bpe_token_count
+
+    ds = _rd().read_parquet(f"{sf_dir}/documents.parquet",
+                            columns=["doc_id", "text"])
+    return bpe_token_count(ds).select_columns(
+        ["doc_id", "n_ws_tokens", "n_bpe_tokens"])
+
+
 def _q_er_bcubed(sf_dir: str):
     """B-cubed precision/recall/F1 of the flagship linkage clustering vs
     gold entity classes (evaluate.bcubed_metrics) — the per-mention ER
@@ -2366,6 +2378,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "decontaminate_docs": _q_decontaminate_docs,
         "repetition_docs": _q_repetition_docs,
         "dup_span_docs": _q_dup_span_docs,
+        "bpe_token_count_docs": _q_bpe_token_count_docs,
         "er_bcubed": _q_er_bcubed,      # rows-only: pytest hand example
         "er_pr_curve": _q_er_pr_curve,  # rows-only: pytest exactness
         "er_fs_em": _q_er_fs_em,        # rows-only: pytest EM recovery
@@ -3018,6 +3031,18 @@ def oracle_sql() -> dict[str, str]:
             "AS dup_frac "
             "FROM s LEFT JOIN d USING (doc_id)"
         ),
+        # identical RE2 pattern on both sides (Arrow and DuckDB both
+        # compile RE2 with leftmost-first alternation), so the match
+        # counts are exact twins
+        "bpe_token_count_docs": (
+            "SELECT doc_id, "
+            r"CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) "
+            "AS n_ws_tokens, "
+            "CAST(len(regexp_extract_all(text, '"
+            + _BPE_PAT.replace("'", "''") +
+            "')) AS BIGINT) AS n_bpe_tokens "
+            "FROM documents"
+        ),
     }
 
 
@@ -3026,6 +3051,7 @@ def _sql_list(words) -> str:
 
 
 # the lang_id heuristic's vocab lists, mirrored into the oracle SQL
+from wned_ray.pipelines.datawork import BPE_ISH_PATTERN as _BPE_PAT  # noqa: E402
 from wned_ray.pipelines.datawork import _DE_STOP as _LID_DE  # noqa: E402
 from wned_ray.pipelines.datawork import _EN_STOP as _LID_EN  # noqa: E402
 from wned_ray.pipelines.datawork import _FR_STOP as _LID_FR  # noqa: E402

@@ -1467,3 +1467,23 @@ def test_dup_span_join_path_equals_fast_path(docs):
     assert list(fast["n_dup_grams"]) == list(dist["n_dup_grams"])
     assert np.allclose(fast["dup_frac"], dist["dup_frac"])
     assert fast["n_dup_grams"].sum() > 0          # non-degenerate corpus
+
+
+def test_bpe_token_count_matches_re(ray_session):
+    import re
+
+    import ray.data as rd
+
+    from wned_ray.pipelines.datawork import BPE_ISH_PATTERN, bpe_token_count
+
+    texts = ["I'll don't re-match 1234x!!  ok", "", "a b", "42", "...'s"]
+    ds = rd.from_items([{"doc_id": i, "text": t}
+                        for i, t in enumerate(texts)])
+    got = (bpe_token_count(ds).to_pandas()
+           .sort_values("doc_id").reset_index(drop=True))
+    pat = re.compile(BPE_ISH_PATTERN)
+    want_bpe = [len(pat.findall(t)) for t in texts]
+    want_ws = [len(re.findall(r"\S+", t)) for t in texts]
+    assert list(got["n_bpe_tokens"]) == want_bpe
+    assert list(got["n_ws_tokens"]) == want_ws
+    assert want_bpe[0] > want_ws[0]     # BPE-ish splits finer than ws

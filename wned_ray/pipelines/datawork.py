@@ -1397,6 +1397,32 @@ def token_count(ds, text_col: str = "text"):
     return ds.map_batches(tc, batch_format="pyarrow")
 
 
+# GPT-2-style pre-tokenizer pattern, RE2-safe (no lookahead, no unicode
+# category classes): contractions, space-prefixed letter runs, digit
+# runs, punctuation runs, residual whitespace. The SQL oracle uses the
+# IDENTICAL pattern (DuckDB is RE2 too), so counts are exact twins.
+BPE_ISH_PATTERN = (
+    r"'s|'t|'re|'ve|'m|'ll|'d"
+    r"| ?[A-Za-z]+| ?[0-9]+| ?[^\sA-Za-z0-9]+|\s+"
+)
+
+
+def bpe_token_count(ds, text_col: str = "text"):
+    """BPE-ish token counts beside the whitespace count: the number of
+    GPT-2-style pre-tokenizer matches per row — the standard proxy for
+    'how many tokens will the tokenizer emit' when the real BPE vocab
+    isn't in the container. One vectorized RE2 count per batch, no
+    shuffle (same shape as token_count)."""
+    def tc(batch: pa.Table) -> pa.Table:
+        ws = pc.count_substring_regex(batch[text_col], r"\S+")
+        bpe = pc.count_substring_regex(batch[text_col], BPE_ISH_PATTERN)
+        return (batch
+                .append_column("n_ws_tokens", pc.cast(ws, pa.int64()))
+                .append_column("n_bpe_tokens", pc.cast(bpe, pa.int64())))
+
+    return ds.map_batches(tc, batch_format="pyarrow")
+
+
 def _epoch_us(s: pd.Series) -> np.ndarray:
     """Epoch-microsecond int64 from a timestamp series of ANY unit.
 
