@@ -2133,7 +2133,8 @@ def _q_decontaminate_docs(sf_dir: str):
 
     train = ds.map_batches(_mod10(False), batch_format="pyarrow")
     ev = ds.map_batches(_mod10(True), batch_format="pyarrow")
-    return decontaminate(train, ev, n=4)
+    return (decontaminate(train, ev, n=4)
+            .select_columns(["doc_id", "n_hit_grams", "contaminated"]))
 
 
 def _q_repetition_docs(sf_dir: str):

@@ -153,3 +153,45 @@ def test_curate_corpus_scrub_stage(ray_session, tmp_path):
     assert all("@" not in t for t in got["text"])
     assert "n_phone" in got.columns and int(got["n_phone"].sum()) == 0
     assert stats["n_final"] == len(got)
+
+
+def test_curate_repetition_and_decontam_stages(ray_session, corpus,
+                                               tmp_path):
+    """Planted fates for the two round-4 funnel additions: a repetitive
+    doc dies at the Gopher filter; a doc sharing a 4-gram with the eval
+    set dies at decontamination; the original survivors still survive."""
+    import duckdb
+
+    from wned_ray.pipelines.curate import curate_corpus
+
+    base = duckdb.sql(
+        f"SELECT * FROM read_parquet('{corpus}')").df()
+    extra = pd.DataFrame({
+        "doc_id": [8, 9],
+        "text": [
+            # >60% of tokens are one word -> top_word_frac filter
+            "spam spam spam spam spam spam spam spam one two three four",
+            # contains the eval 4-gram "alpha beta gamma delta"
+            "we mention alpha beta gamma delta inside a normal document "
+            "about the forest and other things people like to read",
+        ],
+    })
+    docs_p = str(tmp_path / "docs2.parquet")
+    pd.concat([base, extra], ignore_index=True).to_parquet(docs_p)
+    ev_p = str(tmp_path / "eval.parquet")
+    pd.DataFrame({
+        "doc_id": [1000],
+        "text": ["alpha beta gamma delta is an eval question"],
+    }).to_parquet(ev_p)
+
+    out_dir = str(tmp_path / "curated2")
+    stats = curate_corpus(docs_p, out_dir, lang_keep=("en",), min_tokens=5,
+                          max_punct_ratio=0.2, jaccard_threshold=0.6,
+                          num_partitions=4, max_top_word_frac=0.5,
+                          decontam_eval_path=ev_p)
+    # doc 8 dies at repetition (inside n_lang_quality), doc 9 at decontam
+    assert stats["n_lang_quality"] == 6          # 5 originals + doc 9
+    assert stats["n_after_decontam"] == 5
+    assert stats["n_final"] == 3
+    kept = pq.read_table(out_dir).to_pandas()
+    assert sorted(kept["doc_id"]) == [0, 1, 2]

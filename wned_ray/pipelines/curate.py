@@ -75,7 +75,11 @@ def curate_corpus(docs_path: str, out_dir: str, lang_keep=("en",),
                   jaccard_threshold: float = 0.8,
                   checkpoint_dir: str | None = None,
                   num_partitions: int = 16,
-                  scrub: bool = False) -> dict:
+                  scrub: bool = False,
+                  max_top_word_frac: float | None = None,
+                  max_dup_word_frac: float | None = None,
+                  decontam_eval_path: str | None = None,
+                  decontam_n: int = 4) -> dict:
     """Run the full curation flow over ``docs_path`` and write the kept
     documents to ``out_dir`` partitioned by predicted language
     (``out_dir/lang_pred=xx/*.parquet``). Returns the stage-by-stage
@@ -91,7 +95,14 @@ def curate_corpus(docs_path: str, out_dir: str, lang_keep=("en",),
     AFTER dedup — duplicates are detected on the raw bytes (scrubbing
     first would alias distinct docs that differ only inside a redacted
     span) and only surviving rows pay the rewrite. The written ``text``
-    is then the scrubbed form, and per-category hit counts ride along."""
+    is then the scrubbed form, and per-category hit counts ride along.
+
+    ``max_top_word_frac`` / ``max_dup_word_frac`` (Gopher §A1.1 rules)
+    add the within-doc repetition filter to the quality stage — same
+    stateless pass, zero extra shuffles. ``decontam_eval_path`` inserts
+    benchmark decontamination (datawork.decontaminate) after the
+    quality/repetition stage and BEFORE dedup, so contaminated docs
+    never pay the dedup shuffles; the eval-set grams broadcast once."""
     import ray.data as rd
 
     from wned_ray.pipelines.datawork import (bloom_semi_join, exact_dedup,
@@ -108,13 +119,23 @@ def curate_corpus(docs_path: str, out_dir: str, lang_keep=("en",),
         expr=" or ".join(f"lang_pred == '{l}'" for l in lang_keep))
 
     q = quality_scores(by_lang)
-    good_lazy = (q.filter(expr=f"n_tokens >= {min_tokens} and "
-                               f"punct_ratio <= {max_punct_ratio}")
-                 # slim the payload that rides through both dedup shuffles
-                 .select_columns(["doc_id", "text", "lang_pred"]))
+    good_lazy = q.filter(expr=f"n_tokens >= {min_tokens} and "
+                              f"punct_ratio <= {max_punct_ratio}")
+    if max_top_word_frac is not None or max_dup_word_frac is not None:
+        from wned_ray.pipelines.datawork import repetition_signals
+
+        rep_expr = " and ".join(
+            f"{col} <= {cap}" for col, cap in
+            (("top_word_frac", max_top_word_frac),
+             ("dup_word_frac", max_dup_word_frac)) if cap is not None)
+        good_lazy = repetition_signals(good_lazy).filter(expr=rep_expr)
+    # slim the payload that rides through both dedup shuffles
+    good_lazy = good_lazy.select_columns(["doc_id", "text", "lang_pred"])
 
     fp_base = lineage_fingerprint(docs_path, langs, min_tokens,
-                                  max_punct_ratio, jaccard_threshold)
+                                  max_punct_ratio, jaccard_threshold,
+                                  max_top_word_frac, max_dup_word_frac,
+                                  decontam_eval_path, decontam_n)
 
     # Multi-consumer stages pin through the CHECKPOINT when one is set —
     # partitioned parquet on disk, resumable, re-read in parallel — and
@@ -131,6 +152,18 @@ def curate_corpus(docs_path: str, out_dir: str, lang_keep=("en",),
 
     good = _pin(lambda: good_lazy, "curate_good")
     n_good = good.count()
+    n_decontam = None
+    if decontam_eval_path:
+        from wned_ray.pipelines.datawork import decontaminate
+
+        ev = rd.read_parquet(decontam_eval_path,
+                             columns=["doc_id", "text"])
+        good = _pin(
+            lambda: (decontaminate(good, ev, n=decontam_n)
+                     .filter(expr="contaminated == 0")
+                     .drop_columns(["n_hit_grams", "contaminated"])),
+            "curate_decontam")
+        n_decontam = good.count()
     keeps = _pin(lambda: exact_dedup(good, id_col="doc_id"),
                  "curate_exact_keep")
     exact_kept = _pin(
@@ -184,6 +217,8 @@ def curate_corpus(docs_path: str, out_dir: str, lang_keep=("en",),
     return {
         "n_input": n_input,
         "n_lang_quality": n_good,
+        **({"n_after_decontam": n_decontam}
+           if n_decontam is not None else {}),
         "n_after_exact_dedup": n_exact,
         "n_final": n_final,
         "n_near_dup_dropped": n_exact - n_final,

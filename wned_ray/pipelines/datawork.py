@@ -482,9 +482,10 @@ def decontaminate(train_ds, eval_ds, id_col: str = "doc_id",
     the sorted int64 array with ``np.searchsorted``. No shuffle at all:
     the naive join-on-gram formulation is replaced by the broadcast,
     the right trade whenever |eval grams| << |train grams| (always, for
-    decontamination). Every train row is kept in the output:
-    ``(id, n_hit_grams, contaminated)`` with ``n_hit_grams`` counting
-    the row's DISTINCT grams present in the eval set."""
+    decontamination). Every train row is kept, with ``n_hit_grams``
+    (the row's DISTINCT grams present in the eval set) and a 0/1
+    ``contaminated`` flag APPENDED — so the op chains straight into a
+    filter inside the curation funnel without a re-join."""
     import ray
 
     explode = _make_gram_explode(id_col, text_col, n)
@@ -507,14 +508,15 @@ def decontaminate(train_ds, eval_ds, id_col: str = "doc_id",
             hit = ev[pos] == g
             n_hit = np.bincount(rows.astype(np.int64)[hit],
                                 minlength=nrows).astype(np.int64)
-        return pa.table({
-            id_col: batch[id_col],
-            "n_hit_grams": pa.array(n_hit),
-            "contaminated": pa.array((n_hit > 0).astype(np.int64)),
-        })
+        drop = [c for c in ("n_hit_grams", "contaminated")
+                if c in batch.column_names]
+        out = batch.drop(drop) if drop else batch
+        return (out
+                .append_column("n_hit_grams", pa.array(n_hit))
+                .append_column("contaminated",
+                               pa.array((n_hit > 0).astype(np.int64))))
 
-    return (train_ds.select_columns([id_col, text_col])
-            .map_batches(probe, batch_format="pyarrow"))
+    return train_ds.map_batches(probe, batch_format="pyarrow")
 
 
 def repetition_signals(ds, id_col: str = "doc_id", text_col: str = "text"):
@@ -567,16 +569,16 @@ def repetition_signals(ds, id_col: str = "doc_id", text_col: str = "text"):
 
         d_tok = np.maximum(n_tok, 1).astype(np.float64)
         d_g2 = np.maximum(n_g2, 1).astype(np.float64)
-        return pa.table({
-            id_col: batch[id_col],
-            "n_tokens": pa.array(n_tok.astype(np.int64)),
-            "top_word_frac": pa.array(top / d_tok),
-            "dup_word_frac": pa.array(dup / d_tok),
-            "top_bigram_frac": pa.array(top2 / d_g2),
-        })
+        drop = [c for c in ("n_tokens", "top_word_frac", "dup_word_frac",
+                            "top_bigram_frac") if c in batch.column_names]
+        out = batch.drop(drop) if drop else batch
+        return (out
+                .append_column("n_tokens", pa.array(n_tok.astype(np.int64)))
+                .append_column("top_word_frac", pa.array(top / d_tok))
+                .append_column("dup_word_frac", pa.array(dup / d_tok))
+                .append_column("top_bigram_frac", pa.array(top2 / d_g2)))
 
-    return (ds.select_columns([id_col, text_col])
-            .map_batches(rep, batch_format="pyarrow"))
+    return ds.map_batches(rep, batch_format="pyarrow")
 
 
 def _dup_span_local(exploded, id_col: str):
