@@ -2182,6 +2182,29 @@ def _q_dup_span_docs(sf_dir: str):
     return out.map_batches(r, batch_format="pyarrow")
 
 
+def _q_rolling_window_events(sf_dir: str):
+    """Rolling ROWS-frame avg/max over each user's ordered events
+    (datawork.rolling_window_agg, window=4) — the sliding-frame ANSI
+    window shape; one key shuffle."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from wned_ray.pipelines.datawork import rolling_window_agg
+
+    ds = _rd().read_parquet(f"{sf_dir}/events.parquet",
+                            columns=["event_id", "user_id", "ts", "value"])
+    out = rolling_window_agg(ds, window=4)
+
+    def r(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "event_id": batch["event_id"], "user_id": batch["user_id"],
+            "roll_avg": pc.round(batch["roll_avg"], ndigits=_ROUND),
+            "roll_max": pc.round(batch["roll_max"], ndigits=_ROUND),
+        })
+
+    return out.map_batches(r, batch_format="pyarrow")
+
+
 def _q_bpe_token_count_docs(sf_dir: str):
     """Whitespace + BPE-ish (GPT-2-style pre-tokenizer regex) token
     counts per doc (datawork.bpe_token_count) — the tokenizer-cost proxy
@@ -2380,6 +2403,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "repetition_docs": _q_repetition_docs,
         "dup_span_docs": _q_dup_span_docs,
         "bpe_token_count_docs": _q_bpe_token_count_docs,
+        "rolling_window_events": _q_rolling_window_events,
         "er_bcubed": _q_er_bcubed,      # rows-only: pytest hand example
         "er_pr_curve": _q_er_pr_curve,  # rows-only: pytest exactness
         "er_fs_em": _q_er_fs_em,        # rows-only: pytest EM recovery
@@ -3043,6 +3067,16 @@ def oracle_sql() -> dict[str, str]:
             + _BPE_PAT.replace("'", "''") +
             "')) AS BIGINT) AS n_bpe_tokens "
             "FROM documents"
+        ),
+        "rolling_window_events": (
+            "SELECT event_id, user_id, "
+            "round(avg(value) OVER (PARTITION BY user_id "
+            "ORDER BY ts, event_id "
+            "ROWS BETWEEN 3 PRECEDING AND CURRENT ROW), 6) AS roll_avg, "
+            "round(max(value) OVER (PARTITION BY user_id "
+            "ORDER BY ts, event_id "
+            "ROWS BETWEEN 3 PRECEDING AND CURRENT ROW), 6) AS roll_max "
+            "FROM events"
         ),
     }
 

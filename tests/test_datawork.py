@@ -1487,3 +1487,19 @@ def test_bpe_token_count_matches_re(ray_session):
     assert list(got["n_bpe_tokens"]) == want_bpe
     assert list(got["n_ws_tokens"]) == want_ws
     assert want_bpe[0] > want_ws[0]     # BPE-ish splits finer than ws
+
+
+def test_rolling_window_agg_hand_example(ray_session):
+    import ray.data as rd
+
+    from wned_ray.pipelines.datawork import rolling_window_agg
+
+    ds = rd.from_items([
+        {"event_id": i, "user_id": "u", "ts": i, "value": v}
+        for i, v in enumerate([1.0, 3.0, 2.0, 10.0, 4.0])
+    ])
+    got = (rolling_window_agg(ds, window=3).to_pandas()
+           .sort_values("event_id").reset_index(drop=True))
+    # frames: [1], [1,3], [1,3,2], [3,2,10], [2,10,4]
+    assert np.allclose(got["roll_avg"], [1.0, 2.0, 2.0, 5.0, 16 / 3])
+    assert np.allclose(got["roll_max"], [1.0, 3.0, 3.0, 10.0, 10.0])

@@ -2109,6 +2109,47 @@ def salted_join(fact_ds, dim_ds, on: str, salt: int = 8,
     return joined.select_columns(out_cols)
 
 
+def rolling_window_agg(ds, key_col: str = "user_id", ts_col: str = "ts",
+                       id_col: str = "event_id", val_col: str = "value",
+                       window: int = 4):
+    """Rolling ROWS-frame aggregate — ``avg(val) / max(val) OVER
+    (PARTITION BY key ORDER BY ts, id ROWS BETWEEN window-1 PRECEDING
+    AND CURRENT ROW)`` — the sliding-frame member of the ANSI window
+    family beside ordered_window_funcs' unbounded frames.
+
+    Shape: ONE hash shuffle by key + a vectorized per-group pass
+    (``sliding_window_view`` row sums for full frames, prefix sums for
+    the ramp-up head; running max via the same view). Partitioning
+    assumption: one key's history fits a worker (the sessionize unit).
+    Frame sums accumulate left-to-right exactly as the SQL frame does."""
+    def roll(g: pd.DataFrame) -> pa.Table:
+        g = g.sort_values([ts_col, id_col])
+        n = len(g)
+        vals = g[val_col].to_numpy(np.float64)
+        avg = np.empty(n, np.float64)
+        mx = np.empty(n, np.float64)
+        head = min(window - 1, n)
+        if head:
+            avg[:head] = np.cumsum(vals[:head]) / np.arange(1, head + 1)
+            mx[:head] = np.maximum.accumulate(vals[:head])
+        if n >= window:
+            from numpy.lib.stride_tricks import sliding_window_view
+
+            frames = sliding_window_view(vals, window)
+            avg[window - 1:] = frames.sum(axis=1) / window
+            mx[window - 1:] = frames.max(axis=1)
+        return pa.table({
+            id_col: pa.Array.from_pandas(g[id_col]),
+            key_col: pa.array(g[key_col].to_numpy()),
+            "roll_avg": pa.array(avg, pa.float64()),
+            "roll_max": pa.array(mx, pa.float64()),
+        })
+
+    return (ds.select_columns([key_col, ts_col, id_col, val_col])
+            .groupby(key_col)
+            .map_groups(roll, batch_format="pandas"))
+
+
 def ordered_window_funcs(ds, key_col: str = "user_id", ts_col: str = "ts",
                          id_col: str = "event_id", val_col: str = "value",
                          out_prefix: str = "", ntile_n: int = 4):
