@@ -2295,6 +2295,63 @@ def _q_er_fs_em(sf_dir: str):
     return pd.DataFrame([row])
 
 
+def _q_json_field_stats(sf_dir: str):
+    """JSON field extraction + aggregate (analytics.json_field_agg):
+    pull the integer ``k`` out of the events ``props`` JSON blob and
+    sum it per event type — vectorized regex extract, partial-agg
+    combiner, dim-sized shuffle."""
+    from wned_ray.pipelines.analytics import json_field_agg
+
+    ds = _rd().read_parquet(f"{sf_dir}/events.parquet",
+                            columns=["event_type", "props"])
+    return json_field_agg(ds, "props", "k", "event_type",
+                          out_n="n", out_sum="sum_k")
+
+
+def _q_profile_lineitem(sf_dir: str):
+    """Streaming column profiler (analytics.profile_columns): one scan
+    of lineitem emits per-column (n, nulls, min, max, e4-scaled sum)
+    for four numeric columns at once."""
+    from wned_ray.pipelines.analytics import profile_columns
+
+    cols = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+    ds = _rd().read_parquet(f"{sf_dir}/lineitem.parquet", columns=cols)
+    return profile_columns(ds, cols)
+
+
+def _q_term_entropy_docs(sf_dir: str):
+    """Per-document Shannon entropy of the token distribution
+    (analytics.term_entropy) — the low-entropy==boilerplate quality
+    signal; zero-shuffle per-batch kernel."""
+    from wned_ray.pipelines.analytics import term_entropy
+
+    ds = _rd().read_parquet(f"{sf_dir}/documents.parquet",
+                            columns=["doc_id", "text"])
+    return term_entropy(ds)
+
+
+def _q_source_vocab_jaccard(sf_dir: str):
+    """Pairwise vocabulary Jaccard between document sources
+    (analytics.vocab_jaccard): distinct (source, term) shuffle, per-term
+    pair emit, dim-sized pair aggregate with broadcast vocab sizes."""
+    from wned_ray.pipelines.analytics import vocab_jaccard
+
+    ds = _rd().read_parquet(f"{sf_dir}/documents.parquet",
+                            columns=["source", "text"])
+    return vocab_jaccard(ds)
+
+
+def _q_users_intersect_except(sf_dir: str):
+    """INTERSECT / EXCEPT over per-event-type user sets in one pass
+    (analytics.set_op_users): clickers tagged 'both' when they also
+    purchased, else 'left_only'."""
+    from wned_ray.pipelines.analytics import set_op_users
+
+    ds = _rd().read_parquet(f"{sf_dir}/events.parquet",
+                            columns=["user_id", "event_type"])
+    return set_op_users(ds)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # ORDER MATTERS: the round driver sweeps this dict in insertion order
     # and records the FIRST 50 entries (round-3 CORRECTNESS captured
@@ -2407,6 +2464,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "er_bcubed": _q_er_bcubed,      # rows-only: pytest hand example
         "er_pr_curve": _q_er_pr_curve,  # rows-only: pytest exactness
         "er_fs_em": _q_er_fs_em,        # rows-only: pytest EM recovery
+        "json_field_stats": _q_json_field_stats,
+        "profile_lineitem": _q_profile_lineitem,
+        "term_entropy_docs": _q_term_entropy_docs,
+        "source_vocab_jaccard": _q_source_vocab_jaccard,
+        "users_intersect_except": _q_users_intersect_except,
     }
 
 
@@ -3077,6 +3139,68 @@ def oracle_sql() -> dict[str, str]:
             "ORDER BY ts, event_id "
             "ROWS BETWEEN 3 PRECEDING AND CURRENT ROW), 6) AS roll_max "
             "FROM events"
+        ),
+        # json_field_agg's regex extract of a flat scalar key is the
+        # semantic twin of json_extract_string on these props blobs
+        "json_field_stats": (
+            "SELECT event_type, "
+            "count(json_extract_string(props, '$.k')) AS n, "
+            "sum(CAST(json_extract_string(props, '$.k') AS DOUBLE)) "
+            "AS sum_k FROM events GROUP BY event_type"
+        ),
+        "profile_lineitem": (
+            "SELECT * FROM ("
+            + " UNION ALL ".join(
+                f"SELECT '{c}' AS \"column\", count(*) AS n, "
+                f"count(*) - count({c}) AS nulls, "
+                f"CAST(min({c}) AS DOUBLE) AS min_v, "
+                f"CAST(max({c}) AS DOUBLE) AS max_v, "
+                f"CAST(floor(sum({c}) * 1e4 + 0.5) AS BIGINT) AS sum_e4 "
+                f"FROM lineitem"
+                for c in ("l_quantity", "l_extendedprice",
+                          "l_discount", "l_tax"))
+            + ")"
+        ),
+        "term_entropy_docs": (
+            "WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) "
+            "AS term FROM documents), "
+            "tf AS (SELECT doc_id, term, count(*) AS c FROM toks "
+            "WHERE term <> '' GROUP BY doc_id, term), "
+            "tot AS (SELECT doc_id, sum(c) AS s FROM tf GROUP BY doc_id), "
+            "ent AS (SELECT tf.doc_id, "
+            "sum(-(c * 1.0 / s) * log2(c * 1.0 / s)) AS h "
+            "FROM tf JOIN tot USING (doc_id) GROUP BY tf.doc_id) "
+            "SELECT d.doc_id, CAST(floor(coalesce(e.h, 0) * 1e4 + 0.5) "
+            "AS BIGINT) AS entropy_e4 "
+            "FROM documents d LEFT JOIN ent e ON d.doc_id = e.doc_id"
+        ),
+        "source_vocab_jaccard": (
+            "WITH v AS (SELECT DISTINCT source, term FROM ("
+            "SELECT source, unnest(string_split(text, ' ')) AS term "
+            "FROM documents) WHERE term <> ''), "
+            "sz AS (SELECT source, count(*) AS nv FROM v GROUP BY source), "
+            "i AS (SELECT a.source AS key_a, b.source AS key_b, "
+            "count(*) AS inter FROM v a JOIN v b ON a.term = b.term "
+            "AND a.source < b.source GROUP BY 1, 2) "
+            "SELECT key_a, key_b, inter, "
+            "sa.nv + sb.nv - inter AS union_sz, "
+            "CAST(floor(inter * 1e6 / (sa.nv + sb.nv - inter) + 0.5) "
+            "AS BIGINT) AS jaccard_e6 "
+            "FROM i JOIN sz sa ON i.key_a = sa.source "
+            "JOIN sz sb ON i.key_b = sb.source"
+        ),
+        # genuinely INTERSECT / EXCEPT in the oracle; the Ray side does
+        # it in one groupby pass instead of three id-space shuffles
+        "users_intersect_except": (
+            "WITH c AS (SELECT DISTINCT user_id FROM events "
+            "WHERE event_type = 'click'), "
+            "p AS (SELECT DISTINCT user_id FROM events "
+            "WHERE event_type = 'purchase') "
+            "SELECT user_id, 'both' AS setop FROM "
+            "(SELECT * FROM c INTERSECT SELECT * FROM p) "
+            "UNION ALL "
+            "SELECT user_id, 'left_only' AS setop FROM "
+            "(SELECT * FROM c EXCEPT SELECT * FROM p)"
         ),
     }
 

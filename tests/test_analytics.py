@@ -391,3 +391,90 @@ def test_pr_curve_exact_vs_reference(ray_session):
         assert row["precision_e6"] == round(prec * 1e6)
     # recall is non-increasing as the threshold rises
     assert (np.diff(got["recall_e6"].to_numpy()) <= 0).all()
+
+
+def test_json_field_agg(ray_session):
+    import ray.data as rd
+
+    from wned_ray.pipelines.analytics import json_field_agg
+
+    df = pd.DataFrame({
+        "g": ["a", "a", "b", "b", "b"],
+        "j": ['{"k": 3}', '{"k": -2}', '{"k": 10}',
+              '{"other": 1}', '{"k": 5, "z": 0}'],
+    })
+    got = (json_field_agg(rd.from_pandas(df), "j", "k", "g",
+                          out_n="n", out_sum="s")
+           .to_pandas().sort_values("g").reset_index(drop=True))
+    # missing key rows excluded from n, contribute 0 to sum
+    assert got["n"].tolist() == [2, 2]
+    assert got["s"].tolist() == [1.0, 15.0]
+
+
+def test_profile_columns(ray_session):
+    import ray.data as rd
+
+    from wned_ray.pipelines.analytics import profile_columns
+
+    df = pd.DataFrame({"x": [1.0, None, 3.0, 2.0],
+                       "y": [10.0, 20.0, 30.0, 40.0]})
+    got = (profile_columns(rd.from_pandas(df), ["x", "y"])
+           .to_pandas().set_index("column"))
+    assert got.loc["x", "n"] == 4 and got.loc["x", "nulls"] == 1
+    assert got.loc["x", "min_v"] == 1.0 and got.loc["x", "max_v"] == 3.0
+    assert got.loc["x", "sum_e4"] == 60000           # 6.0 * 1e4
+    assert got.loc["y", "nulls"] == 0
+    assert got.loc["y", "sum_e4"] == 1000000
+
+
+def test_term_entropy(ray_session):
+    import ray.data as rd
+
+    from wned_ray.pipelines.analytics import term_entropy
+
+    df = pd.DataFrame({
+        "doc_id": [1, 2, 3],
+        "text": ["a b a b",          # p=.5/.5 -> H=1
+                 "x x x x",          # single term -> H=0
+                 ""],                # empty -> H=0
+    })
+    got = (term_entropy(rd.from_pandas(df)).to_pandas()
+           .sort_values("doc_id").reset_index(drop=True))
+    assert got["entropy_e4"].tolist() == [10000, 0, 0]
+
+
+def test_vocab_jaccard(ray_session):
+    import ray.data as rd
+
+    from wned_ray.pipelines.analytics import vocab_jaccard
+
+    df = pd.DataFrame({
+        "source": ["s1", "s1", "s2", "s3"],
+        "text": ["a b c", "c d", "b c e", "zz"],
+    })
+    # vocab: s1={a,b,c,d}, s2={b,c,e}, s3={zz}
+    got = (vocab_jaccard(rd.from_pandas(df)).to_pandas()
+           .sort_values(["key_a", "key_b"]).reset_index(drop=True))
+    # only s1-s2 share terms; s3 absent (inner-join semantics)
+    assert got[["key_a", "key_b"]].values.tolist() == [["s1", "s2"]]
+    assert got["inter"].tolist() == [2]               # {b, c}
+    assert got["union_sz"].tolist() == [5]            # {a,b,c,d,e}
+    assert got["jaccard_e6"].tolist() == [400000]     # 2/5
+
+
+def test_set_op_users(ray_session):
+    import ray.data as rd
+
+    from wned_ray.pipelines.analytics import set_op_users
+
+    df = pd.DataFrame({
+        "user_id": [1, 1, 2, 3, 3, 4],
+        "event_type": ["click", "purchase", "click",
+                       "purchase", "view", "view"],
+    })
+    got = (set_op_users(rd.from_pandas(df)).to_pandas()
+           .sort_values("user_id").reset_index(drop=True))
+    # 1 clicked+purchased, 2 clicked only; 3 purchase-only and 4
+    # view-only are excluded (EXCEPT anchors on the left set)
+    assert got["user_id"].tolist() == [1, 2]
+    assert got["setop"].tolist() == ["both", "left_only"]

@@ -508,3 +508,235 @@ def unpivot(ds, id_cols: list, value_cols: list, var_col: str = "name",
 
     return ds.select_columns(list(id_cols) + list(value_cols)).map_batches(
         melt, batch_format="pyarrow")
+
+
+def json_field_agg(ds, json_col: str, field: str, group_col: str,
+                   out_n: str = "n", out_sum: str = "sum_field"):
+    """Extract an integer field from a flat-JSON string column and
+    aggregate it per group — the "parse the props blob" step every event
+    pipeline has. Extraction is a compiled vectorized regex over the
+    scalar key (semantics of DuckDB ``json_extract_string(j, '$.field')``
+    for flat objects with primitive values; nested objects would need a
+    real parser and are out of contract — documented, not guessed at).
+
+    Scale shape: stateless per-batch extract + per-batch partial
+    aggregation, then ONE dim-sized groupby over (group, partial)
+    partials — the shuffle moves |groups| rows per batch, never events."""
+    import re
+
+    from ray.data.aggregate import Sum
+
+    pat = re.compile(r'"' + re.escape(field) + r'"\s*:\s*(-?\d+)')
+
+    def extract(df: pd.DataFrame) -> pd.DataFrame:
+        vals = df[json_col].str.extract(pat, expand=False).astype("float64")
+        g = (pd.DataFrame({group_col: df[group_col],
+                           "_v": vals.fillna(0.0),
+                           "_c": vals.notna().astype(np.int64)})
+             .groupby(group_col, as_index=False).agg(
+                 _v=("_v", "sum"), _c=("_c", "sum")))
+        return g
+
+    return (ds.select_columns([group_col, json_col])
+            .map_batches(extract, batch_format="pandas")
+            .groupby(group_col)
+            .aggregate(Sum("_c", alias_name=out_n),
+                       Sum("_v", alias_name=out_sum)))
+
+
+def profile_columns(ds, num_cols: list):
+    """Streaming column profiler (the Deequ/data-quality "stats pass"):
+    one scan emits per-column row count, null count, min, max and sum
+    for every numeric column at once. Per-batch partials (5 scalars per
+    column) ride a constant-size shuffle; NO full-column materialization
+    anywhere.
+
+    Output: one row per column — (column, n, nulls, min_v, max_v,
+    sum_e4) with the extrema as float64 and the sum e4-scaled int64 for
+    oracle hashability.
+
+    Scale shape: map_batches partials -> groupby over |num_cols| rows.
+    At 100 TB this is the cheapest possible full-table pass: one read,
+    no row amplification, dim-sized result."""
+    from ray.data.aggregate import Max, Min, Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        rows = []
+        n = batch.num_rows
+        for c in num_cols:
+            col = batch[c]
+            nulls = col.null_count
+            valid = col.drop_null()
+            has = len(valid) > 0
+            mn = pc.min(valid).as_py() if has else None
+            mx = pc.max(valid).as_py() if has else None
+            sm = pc.sum(valid).as_py() if has else 0
+            rows.append((c, n, nulls, mn, mx, float(sm)))
+        t = pa.table({
+            "column": pa.array([r[0] for r in rows]),
+            "_n": pa.array([r[1] for r in rows], pa.int64()),
+            "_nulls": pa.array([r[2] for r in rows], pa.int64()),
+            "_min": pa.array([r[3] for r in rows], pa.float64()),
+            "_max": pa.array([r[4] for r in rows], pa.float64()),
+            "_sum": pa.array([r[5] for r in rows], pa.float64()),
+        })
+        return t
+
+    agg = (ds.select_columns(list(num_cols))
+           .map_batches(partial, batch_format="pyarrow")
+           .groupby("column")
+           .aggregate(Sum("_n", alias_name="n"),
+                      Sum("_nulls", alias_name="nulls"),
+                      Min("_min", alias_name="min_v"),
+                      Max("_max", alias_name="max_v"),
+                      Sum("_sum", alias_name="_sum_f")))
+
+    def finish(batch: pa.Table) -> pa.Table:
+        # floor(x*1e4 + 0.5): half-UP, matching the oracle's
+        # floor(... + 0.5) (pc.round is half-to-even)
+        se4 = pc.cast(pc.floor(pc.add(pc.multiply(batch["_sum_f"], 1e4),
+                                      0.5)), pa.int64())
+        return pa.table({
+            "column": batch["column"],
+            "n": batch["n"], "nulls": batch["nulls"],
+            "min_v": batch["min_v"], "max_v": batch["max_v"],
+            "sum_e4": se4,
+        })
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def term_entropy(ds, id_col: str = "doc_id", text_col: str = "text"):
+    """Per-document Shannon entropy of the whitespace-token distribution
+    — a standard quality / repetition signal (low entropy == template or
+    boilerplate text). Computed entirely within each batch (a document's
+    text lives in one row): explode to (row, term), C-accelerated pandas
+    groupby for term counts, vectorized ``p log2 p``. NO shuffle at all.
+
+    Output: (id, entropy_e4) — e4-scaled int64 (entropy of web text sits
+    in [0, ~10]; 1e-4 granularity is far above float noise)."""
+    def ent(df: pd.DataFrame) -> pd.DataFrame:
+        toks = df[text_col].str.split()
+        lens = toks.str.len().fillna(0).astype(np.int64).to_numpy()
+        flat = pd.DataFrame({
+            "_i": np.repeat(np.arange(len(df)), lens),
+            "_t": [t for lst in toks for t in (lst or [])],
+        })
+        out = np.zeros(len(df), np.float64)
+        if len(flat):
+            cnt = (flat.groupby(["_i", "_t"], sort=False).size()
+                   .reset_index(name="_c"))
+            tot = lens[cnt["_i"].to_numpy()]
+            p = cnt["_c"].to_numpy(np.float64) / tot
+            contrib = -p * np.log2(p)
+            np.add.at(out, cnt["_i"].to_numpy(), contrib)
+        return pd.DataFrame({
+            id_col: df[id_col],
+            "entropy_e4": np.floor(out * 1e4 + 0.5).astype(np.int64),
+        })
+
+    return (ds.select_columns([id_col, text_col])
+            .map_batches(ent, batch_format="pandas"))
+
+
+def vocab_jaccard(ds, key_col: str = "source", text_col: str = "text"):
+    """Pairwise Jaccard similarity between per-key vocabularies (distinct
+    whitespace terms) — "how much do two crawls / sources overlap", the
+    set-similarity complement of the per-document dedup family.
+
+    Shape: per-batch DISTINCT (key, term) pre-dedup -> ONE global
+    distinct shuffle on (key, term) -> per-TERM group emits the
+    (key_a < key_b) co-occurrence pairs (bounded: a term appears in at
+    most |keys| sources, so a group emits <= C(|keys|,2) rows) -> pair
+    count groupby -> broadcast per-key vocab sizes onto the dim-sized
+    pair table. Keys are dim-sized (sources/crawls), terms are not —
+    nothing driver-side ever holds terms.
+
+    Output: (key_a, key_b, inter, union_sz, jaccard_e6), inner-join
+    semantics (pairs sharing no term are absent)."""
+    import ray
+    from ray.data.aggregate import Count, Sum
+
+    def toks(df: pd.DataFrame) -> pd.DataFrame:
+        t = df[text_col].str.split()
+        lens = t.str.len().fillna(0).astype(np.int64).to_numpy()
+        flat = pd.DataFrame({
+            key_col: np.repeat(df[key_col].to_numpy(), lens),
+            "term": [w for lst in t for w in (lst or [])],
+        })
+        return flat.drop_duplicates()
+
+    distinct = (ds.select_columns([key_col, text_col])
+                .map_batches(toks, batch_format="pandas")
+                .groupby([key_col, "term"])
+                .aggregate(Count(alias_name="_c"))
+                .select_columns([key_col, "term"]))
+
+    sizes = (distinct.groupby(key_col)
+             .aggregate(Count(alias_name="_vocab")).to_pandas())
+    size_ref = ray.put(dict(zip(sizes[key_col], sizes["_vocab"])))
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        ks = np.sort(g[key_col].to_numpy())
+        if len(ks) < 2:
+            return pd.DataFrame({"key_a": [], "key_b": [],
+                                 "_one": []}).astype(
+                {"key_a": str, "key_b": str, "_one": np.int64})
+        ia, ib = np.triu_indices(len(ks), k=1)
+        return pd.DataFrame({"key_a": ks[ia], "key_b": ks[ib],
+                             "_one": np.ones(len(ia), np.int64)})
+
+    inter = (distinct.groupby("term")
+             .map_groups(pairs, batch_format="pandas")
+             .groupby(["key_a", "key_b"])
+             .aggregate(Sum("_one", alias_name="inter")))
+
+    class Attach:
+        def __init__(self):
+            self.sizes = ray.get(size_ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            a = [self.sizes[k] for k in batch["key_a"].to_pylist()]
+            b = [self.sizes[k] for k in batch["key_b"].to_pylist()]
+            i = batch["inter"].to_numpy(zero_copy_only=False)
+            u = np.asarray(a, np.int64) + np.asarray(b, np.int64) - i
+            jac = np.floor(i * 1e6 / u + 0.5).astype(np.int64)
+            return pa.table({
+                "key_a": batch["key_a"], "key_b": batch["key_b"],
+                "inter": pc.cast(batch["inter"], pa.int64()),
+                "union_sz": pa.array(u, pa.int64()),
+                "jaccard_e6": pa.array(jac, pa.int64()),
+            })
+
+    return inter.map_batches(Attach, concurrency=2, batch_format="pyarrow")
+
+
+def set_op_users(ds, type_col: str = "event_type", id_col: str = "user_id",
+                 left_type: str = "click", right_type: str = "purchase"):
+    """INTERSECT / EXCEPT over per-type id sets in ONE pass: tags each id
+    present in ``left_type`` events as ``'both'`` (INTERSECT) when it
+    also has ``right_type`` events, else ``'left_only'`` (EXCEPT). One
+    groupby over (id, 2 booleans) partials — NOT two distinct subqueries
+    plus a join, which would shuffle the id space three times.
+
+    Output: (user_id, setop) with setop in {'both', 'left_only'}."""
+    from ray.data.aggregate import Max
+
+    def flags(batch: pa.Table) -> pa.Table:
+        lt = pc.cast(pc.equal(batch[type_col], left_type), pa.int8())
+        rt = pc.cast(pc.equal(batch[type_col], right_type), pa.int8())
+        return pa.table({id_col: batch[id_col], "_l": lt, "_r": rt})
+
+    tagged = (ds.select_columns([id_col, type_col])
+              .map_batches(flags, batch_format="pyarrow")
+              .groupby(id_col)
+              .aggregate(Max("_l", alias_name="_has_l"),
+                         Max("_r", alias_name="_has_r"))
+              .filter(expr="_has_l == 1"))
+
+    def finish(batch: pa.Table) -> pa.Table:
+        op = pc.if_else(pc.equal(batch["_has_r"], 1),
+                        pa.scalar("both"), pa.scalar("left_only"))
+        return pa.table({id_col: batch[id_col], "setop": op})
+
+    return tagged.map_batches(finish, batch_format="pyarrow")
