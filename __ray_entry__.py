@@ -2352,6 +2352,125 @@ def _q_users_intersect_except(sf_dir: str):
     return set_op_users(ds)
 
 
+def _q_merge_upsert_orders(sf_dir: str):
+    """MERGE INTO / upsert (analytics.merge_upsert): a delta of +10%
+    repricings for open orders applied onto the base orders table —
+    delta wins per key, untouched rows pass through. Union + one
+    key shuffle, no join."""
+    import numpy as np
+    import pyarrow as pa
+
+    from wned_ray.pipelines.analytics import merge_upsert
+
+    base = _rd().read_parquet(f"{sf_dir}/orders.parquet",
+                              columns=["o_orderkey", "o_orderstatus",
+                                       "o_totalprice"])
+
+    def as_e2(batch: pa.Table) -> pa.Table:
+        p = batch["o_totalprice"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "o_orderkey": batch["o_orderkey"],
+            "o_orderstatus": batch["o_orderstatus"],
+            "price_e2": pa.array(np.floor(p * 100 + 0.5).astype(np.int64)),
+        })
+
+    def reprice(batch: pa.Table) -> pa.Table:
+        p = batch["o_totalprice"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "o_orderkey": batch["o_orderkey"],
+            "o_orderstatus": batch["o_orderstatus"],
+            "price_e2": pa.array(np.floor(p * 1.1 * 100 + 0.5)
+                                 .astype(np.int64)),
+        })
+
+    b = base.map_batches(as_e2, batch_format="pyarrow")
+    d = (base.filter(expr="o_orderstatus == 'O'")
+         .map_batches(reprice, batch_format="pyarrow"))
+    return merge_upsert(b, d, "o_orderkey",
+                        ["o_orderstatus", "price_e2"])
+
+
+def _q_global_rank_events(sf_dir: str):
+    """Exact global rank() OVER (ORDER BY value, event_id)
+    (analytics.global_rank): sample-derived range boundaries, bucket
+    count prefix offsets, per-bucket local sort."""
+    from wned_ray.pipelines.analytics import global_rank
+
+    ds = _rd().read_parquet(f"{sf_dir}/events.parquet",
+                            columns=["event_id", "value"])
+    return global_rank(ds, "value", "event_id", n_buckets=32)
+
+
+def _csv_events_path(sf_dir: str) -> str:
+    """Deterministic CSV export of the events table (cached under /tmp
+    per sf tier) so a second SOURCE FORMAT exercises the same oracle."""
+    import hashlib
+    import os
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    path = f"/tmp/wned_ray_fixtures/events_csv_{tag}"
+    done = os.path.join(path, "_DONE")
+    if not os.path.exists(done):
+        import pandas as pd
+
+        os.makedirs(path, exist_ok=True)
+        df = pd.read_parquet(f"{sf_dir}/events.parquet",
+                             columns=["event_id", "ts", "event_type",
+                                      "value"])
+        df["ts"] = df["ts"].dt.strftime("%Y-%m-%d %H:%M:%S.%f")
+        df.to_csv(os.path.join(path, "events.csv"), index=False)
+        with open(done, "w") as f:
+            f.write("ok")
+    return path
+
+
+def _q_csv_events_daily(sf_dir: str):
+    """CSV source round trip: read the events CSV export with
+    ray.data.read_csv and aggregate count + e2-scaled value sum per
+    (event_type, day) — matching the parquet-view oracle byte-for-byte
+    proves the CSV reader path end-to-end."""
+    import numpy as np
+    import pyarrow as pa
+
+    from ray.data.aggregate import Sum
+
+    import pyarrow.compute as pc
+    import pyarrow.csv as pacsv
+
+    path = _csv_events_path(sf_dir)
+
+    ds = _rd().read_csv(
+        f"{path}/events.csv",
+        convert_options=pacsv.ConvertOptions(
+            column_types={"ts": pa.string(), "event_id": pa.int64(),
+                          "value": pa.float64()}))
+
+    def prep(batch: pa.Table) -> pa.Table:
+        day = pc.utf8_slice_codeunits(batch["ts"], 0, 10)
+        v = batch["value"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "event_type": batch["event_type"], "day": day,
+            "_n": pa.array(np.ones(batch.num_rows, np.int64)),
+            "_v": pa.array(v, pa.float64()),
+        })
+
+    agg = (ds.map_batches(prep, batch_format="pyarrow")
+           .groupby(["event_type", "day"])
+           .aggregate(Sum("_n", alias_name="n"),
+                      Sum("_v", alias_name="_sv")))
+
+    def fin(batch: pa.Table) -> pa.Table:
+        sv = batch["_sv"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "event_type": batch["event_type"], "day": batch["day"],
+            "n": batch["n"],
+            "sum_value_e2": pa.array(np.floor(sv * 100 + 0.5)
+                                     .astype(np.int64)),
+        })
+
+    return agg.map_batches(fin, batch_format="pyarrow")
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # ORDER MATTERS: the round driver sweeps this dict in insertion order
     # and records the FIRST 50 entries (round-3 CORRECTNESS captured
@@ -2469,6 +2588,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "term_entropy_docs": _q_term_entropy_docs,
         "source_vocab_jaccard": _q_source_vocab_jaccard,
         "users_intersect_except": _q_users_intersect_except,
+        "merge_upsert_orders": _q_merge_upsert_orders,
+        "global_rank_events": _q_global_rank_events,
+        "csv_events_daily": _q_csv_events_daily,
     }
 
 
@@ -3201,6 +3323,32 @@ def oracle_sql() -> dict[str, str]:
             "UNION ALL "
             "SELECT user_id, 'left_only' AS setop FROM "
             "(SELECT * FROM c EXCEPT SELECT * FROM p)"
+        ),
+        # MERGE INTO semantics: delta (repriced open orders) wins per
+        # key, base rows without a delta pass through
+        "merge_upsert_orders": (
+            "WITH delta AS (SELECT o_orderkey, o_orderstatus, "
+            "CAST(floor(o_totalprice * 1.1 * 100 + 0.5) AS BIGINT) "
+            "AS price_e2 FROM orders WHERE o_orderstatus = 'O') "
+            "SELECT b.o_orderkey, b.o_orderstatus, "
+            "coalesce(d.price_e2, "
+            "CAST(floor(b.o_totalprice * 100 + 0.5) AS BIGINT)) "
+            "AS price_e2 "
+            "FROM orders b LEFT JOIN delta d USING (o_orderkey)"
+        ),
+        # unique event ids make rank() == row_number under this ORDER BY
+        "global_rank_events": (
+            "SELECT event_id, "
+            "rank() OVER (ORDER BY value, event_id) AS rnk FROM events"
+        ),
+        # the Ray side reads a CSV export of the same rows — matching
+        # this parquet-view oracle proves the second source format
+        "csv_events_daily": (
+            "SELECT event_type, strftime(ts, '%Y-%m-%d') AS day, "
+            "count(*) AS n, "
+            "CAST(floor(sum(value) * 100 + 0.5) AS BIGINT) "
+            "AS sum_value_e2 "
+            "FROM events GROUP BY event_type, strftime(ts, '%Y-%m-%d')"
         ),
     }
 

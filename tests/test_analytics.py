@@ -478,3 +478,52 @@ def test_set_op_users(ray_session):
     # view-only are excluded (EXCEPT anchors on the left set)
     assert got["user_id"].tolist() == [1, 2]
     assert got["setop"].tolist() == ["both", "left_only"]
+
+
+def test_merge_upsert(ray_session):
+    import ray.data as rd
+
+    from wned_ray.pipelines.analytics import merge_upsert
+
+    base = rd.from_pandas(pd.DataFrame({
+        "k": [1, 2, 3], "v": ["a", "b", "c"]}))
+    delta = rd.from_pandas(pd.DataFrame({
+        "k": [2, 3], "v": ["B2", "C2"]}))
+    got = (merge_upsert(base, delta, "k", ["v"]).to_pandas()
+           .sort_values("k").reset_index(drop=True))
+    # delta overrides 2 and 3; 1 passes through; no key duplication
+    assert got["k"].tolist() == [1, 2, 3]
+    assert got["v"].tolist() == ["a", "B2", "C2"]
+
+
+def test_global_rank_exact(ray_session):
+    import ray.data as rd
+
+    from wned_ray.pipelines.analytics import global_rank
+
+    rng = np.random.default_rng(7)
+    n = 5000
+    vals = np.round(rng.normal(size=n) * 50, 3)   # heavy value ties
+    ids = rng.permutation(n).astype(np.int64)
+    df = pd.DataFrame({"id": ids, "v": vals})
+    got = (global_rank(rd.from_pandas(df), "v", "id", n_buckets=8,
+                       sample_mod=13).to_pandas()
+           .sort_values("id").reset_index(drop=True))
+    want = df.sort_values(["v", "id"]).reset_index()
+    want_rank = pd.Series(np.arange(1, n + 1, dtype=np.int64),
+                          index=want["id"].to_numpy()).sort_index()
+    assert got["rnk"].to_numpy().tolist() == want_rank.to_numpy().tolist()
+
+
+def test_global_rank_empty_sample(ray_session):
+    """sample_mod larger than every id -> empty boundary sample -> one
+    bucket; rank must still be exact."""
+    import ray.data as rd
+
+    from wned_ray.pipelines.analytics import global_rank
+
+    df = pd.DataFrame({"id": [11, 12, 13], "v": [3.0, 1.0, 2.0]})
+    got = (global_rank(rd.from_pandas(df), "v", "id",
+                       sample_mod=10 ** 9).to_pandas()
+           .sort_values("id").reset_index(drop=True))
+    assert got["rnk"].tolist() == [3, 1, 2]

@@ -740,3 +740,126 @@ def set_op_users(ds, type_col: str = "event_type", id_col: str = "user_id",
         return pa.table({id_col: batch[id_col], "setop": op})
 
     return tagged.map_batches(finish, batch_format="pyarrow")
+
+
+def merge_upsert(base, delta, key_col: str, val_cols: list):
+    """MERGE INTO / upsert: apply a delta table onto a base table by
+    key — delta rows override base rows, base rows without a delta pass
+    through (the SCD-1 / CDC-apply shape every lakehouse pipeline runs).
+
+    Shape: tag each side with a priority int8, union (zero-cost in Ray
+    Data — no shuffle), then ONE hash shuffle on the key and a per-key
+    max-priority pick. NOT a join: the union+groupby form shuffles each
+    row once and needs no broadcast, so it holds when BOTH sides are
+    corpus-sized (the left-join formulation ships the delta twice).
+
+    Partitioning assumption: rows per key are tiny (2 with unique keys
+    per side); keys hash-distribute."""
+    def tag(prio):
+        def f(batch: pa.Table) -> pa.Table:
+            cols = {key_col: batch[key_col]}
+            for c in val_cols:
+                cols[c] = batch[c]
+            cols["_prio"] = pa.array(
+                np.full(batch.num_rows, prio, np.int8))
+            return pa.table(cols)
+        return f
+
+    unioned = (base.select_columns([key_col] + val_cols)
+               .map_batches(tag(0), batch_format="pyarrow")
+               .union(delta.select_columns([key_col] + val_cols)
+                      .map_batches(tag(1), batch_format="pyarrow")))
+
+    def pick(g: pd.DataFrame) -> pd.DataFrame:
+        # max-priority row per key; deterministic under equal priority
+        # (one row per side by contract, but stable-sort anyway)
+        g = g.sort_values([key_col, "_prio"], kind="stable")
+        out = g.groupby(key_col, as_index=False, sort=False).last()
+        return out.drop(columns=["_prio"])
+
+    return unioned.groupby(key_col).map_groups(pick, batch_format="pandas")
+
+
+def global_rank(ds, val_col: str, id_col: str, n_buckets: int = 64,
+                sample_mod: int = 101, out_col: str = "rnk"):
+    """EXACT global ``rank() OVER (ORDER BY val, id)`` — the distributed
+    order-statistics shape (global sort + dense offsets) Ray Data's
+    ``sort`` alone doesn't expose. Three bounded passes:
+
+    1. deterministic hash-sample of values (``hash(id) % sample_mod ==
+       0``) -> driver ``np.quantile`` -> ``n_buckets-1`` range
+       boundaries (sample is corpus/sample_mod, bounded by choosing
+       sample_mod at scale; boundaries only affect BALANCE, never
+       correctness);
+    2. per-batch bucket counts -> (n_buckets)-row groupby -> driver
+       prefix-sum -> broadcast offsets;
+    3. ONE hash shuffle on bucket id; per-bucket local sort by
+       (val, id) emits offset + local position.
+
+    Partitioning assumption: one bucket fits a worker (range-partition
+    sort's own contract; raise n_buckets with corpus size).
+    Ties on (val, id) are impossible with unique ids, so rank ==
+    row_number — matching ANSI ``rank()`` under the same ORDER BY."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    proj = ds.select_columns([id_col, val_col])
+
+    def sample(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        keep = (ids % sample_mod) == 0
+        return pa.table({"_v": pa.array(
+            batch[val_col].to_numpy(zero_copy_only=False)[keep],
+            pa.float64())})
+
+    samp = proj.map_batches(sample, batch_format="pyarrow").to_pandas()
+    if len(samp):
+        qs = np.quantile(samp["_v"].to_numpy(),
+                         np.linspace(0, 1, n_buckets + 1)[1:-1])
+        bounds = np.unique(qs)
+    else:
+        bounds = np.array([], np.float64)
+    bref = ray.put(bounds)
+
+    class Bucket:
+        def __init__(self):
+            self.bounds = ray.get(bref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            v = batch[val_col].to_numpy(zero_copy_only=False)
+            b = np.searchsorted(self.bounds, v, side="right")
+            return pa.table({
+                id_col: batch[id_col],
+                "_v": pa.array(v, pa.float64()),
+                "_b": pa.array(b.astype(np.int64)),
+            })
+
+    bucketed = proj.map_batches(Bucket, concurrency=2,
+                                batch_format="pyarrow")
+
+    def counts(batch: pa.Table) -> pa.Table:
+        b = batch["_b"].to_numpy()
+        n = int(len(bounds)) + 1
+        return pa.table({"_b": pa.array(np.arange(n, dtype=np.int64)),
+                         "_n": pa.array(np.bincount(b, minlength=n)
+                                        .astype(np.int64))})
+
+    cnt = (bucketed.map_batches(counts, batch_format="pyarrow")
+           .groupby("_b").aggregate(Sum("_n", alias_name="n")).to_pandas()
+           .sort_values("_b"))
+    offs = np.zeros(len(bounds) + 1, np.int64)
+    offs[cnt["_b"].to_numpy()] = cnt["n"].to_numpy()
+    offs = np.concatenate([[0], np.cumsum(offs)[:-1]])
+    oref = ray.put(offs)
+
+    def rank_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        offsets = ray.get(oref)
+        g = g.sort_values(["_v", id_col], kind="stable")
+        start = offsets[int(g["_b"].iloc[0])]
+        return pd.DataFrame({
+            id_col: g[id_col].to_numpy(),
+            out_col: start + np.arange(1, len(g) + 1, dtype=np.int64),
+        })
+
+    return bucketed.groupby("_b").map_groups(rank_bucket,
+                                             batch_format="pandas")
