@@ -2471,6 +2471,30 @@ def _q_csv_events_daily(sf_dir: str):
     return agg.map_batches(fin, batch_format="pyarrow")
 
 
+def _q_pagerank_parts(sf_dir: str):
+    """Global distributed PageRank (analytics.pagerank) over the
+    part -> supplier edge graph from lineitem — BSP join-aggregate
+    rounds; the graph never materializes on one node. Rows-only:
+    pytest gates the kernel against a dense power iteration."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from wned_ray.pipelines.analytics import pagerank
+
+    ds = _rd().read_parquet(f"{sf_dir}/lineitem.parquet",
+                            columns=["l_partkey", "l_suppkey"])
+
+    def edges(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "src": pc.add(pc.multiply(batch["l_partkey"], 10), 1),
+            "dst": pc.add(pc.multiply(batch["l_suppkey"], 10), 2),
+        })
+
+    e = (ds.map_batches(edges, batch_format="pyarrow")
+         .groupby(["src", "dst"]).count().select_columns(["src", "dst"]))
+    return pagerank(e, alpha=0.85, n_iter=3)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # ORDER MATTERS: the round driver sweeps this dict in insertion order
     # and records the FIRST 50 entries (round-3 CORRECTNESS captured
@@ -2591,6 +2615,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "merge_upsert_orders": _q_merge_upsert_orders,
         "global_rank_events": _q_global_rank_events,
         "csv_events_daily": _q_csv_events_daily,
+        "pagerank_parts": _q_pagerank_parts,  # rows-only: pytest vs dense
     }
 
 

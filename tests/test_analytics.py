@@ -527,3 +527,40 @@ def test_global_rank_empty_sample(ray_session):
                        sample_mod=10 ** 9).to_pandas()
            .sort_values("id").reset_index(drop=True))
     assert got["rnk"].tolist() == [3, 1, 2]
+
+
+def test_pagerank_vs_dense(ray_session):
+    import ray.data as rd
+
+    from wned_ray.pipelines.analytics import pagerank
+
+    rng = np.random.default_rng(11)
+    n, m = 60, 400
+    src = rng.integers(0, n, m)
+    dst = rng.integers(0, n, m)
+    keep = src != dst
+    src, dst = src[keep], dst[keep]
+    edges = pd.DataFrame({"src": src, "dst": dst}).drop_duplicates()
+
+    got = (pagerank(rd.from_pandas(edges), alpha=0.85, n_iter=6)
+           .to_pandas().sort_values("node").reset_index(drop=True))
+
+    # dense reference with the identical recurrence (dangling mass
+    # folded back uniformly)
+    nodes = np.unique(np.concatenate([edges["src"], edges["dst"]]))
+    idx = {v: i for i, v in enumerate(nodes)}
+    N = len(nodes)
+    A = np.zeros((N, N))
+    for s, d in edges.itertuples(index=False):
+        A[idx[s], idx[d]] = 1.0
+    deg = A.sum(axis=1)
+    r = np.full(N, 1.0 / N)
+    for _ in range(6):
+        dang = r[deg == 0].sum()
+        inflow = (r[deg > 0] / deg[deg > 0]) @ A[deg > 0]
+        r = (1 - 0.85) / N + 0.85 * (inflow + dang / N)
+    want = np.floor(r * 1e9 + 0.5).astype(np.int64)
+
+    assert got["node"].tolist() == nodes.tolist()
+    assert np.abs(got["rank_e9"].to_numpy() - want).max() <= 2
+    assert abs(got["rank_e9"].sum() / 1e9 - 1.0) < 1e-6

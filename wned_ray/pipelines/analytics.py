@@ -863,3 +863,103 @@ def global_rank(ds, val_col: str, id_col: str, n_buckets: int = 64,
 
     return bucketed.groupby("_b").map_groups(rank_bucket,
                                              batch_format="pandas")
+
+
+def pagerank(edges, src_col: str = "src", dst_col: str = "dst",
+             alpha: float = 0.85, n_iter: int = 10):
+    """Global distributed PageRank over an EDGE Dataset — the
+    whole-graph complement of the in-actor PPR kernel
+    (``state/graph.py``, which assumes one subgraph fits an actor;
+    reference semantics ``SemanticSignatureEL.java``'s random-walk
+    family). Here the graph itself is corpus-sized and never
+    materializes on any single node.
+
+    BSP rounds, each TWO exchanges over the edge set:
+      contribution  = rank/out_deg  shipped along edges via ONE hash
+                      join on src, then groupby(dst).sum;
+      new rank      = (1-alpha)/N + alpha * (inflow + dangling_mass/N),
+                      dangling mass folded back uniformly so ranks sum
+                      to 1 every round (standard PageRank correction).
+
+    Driver state per round: two scalars (dangling mass via a dim-sized
+    anti-join aggregate, N once). Rank vectors live as Datasets across
+    rounds — materialized per round (they are the BSP barrier, size
+    |V| not |E|).
+
+    Partitioning assumption: edges hash-partition by src for the join;
+    hot dst keys cost their in-degree in the groupby (salt upstream if
+    a dst exceeds a block)."""
+    import ray  # noqa: F401 — parity with the module's other stages
+    from ray.data.aggregate import Count, Sum
+
+    edges = edges.select_columns([src_col, dst_col]).materialize()
+
+    # node universe = src ∪ dst (isolated-by-direction nodes included)
+    nodes = (edges.map_batches(
+        lambda b: pa.table({"node": pa.concat_arrays(
+            [b[src_col].combine_chunks(), b[dst_col].combine_chunks()])}),
+        batch_format="pyarrow")
+        .groupby("node").aggregate(Count(alias_name="_c"))
+        .select_columns(["node"]).materialize())
+    n_nodes = nodes.count()
+
+    def _as_node(col):
+        def f(batch: pa.Table) -> pa.Table:
+            cols = {("node" if c == col else c): batch[c]
+                    for c in batch.column_names}
+            return pa.table(cols)
+        return f
+
+    deg = (edges.groupby(src_col)
+           .aggregate(Count(alias_name="out_deg"))
+           .map_batches(_as_node(src_col), batch_format="pyarrow"))
+
+    # rank table carries out_deg (0 for dangling) so each round's
+    # contribution needs NO extra join against the degree table
+    ranks = (nodes.join(deg, join_type="left_outer", num_partitions=8,
+                        on=("node",))
+             .map_batches(lambda b: pa.table({
+                 "node": b["node"],
+                 "out_deg": pc.fill_null(b["out_deg"], 0),
+                 "rank": pa.array(
+                     np.full(b.num_rows, 1.0 / n_nodes, np.float64)),
+             }), batch_format="pyarrow")
+             .materialize())
+
+    for _ in range(n_iter):
+        # dangling mass: sum of ranks with no out-edges (dim-sized agg)
+        dang = (ranks.filter(expr="out_deg == 0")
+                .aggregate(Sum("rank", alias_name="s"))["s"]) or 0.0
+
+        contrib = (edges.join(
+            ranks.filter(expr="out_deg > 0").map_batches(
+                lambda b: pa.table({
+                    src_col: b["node"],
+                    "_c": pc.divide(b["rank"],
+                                    pc.cast(b["out_deg"], pa.float64())),
+                }), batch_format="pyarrow"),
+            join_type="inner", num_partitions=8, on=(src_col,))
+            .groupby(dst_col).aggregate(Sum("_c", alias_name="inflow"))
+            .map_batches(_as_node(dst_col), batch_format="pyarrow"))
+
+        base = (1.0 - alpha) / n_nodes + alpha * dang / n_nodes
+
+        ranks = (ranks.select_columns(["node", "out_deg"])
+                 .join(contrib, join_type="left_outer", num_partitions=8,
+                       on=("node",))
+                 .map_batches(lambda b: pa.table({
+                     "node": b["node"],
+                     "out_deg": b["out_deg"],
+                     "rank": pc.add(pc.multiply(
+                         pc.fill_null(b["inflow"], 0.0), alpha), base),
+                 }), batch_format="pyarrow")
+                 .materialize())
+
+    def fin(batch: pa.Table) -> pa.Table:
+        r = batch["rank"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "node": batch["node"],
+            "rank_e9": pa.array(np.floor(r * 1e9 + 0.5).astype(np.int64)),
+        })
+
+    return ranks.map_batches(fin, batch_format="pyarrow")
