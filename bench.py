@@ -377,6 +377,27 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
     assign.count()
     queries["kmeans_embeddings"] = round(time.time() - t0, 3)
 
+    # round-4 continuation 2: order statistics / merge / set ops
+    from wned_ray.pipelines.analytics import global_rank
+
+    t0 = time.time()
+    global_rank(rd.read_parquet(f"{sf_dir}/events.parquet",
+                                columns=["event_id", "value"]),
+                "value", "event_id", n_buckets=64).count()
+    queries["global_rank_events"] = round(time.time() - t0, 3)
+
+    t0 = time.time()
+    entry_mod._q_merge_upsert_orders(sf_dir).count()
+    queries["merge_upsert_orders"] = round(time.time() - t0, 3)
+
+    t0 = time.time()
+    entry_mod._q_term_entropy_docs(sf_dir).count()
+    queries["term_entropy_docs"] = round(time.time() - t0, 3)
+
+    t0 = time.time()
+    entry_mod._q_source_vocab_jaccard(sf_dir).count()
+    queries["source_vocab_jaccard"] = round(time.time() - t0, 3)
+
     ray.shutdown()
     return {
         "metric": "er_linkage_wall_sec",

@@ -615,28 +615,35 @@ def term_entropy(ds, id_col: str = "doc_id", text_col: str = "text"):
 
     Output: (id, entropy_e4) — e4-scaled int64 (entropy of web text sits
     in [0, ~10]; 1e-4 granularity is far above float noise)."""
-    def ent(df: pd.DataFrame) -> pd.DataFrame:
-        toks = df[text_col].str.split()
-        lens = toks.str.len().fillna(0).astype(np.int64).to_numpy()
-        flat = pd.DataFrame({
-            "_i": np.repeat(np.arange(len(df)), lens),
-            "_t": [t for lst in toks for t in (lst or [])],
-        })
-        out = np.zeros(len(df), np.float64)
-        if len(flat):
-            cnt = (flat.groupby(["_i", "_t"], sort=False).size()
-                   .reset_index(name="_c"))
-            tot = lens[cnt["_i"].to_numpy()]
-            p = cnt["_c"].to_numpy(np.float64) / tot
-            contrib = -p * np.log2(p)
-            np.add.at(out, cnt["_i"].to_numpy(), contrib)
-        return pd.DataFrame({
-            id_col: df[id_col],
-            "entropy_e4": np.floor(out * 1e4 + 0.5).astype(np.int64),
+    def ent(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        lists = pc.split_pattern(batch[text_col], pattern=" ")
+        flat_terms = pc.list_flatten(lists)
+        parents = pc.list_parent_indices(lists).to_numpy(
+            zero_copy_only=False)
+        keep = pc.not_equal(flat_terms, "").to_numpy(zero_copy_only=False)
+        out = np.zeros(n, np.float64)
+        if keep.any():
+            # dictionary-encode terms to int codes (C++), then count
+            # per (row, code) pair with one np.unique — no Python loop
+            codes = pc.dictionary_encode(
+                flat_terms.combine_chunks() if isinstance(
+                    flat_terms, pa.ChunkedArray) else flat_terms
+            ).indices.to_numpy(zero_copy_only=False).astype(np.int64)
+            pairs = parents[keep] * (codes.max() + 1) + codes[keep]
+            upair, cnt = np.unique(pairs, return_counts=True)
+            rows = (upair // (codes.max() + 1)).astype(np.int64)
+            tot = np.bincount(parents[keep], minlength=n)[rows]
+            pr = cnt.astype(np.float64) / tot
+            np.add.at(out, rows, -pr * np.log2(pr))
+        return pa.table({
+            id_col: batch[id_col],
+            "entropy_e4": pa.array(
+                np.floor(out * 1e4 + 0.5).astype(np.int64)),
         })
 
     return (ds.select_columns([id_col, text_col])
-            .map_batches(ent, batch_format="pandas"))
+            .map_batches(ent, batch_format="pyarrow"))
 
 
 def vocab_jaccard(ds, key_col: str = "source", text_col: str = "text"):
@@ -645,51 +652,54 @@ def vocab_jaccard(ds, key_col: str = "source", text_col: str = "text"):
     set-similarity complement of the per-document dedup family.
 
     Shape: per-batch DISTINCT (key, term) pre-dedup -> ONE global
-    distinct shuffle on (key, term) -> per-TERM group emits the
-    (key_a < key_b) co-occurrence pairs (bounded: a term appears in at
-    most |keys| sources, so a group emits <= C(|keys|,2) rows) -> pair
-    count groupby -> broadcast per-key vocab sizes onto the dim-sized
+    distinct shuffle on (key, term) -> native self-JOIN on term
+    (C++ hash join, no per-term Python; per-term fan-out bounded by
+    C(|keys|,2) since a term appears in at most |keys| sources) ->
+    key_a < key_b filter -> pair count groupby -> broadcast per-key vocab sizes onto the dim-sized
     pair table. Keys are dim-sized (sources/crawls), terms are not —
     nothing driver-side ever holds terms.
 
     Output: (key_a, key_b, inter, union_sz, jaccard_e6), inner-join
     semantics (pairs sharing no term are absent)."""
     import ray
-    from ray.data.aggregate import Count, Sum
+    from ray.data.aggregate import Count
 
-    def toks(df: pd.DataFrame) -> pd.DataFrame:
-        t = df[text_col].str.split()
-        lens = t.str.len().fillna(0).astype(np.int64).to_numpy()
-        flat = pd.DataFrame({
-            key_col: np.repeat(df[key_col].to_numpy(), lens),
-            "term": [w for lst in t for w in (lst or [])],
-        })
-        return flat.drop_duplicates()
+    def toks(batch: pa.Table) -> pa.Table:
+        # Arrow-native explode: split offsets give parent rows — no
+        # Python loop over tokens
+        lists = pc.split_pattern(batch[text_col], pattern=" ")
+        flat = pa.table({
+            key_col: batch[key_col].take(pc.list_parent_indices(lists)),
+            "term": pc.list_flatten(lists),
+        }).filter(pc.not_equal(pc.list_flatten(lists), ""))
+        # per-batch DISTINCT in C++ (empty aggregate list = unique keys)
+        return flat.group_by([key_col, "term"]).aggregate([])
 
     distinct = (ds.select_columns([key_col, text_col])
-                .map_batches(toks, batch_format="pandas")
+                .map_batches(toks, batch_format="pyarrow")
                 .groupby([key_col, "term"])
                 .aggregate(Count(alias_name="_c"))
-                .select_columns([key_col, "term"]))
+                .select_columns([key_col, "term"])
+                .materialize())  # consumed 3x (sizes + both join sides)
 
     sizes = (distinct.groupby(key_col)
              .aggregate(Count(alias_name="_vocab")).to_pandas())
     size_ref = ray.put(dict(zip(sizes[key_col], sizes["_vocab"])))
 
-    def pairs(g: pd.DataFrame) -> pd.DataFrame:
-        ks = np.sort(g[key_col].to_numpy())
-        if len(ks) < 2:
-            return pd.DataFrame({"key_a": [], "key_b": [],
-                                 "_one": []}).astype(
-                {"key_a": str, "key_b": str, "_one": np.int64})
-        ia, ib = np.triu_indices(len(ks), k=1)
-        return pd.DataFrame({"key_a": ks[ia], "key_b": ks[ib],
-                             "_one": np.ones(len(ia), np.int64)})
+    def _ren(newkey):
+        def f(batch: pa.Table) -> pa.Table:
+            return pa.table({"term": batch["term"], newkey: batch[key_col]})
+        return f
 
-    inter = (distinct.groupby("term")
-             .map_groups(pairs, batch_format="pandas")
+    from wned_ray.util import safe_partitions
+
+    left = distinct.map_batches(_ren("key_a"), batch_format="pyarrow")
+    right = distinct.map_batches(_ren("key_b"), batch_format="pyarrow")
+    inter = (left.join(right, join_type="inner",
+                       num_partitions=safe_partitions(16), on=("term",))
+             .filter(expr="key_a < key_b")
              .groupby(["key_a", "key_b"])
-             .aggregate(Sum("_one", alias_name="inter")))
+             .aggregate(Count(alias_name="inter")))
 
     class Attach:
         def __init__(self):
@@ -747,37 +757,24 @@ def merge_upsert(base, delta, key_col: str, val_cols: list):
     key — delta rows override base rows, base rows without a delta pass
     through (the SCD-1 / CDC-apply shape every lakehouse pipeline runs).
 
-    Shape: tag each side with a priority int8, union (zero-cost in Ray
-    Data — no shuffle), then ONE hash shuffle on the key and a per-key
-    max-priority pick. NOT a join: the union+groupby form shuffles each
-    row once and needs no broadcast, so it holds when BOTH sides are
-    corpus-sized (the left-join formulation ships the delta twice).
+    Shape: ``anti_join(base, delta_keys) ∪ delta`` — the anti-join is
+    the scale-aware one from ``curate`` (delta keys broadcast as ONE
+    ``ray.put`` value-set + vectorized ``is_in`` while they fit; past
+    2M keys it degrades to a distributed left-outer hash join + null
+    filter, so the delta never has to fit on the driver). The union is
+    free (no shuffle). NO per-key Python: the earlier union+map_groups
+    form paid a Python call per key and was 30x slower on dim-heavy
+    tables.
 
-    Partitioning assumption: rows per key are tiny (2 with unique keys
-    per side); keys hash-distribute."""
-    def tag(prio):
-        def f(batch: pa.Table) -> pa.Table:
-            cols = {key_col: batch[key_col]}
-            for c in val_cols:
-                cols[c] = batch[c]
-            cols["_prio"] = pa.array(
-                np.full(batch.num_rows, prio, np.int8))
-            return pa.table(cols)
-        return f
+    Contract: keys unique within each side (standard MERGE); duplicate
+    keys pass through side-locally."""
+    from wned_ray.pipelines.curate import anti_join
 
-    unioned = (base.select_columns([key_col] + val_cols)
-               .map_batches(tag(0), batch_format="pyarrow")
-               .union(delta.select_columns([key_col] + val_cols)
-                      .map_batches(tag(1), batch_format="pyarrow")))
-
-    def pick(g: pd.DataFrame) -> pd.DataFrame:
-        # max-priority row per key; deterministic under equal priority
-        # (one row per side by contract, but stable-sort anyway)
-        g = g.sort_values([key_col, "_prio"], kind="stable")
-        out = g.groupby(key_col, as_index=False, sort=False).last()
-        return out.drop(columns=["_prio"])
-
-    return unioned.groupby(key_col).map_groups(pick, batch_format="pandas")
+    cols = [key_col] + list(val_cols)
+    base_p = base.select_columns(cols)
+    delta_p = delta.select_columns(cols).materialize()
+    survivors = anti_join(base_p, delta_p, on=key_col)
+    return survivors.union(delta_p)
 
 
 def global_rank(ds, val_col: str, id_col: str, n_buckets: int = 64,
