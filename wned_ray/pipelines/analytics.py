@@ -832,7 +832,9 @@ def global_rank(ds, val_col: str, id_col: str, n_buckets: int = 64,
             })
 
     bucketed = proj.map_batches(Bucket, concurrency=2,
-                                batch_format="pyarrow")
+                                batch_format="pyarrow").materialize()
+    # materialized: consumed twice (bucket counts, then the rank
+    # shuffle) — |V| rows of (id, float, int), the op's working set
 
     def counts(batch: pa.Table) -> pa.Table:
         b = batch["_b"].to_numpy()
