@@ -2495,6 +2495,29 @@ def _q_pagerank_parts(sf_dir: str):
     return pagerank(e, alpha=0.85, n_iter=3)
 
 
+def _q_er_blocking_phonetic(sf_dir: str):
+    """Phonetic (Soundex) blocking-scheme evaluation: the classic
+    Christen ch. 4.3 blocking key as an ALTERNATIVE scheme, measured
+    with the same RR / transitive-PC instrument as the shipped
+    LSH/token tier (er_blocking_quality) so the two schemes are
+    directly comparable on one fixture. Rows-only (the blocker isn't
+    SQL-expressible); the soundex encoder is unit-gated on the NARA
+    test vectors."""
+    import pandas as pd
+
+    from wned_ray.functions.phonetic import phonetic_key_pairs
+    from wned_ray.stages.evaluate import blocking_quality
+
+    corpus, _, out = _linkage(sf_dir)
+    pairs = phonetic_key_pairs(out["prepared"], "mention_id", "mention")
+    gold = _rd().read_parquet(corpus["expected_clusters"])
+    m = blocking_quality(pairs, gold)
+    m["reduction_ratio_e6"] = int(round(m.pop("reduction_ratio") * 1e6))
+    m["pair_completeness_e6"] = int(round(
+        m.pop("pair_completeness") * 1e6))
+    return pd.DataFrame([m])
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # ORDER MATTERS: the round driver sweeps this dict in insertion order
     # and records the FIRST 50 entries (round-3 CORRECTNESS captured
@@ -2616,6 +2639,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "global_rank_events": _q_global_rank_events,
         "csv_events_daily": _q_csv_events_daily,
         "pagerank_parts": _q_pagerank_parts,  # rows-only: pytest vs dense
+        "er_blocking_phonetic": _q_er_blocking_phonetic,  # rows-only
     }
 
 
