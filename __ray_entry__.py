@@ -2245,6 +2245,31 @@ def _q_er_bcubed(sf_dir: str):
     return pd.DataFrame(rows)
 
 
+def _q_er_ari(sf_dir: str):
+    """Adjusted Rand Index of the flagship linkage clustering vs the
+    same two gold definitions as er_bcubed (evaluate.adjusted_rand_index)
+    — the chance-corrected pair-counting clustering metric (Hubert &
+    Arabie 1985). Same one-join contingency-cell reduction; four scalars
+    reach the driver. Rows-only; the 4/7 hand example is pytest-gated."""
+    import pandas as pd
+
+    from wned_ray.stages.evaluate import adjusted_rand_index
+
+    corpus, cfg, out = _linkage(sf_dir)
+    gold = _rd().read_parquet(corpus["expected_clusters"])
+    rows = []
+    for name, g in [
+        ("expected_cluster",
+         gold.select_columns(["mention_id", "cluster_id"])
+         .rename_columns({"cluster_id": "entity_id"})),
+        ("entity", gold.select_columns(["mention_id", "entity_id"])),
+    ]:
+        m = adjusted_rand_index(out["clusters"], g)
+        rows.append({"gold": name, "ari": m["ari"],
+                     "n_mentions": m["n_mentions"]})
+    return pd.DataFrame(rows)
+
+
 def _q_er_pr_curve(sf_dir: str):
     """Precision/recall threshold sweep over the hard tier's labeled x
     scored pairs (evaluate.pr_curve) — the evidence behind
@@ -2628,6 +2653,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bpe_token_count_docs": _q_bpe_token_count_docs,
         "rolling_window_events": _q_rolling_window_events,
         "er_bcubed": _q_er_bcubed,      # rows-only: pytest hand example
+        "er_ari": _q_er_ari,            # rows-only: pytest hand example
         "er_pr_curve": _q_er_pr_curve,  # rows-only: pytest exactness
         "er_fs_em": _q_er_fs_em,        # rows-only: pytest EM recovery
         "json_field_stats": _q_json_field_stats,

@@ -358,6 +358,45 @@ def test_bcubed_perfect_clustering(ray_session):
     assert m["bcubed_f1"] == 1.0 and m["n_mentions"] == 6
 
 
+def test_ari_hand_example(ray_session):
+    """Hubert-Arabie worked example: pred [0,0,1,2] vs gold [0,0,1,1]
+    -> ARI = 4/7 (the standard textbook/sklearn doc case)."""
+    import ray.data as rd
+
+    from wned_ray.stages.evaluate import adjusted_rand_index
+
+    clusters = rd.from_pandas(pd.DataFrame({
+        "mention_id": ["a", "b", "c", "d"],
+        "cluster_id": [0, 0, 1, 2]}))
+    gold = rd.from_pandas(pd.DataFrame({
+        "mention_id": ["a", "b", "c", "d"],
+        "entity_id": [0, 0, 1, 1]}))
+    m = adjusted_rand_index(clusters, gold)
+    assert m["n_mentions"] == 4
+    assert abs(m["ari"] - 4 / 7) < 1e-12
+
+
+def test_ari_perfect_and_uninformative(ray_session):
+    """Perfect clustering -> 1.0; one-big-cluster prediction lands at
+    the chance-corrected floor of exactly 0."""
+    import ray.data as rd
+
+    from wned_ray.stages.evaluate import adjusted_rand_index
+
+    df = pd.DataFrame({"mention_id": list("abcdef"),
+                       "cluster_id": [1, 1, 2, 2, 3, 3]})
+    gold = df.rename(columns={"cluster_id": "entity_id"})
+    m = adjusted_rand_index(rd.from_pandas(df), rd.from_pandas(gold))
+    assert m["ari"] == 1.0
+
+    blob = pd.DataFrame({"mention_id": ["a", "b", "c", "d"],
+                         "cluster_id": [7, 7, 7, 7]})
+    gold2 = pd.DataFrame({"mention_id": ["a", "b", "c", "d"],
+                          "entity_id": [0, 0, 1, 1]})
+    m2 = adjusted_rand_index(rd.from_pandas(blob), rd.from_pandas(gold2))
+    assert abs(m2["ari"]) < 1e-12
+
+
 def test_pr_curve_exact_vs_reference(ray_session):
     import ray.data as rd
 

@@ -19,6 +19,7 @@ Data until the final scalar reduction.
 
 from __future__ import annotations
 
+import numpy as np
 import pandas as pd
 import pyarrow as pa
 
@@ -267,3 +268,55 @@ def pr_curve(labels_ds, scores_ds, n_bins: int = 50,
         "precision_e6": np.round(prec * 1e6).astype(np.int64),
         "recall_e6": np.round(rec * 1e6).astype(np.int64),
     })
+
+
+def adjusted_rand_index(clusters_ds, gold_ds, num_partitions: int = 8
+                        ) -> dict[str, float]:
+    """Adjusted Rand Index of a clustering against gold classes
+    (Hubert & Arabie 1985) — the chance-corrected pair-counting metric
+    beside B-cubed: ARI = (Σ_cells C(n_ij,2) − E) / (max − E) with
+    E = Σ_i C(a_i,2)·Σ_j C(b_j,2) / C(n,2).
+
+    Distributed shape: the same ONE-join contingency-cell table as
+    ``bcubed_metrics``; the three pair-count sums reduce through
+    per-batch C(n,2) combiners over (a) the cell table, (b) the
+    dim-sized cluster-size table, (c) the dim-sized class-size table.
+    Four scalars reach the driver."""
+    from ray.data.aggregate import Count, Sum
+
+    j = clusters_ds.join(
+        gold_ds.select_columns(["mention_id", "entity_id"]),
+        join_type="inner", num_partitions=num_partitions,
+        on=("mention_id",))
+
+    cells = (j.groupby(["cluster_id", "entity_id"])
+             .aggregate(Count(alias_name="n"))).materialize()
+
+    def _pairs_sum(ds, col: str) -> float:
+        def comb2(batch: pa.Table) -> pa.Table:
+            x = batch[col].to_numpy(zero_copy_only=False).astype(
+                np.float64)
+            return pa.table({"_p": pa.array([float((x * (x - 1) / 2)
+                                                   .sum())])})
+
+        out = (ds.map_batches(comb2, batch_format="pyarrow")
+               .aggregate(Sum("_p", alias_name="p")))
+        return float(out["p"] or 0.0)
+
+    sum_cells = _pairs_sum(cells, "n")
+    row = cells.groupby("cluster_id").aggregate(Sum("n", alias_name="a"))
+    col = cells.groupby("entity_id").aggregate(Sum("n", alias_name="b"))
+    sum_rows = _pairs_sum(row, "a")
+    sum_cols = _pairs_sum(col, "b")
+    tot = cells.aggregate(Sum("n", alias_name="n"))
+    n = int(tot["n"] or 0)
+    if n < 2:
+        return {"ari": 1.0, "n_mentions": n}
+    total_pairs = n * (n - 1) / 2
+    expected = sum_rows * sum_cols / total_pairs
+    max_index = (sum_rows + sum_cols) / 2
+    denom = max_index - expected
+    ari = (sum_cells - expected) / denom if denom else 1.0
+    return {"ari": float(ari), "n_mentions": n,
+            "pair_tp": sum_cells, "pairs_pred": sum_rows,
+            "pairs_gold": sum_cols}
