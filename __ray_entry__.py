@@ -2543,6 +2543,64 @@ def _q_er_blocking_phonetic(sf_dir: str):
     return pd.DataFrame([m])
 
 
+def _q_sorted_neighborhood_docs(sf_dir: str):
+    """Sorted-neighborhood blocking over documents
+    (blocking.sorted_neighborhood_pairs): rank by the first 7 chars of
+    the alnum-stripped lowercased text, emit all pairs within a
+    window of 4 sorted positions — the Hernández-Stolfo ER blocking
+    scheme as a first-class operator. SQL-oracled: DuckDB reproduces
+    the identical pair set via row_number() OVER (ORDER BY key,
+    doc_id) and a rank-distance self-join."""
+    from wned_ray.stages.blocking import sorted_neighborhood_pairs
+
+    ds = _rd().read_parquet(f"{sf_dir}/documents.parquet",
+                            columns=["doc_id", "text"])
+
+    def add_key(df):
+        import pandas as pd
+        return pd.DataFrame({
+            "doc_id": df["doc_id"].to_numpy(),
+            "key": (df["text"].str.lower()
+                    .str.replace(r"[^a-z0-9]", "", regex=True)),
+        })
+
+    keyed = ds.map_batches(add_key, batch_format="pandas")
+    return sorted_neighborhood_pairs(keyed, "doc_id", "key", window=4)
+
+
+def _q_er_blocking_sortedneigh(sf_dir: str):
+    """Sorted-neighborhood blocking-scheme evaluation on the linkage
+    fixture: window-4 neighborhood over the alnum-stripped mention
+    surface, measured with the same RR / transitive-PC instrument as
+    the LSH tier (er_blocking_quality) and the Soundex tier
+    (er_blocking_phonetic) — the third comparable scheme. Rows-only
+    (the instrument isn't SQL-expressible); the pair generator itself
+    is SQL-oracled via sorted_neighborhood_docs."""
+    import pandas as pd
+
+    from wned_ray.stages.blocking import sorted_neighborhood_pairs
+    from wned_ray.stages.evaluate import blocking_quality
+
+    corpus, _, out = _linkage(sf_dir)
+
+    def add_key(df):
+        return pd.DataFrame({
+            "mention_id": df["mention_id"].to_numpy(),
+            "_snkey": (df["mention"].str.lower()
+                       .str.replace(r"[^a-z0-9]", "", regex=True)),
+        })
+
+    keyed = out["prepared"].map_batches(add_key, batch_format="pandas")
+    pairs = sorted_neighborhood_pairs(keyed, "mention_id", "_snkey",
+                                      window=4)
+    gold = _rd().read_parquet(corpus["expected_clusters"])
+    m = blocking_quality(pairs, gold)
+    m["reduction_ratio_e6"] = int(round(m.pop("reduction_ratio") * 1e6))
+    m["pair_completeness_e6"] = int(round(
+        m.pop("pair_completeness") * 1e6))
+    return pd.DataFrame([m])
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # ORDER MATTERS: the round driver sweeps this dict in insertion order
     # and records the FIRST 50 entries (round-3 CORRECTNESS captured
@@ -2666,6 +2724,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "csv_events_daily": _q_csv_events_daily,
         "pagerank_parts": _q_pagerank_parts,  # rows-only: pytest vs dense
         "er_blocking_phonetic": _q_er_blocking_phonetic,  # rows-only
+        "sorted_neighborhood_docs": _q_sorted_neighborhood_docs,
+        "er_blocking_sortedneigh": _q_er_blocking_sortedneigh,  # rows-only
     }
 
 
@@ -3424,6 +3484,18 @@ def oracle_sql() -> dict[str, str]:
             "CAST(floor(sum(value) * 100 + 0.5) AS BIGINT) "
             "AS sum_value_e2 "
             "FROM events GROUP BY event_type, strftime(ts, '%Y-%m-%d')"
+        ),
+        # window-4 sorted neighborhood == self-join on rank distance 1-3
+        # under the identical (7-char key, doc_id) total order
+        "sorted_neighborhood_docs": (
+            "WITH k AS (SELECT doc_id, "
+            "substr(regexp_replace(lower(text), '[^a-z0-9]', '', 'g'), "
+            "1, 7) AS key7 FROM documents), "
+            "r AS (SELECT doc_id, "
+            "row_number() OVER (ORDER BY key7, doc_id) AS rnk FROM k) "
+            "SELECT a.doc_id AS id_a, b.doc_id AS id_b, "
+            "CAST(b.rnk - a.rnk AS BIGINT) AS dist "
+            "FROM r a JOIN r b ON b.rnk > a.rnk AND b.rnk - a.rnk <= 3"
         ),
     }
 

@@ -60,3 +60,69 @@ def test_blocking_quality_t1_corpus(ray_session):
     # same-norm star edges must cover every within-norm true pair:
     # completeness can only be lost ACROSS surfaces, never within one
     assert m["covered_true_pairs"] > 10_000, m
+
+
+def test_sorted_neighborhood_matches_bruteforce(ray_session):
+    """Window-5 sorted neighborhood over random short keys with a tiny
+    chunk (forcing many ghost boundaries) == single-process brute force
+    over the same (7-char key, id) total order."""
+    import numpy as np
+    import ray.data as rd
+
+    from wned_ray.stages.blocking import sorted_neighborhood_pairs
+
+    rng = np.random.default_rng(11)
+    n, w = 300, 5
+    keys = ["".join(rng.choice(list("abc"), size=rng.integers(0, 9)))
+            for _ in range(n)]
+    df = pd.DataFrame({"rid": np.arange(n, dtype=np.int64),
+                       "key": keys})
+    got = (sorted_neighborhood_pairs(
+        rd.from_pandas(df).repartition(7), "rid", "key",
+        window=w, chunk=16).to_pandas()
+        .sort_values(["id_a", "id_b"]).reset_index(drop=True))
+
+    s = (df.assign(k7=df["key"].str.slice(0, 7))
+         .sort_values(["k7", "rid"], kind="stable")
+         .reset_index(drop=True))
+    want = [(int(s["rid"][i]), int(s["rid"][i + d]), d)
+            for i in range(n) for d in range(1, w) if i + d < n]
+    want = (pd.DataFrame(want, columns=["id_a", "id_b", "dist"])
+            .sort_values(["id_a", "id_b"]).reset_index(drop=True))
+    assert len(got) == len(want) == (n - 1) + (n - 2) + (n - 3) + (n - 4)
+    assert got.astype(np.int64).values.tolist() == \
+        want.astype(np.int64).values.tolist()
+
+
+def test_sorted_neighborhood_string_ids_and_window2(ray_session):
+    """String ids exercise the non-integer-id sampler path in
+    global_rank; window 2 emits exactly the adjacent pairs of the
+    sorted order."""
+    import numpy as np
+    import ray.data as rd
+
+    from wned_ray.stages.blocking import sorted_neighborhood_pairs
+
+    df = pd.DataFrame({
+        "mid": ["m3", "m1", "m4", "m2"],
+        "key": ["bb", "aa", "cc", "ab"]})
+    got = (sorted_neighborhood_pairs(rd.from_pandas(df), "mid", "key",
+                                     window=2).to_pandas()
+           .sort_values(["id_a"]).reset_index(drop=True))
+    # sorted by key: m1(aa) m2(ab) m3(bb) m4(cc)
+    assert got[["id_a", "id_b"]].values.tolist() == [
+        ["m1", "m2"], ["m2", "m3"], ["m3", "m4"]]
+    assert (got["dist"] == 1).all()
+
+
+def test_sorted_neighborhood_validates_params(ray_session):
+    import ray.data as rd
+
+    from wned_ray.stages.blocking import sorted_neighborhood_pairs
+
+    ds = rd.from_pandas(pd.DataFrame({"rid": [1], "key": ["a"]}))
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        sorted_neighborhood_pairs(ds, "rid", "key", window=1)
+    with _pt.raises(ValueError):
+        sorted_neighborhood_pairs(ds, "rid", "key", window=8, chunk=4)

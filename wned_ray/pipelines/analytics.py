@@ -804,7 +804,12 @@ def global_rank(ds, val_col: str, id_col: str, n_buckets: int = 64,
 
     def sample(batch: pa.Table) -> pa.Table:
         ids = batch[id_col].to_numpy(zero_copy_only=False)
-        keep = (ids % sample_mod) == 0
+        if not np.issubdtype(ids.dtype, np.integer):
+            # non-integer ids (e.g. string mention ids): deterministic
+            # 64-bit content hash — sampling only affects bucket
+            # BALANCE, never rank correctness
+            ids = pd.util.hash_array(ids.astype(object))
+        keep = (ids.astype(np.uint64) % np.uint64(sample_mod)) == 0
         return pa.table({"_v": pa.array(
             batch[val_col].to_numpy(zero_copy_only=False)[keep],
             pa.float64())})

@@ -200,3 +200,91 @@ def block(prepared_ds, cfg: PipelineConfig):
     """Mention-level (mention_id, norm_mention, block_key) explosion."""
     return prepared_ds.map_batches(lambda b: block_batch(b, cfg),
                                    batch_format="pyarrow")
+
+
+def sorted_neighborhood_pairs(ds, id_col: str, key_col: str,
+                              window: int = 4, chunk: int = 4096):
+    """Sorted-neighborhood blocking (Hernández & Stolfo 1995; Christen
+    2012 ch. 4.5): order records by a blocking key, slide a window of
+    size ``window`` down the sorted list, emit every pair whose rank
+    distance is < ``window``. The classic ER alternative to key-equality
+    blocking — catches near-boundary records that share a sort
+    neighborhood but no exact key.
+
+    Distributed shape (no global materialization):
+
+    1. the key's first 7 ASCII chars pack base-128 into an int < 2^49
+       (order-preserving, float64-exact), so the EXACT distributed
+       order statistics of ``analytics.global_rank`` apply unchanged —
+       rank == ``row_number() OVER (ORDER BY key, id)``;
+    2. ranks are consecutive integers, so the window condition is
+       purely positional: rows land in chunk ``rank // chunk`` and the
+       first ``window-1`` ranks of each chunk are REPLICATED into the
+       previous chunk as ghost rows (join-side only);
+    3. ONE hash shuffle on chunk id; per chunk a vectorized shifted-zip
+       emits (id_a, id_b, dist) for d = 1..window-1 with the smaller
+       rank's row required non-ghost — every qualifying pair exactly
+       once, no cross-chunk dedup needed.
+
+    Keys must be ASCII (the caller normalizes — e.g. strip to
+    [a-z0-9]); non-ASCII bytes are dropped at encode time. Partitioning
+    assumption: one chunk (≤ chunk + window - 1 rows) fits a worker."""
+    import pandas as pd
+
+    from wned_ray.pipelines.analytics import global_rank
+
+    if window < 2:
+        raise ValueError("window must be >= 2")
+    if chunk < window:
+        raise ValueError("chunk must be >= window")
+
+    weights = (128 ** np.arange(6, -1, -1)).astype(np.int64)
+
+    def add_knum(df: pd.DataFrame) -> pd.DataFrame:
+        ks = (df[key_col].fillna("").astype(str).str.slice(0, 7)
+              .str.encode("ascii", "ignore"))
+        fixed = np.array(ks.tolist(), dtype="S7")
+        mat = fixed.view(np.uint8).reshape(-1, 7).astype(np.int64)
+        return pd.DataFrame({
+            id_col: df[id_col].to_numpy(),
+            "_knum": (mat @ weights).astype(np.float64),
+        })
+
+    keyed = ds.map_batches(add_knum, batch_format="pandas")
+    ranked = global_rank(keyed, "_knum", id_col, out_col="_rnk")
+
+    def assign(df: pd.DataFrame) -> pd.DataFrame:
+        r0 = df["_rnk"].to_numpy() - 1
+        ids = df[id_col].to_numpy()
+        g = r0 // chunk
+        home = pd.DataFrame({id_col: ids, "_r": r0, "_g": g,
+                             "_ghost": False})
+        m = ((r0 % chunk) < window - 1) & (g > 0)
+        ghost = pd.DataFrame({id_col: ids[m], "_r": r0[m],
+                              "_g": g[m] - 1, "_ghost": True})
+        return pd.concat([home, ghost], ignore_index=True)
+
+    def emit(gdf: pd.DataFrame) -> pd.DataFrame:
+        gdf = gdf.sort_values("_r", kind="stable")
+        ids = gdf[id_col].to_numpy()
+        ghost = gdf["_ghost"].to_numpy()
+        n = len(gdf)
+        parts = []
+        for d in range(1, window):
+            if n <= d:
+                break
+            keep = ~ghost[: n - d]
+            parts.append(pd.DataFrame({
+                "id_a": ids[: n - d][keep],
+                "id_b": ids[d:][keep],
+                "dist": np.full(int(keep.sum()), d, np.int64),
+            }))
+        if not parts:
+            return pd.DataFrame({
+                "id_a": pd.Series([], dtype=gdf[id_col].dtype),
+                "id_b": pd.Series([], dtype=gdf[id_col].dtype),
+                "dist": pd.Series([], dtype=np.int64)})
+        return pd.concat(parts, ignore_index=True)
+
+    return (ranked.map_batches(assign, batch_format="pandas")
+            .groupby("_g").map_groups(emit, batch_format="pandas"))
