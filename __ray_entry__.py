@@ -2601,6 +2601,69 @@ def _q_er_blocking_sortedneigh(sf_dir: str):
     return pd.DataFrame([m])
 
 
+def _q_time_decay_users(sf_dir: str):
+    """Exponentially time-decayed per-user value sum
+    (analytics.time_decay_agg, half-life 24 h, t_ref = global max ts):
+    associative given the fixed t_ref, so per-batch partials ride one
+    dim-sized groupby — the input never reshuffles."""
+    from wned_ray.pipelines.analytics import time_decay_agg
+
+    ds = _rd().read_parquet(f"{sf_dir}/events.parquet",
+                            columns=["user_id", "ts", "value"])
+    return time_decay_agg(ds, "user_id", "ts", "value",
+                          half_life_s=86400.0)
+
+
+def _q_zscore_outliers_events(sf_dir: str):
+    """Per-event-type z-score anomaly rows (analytics.zscore_outliers,
+    |z| > 3): one moment-partials pass for group mean/std (dim-sized
+    stats broadcast), one stateless flagging scan."""
+    from wned_ray.pipelines.analytics import zscore_outliers
+
+    ds = _rd().read_parquet(f"{sf_dir}/events.parquet",
+                            columns=["event_id", "event_type", "value"])
+    return zscore_outliers(ds, "event_type", "value", "event_id",
+                           z_thresh=3.0)
+
+
+def _q_orders_above_cust_avg(sf_dir: str):
+    """The correlated-subquery shape: orders priced above 1.3x their
+    customer's average (analytics.above_group_avg) — per-key mean +
+    DISTRIBUTED join back (the per-customer dim is not broadcastable
+    at 100 TB) + vectorized filter."""
+    from wned_ray.pipelines.analytics import above_group_avg
+
+    ds = _rd().read_parquet(f"{sf_dir}/orders.parquet",
+                            columns=["o_orderkey", "o_custkey",
+                                     "o_totalprice"])
+    return above_group_avg(ds, "o_custkey", "o_totalprice",
+                           ["o_orderkey"], factor=1.3)
+
+
+def _q_topn_events_ties(sf_dir: str):
+    """Per-user top-2 events under RANK() semantics — boundary ties
+    KEPT (analytics.topn_per_group_ties): vectorized batch-local prune
+    (only ~n rows per (group, batch) survive to the shuffle) + exact
+    per-group rank filter."""
+    from wned_ray.pipelines.analytics import topn_per_group_ties
+
+    ds = _rd().read_parquet(f"{sf_dir}/events.parquet",
+                            columns=["user_id", "event_id", "value"])
+    return topn_per_group_ties(ds, "user_id", "value", "event_id", n=2)
+
+
+def _q_gap_fill_daily_events(sf_dir: str):
+    """Dense per-type daily counts with zero-filled gaps
+    (analytics.gap_fill_daily): the generate_series + left-join shape —
+    grid generated distributed from a 2-scalar bounds pass, counts
+    join in distributed, day rides the shuffle as int64 epoch-us."""
+    from wned_ray.pipelines.analytics import gap_fill_daily
+
+    ds = _rd().read_parquet(f"{sf_dir}/events.parquet",
+                            columns=["event_type", "ts"])
+    return gap_fill_daily(ds, "event_type", "ts")
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # ORDER MATTERS: the round driver sweeps this dict in insertion order
     # and records the FIRST 50 entries (round-3 CORRECTNESS captured
@@ -2726,6 +2789,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "er_blocking_phonetic": _q_er_blocking_phonetic,  # rows-only
         "sorted_neighborhood_docs": _q_sorted_neighborhood_docs,
         "er_blocking_sortedneigh": _q_er_blocking_sortedneigh,  # rows-only
+        "time_decay_users": _q_time_decay_users,
+        "zscore_outliers_events": _q_zscore_outliers_events,
+        "orders_above_cust_avg": _q_orders_above_cust_avg,
+        "topn_events_ties": _q_topn_events_ties,
+        "gap_fill_daily_events": _q_gap_fill_daily_events,
     }
 
 
@@ -3496,6 +3564,56 @@ def oracle_sql() -> dict[str, str]:
             "SELECT a.doc_id AS id_a, b.doc_id AS id_b, "
             "CAST(b.rnk - a.rnk AS BIGINT) AS dist "
             "FROM r a JOIN r b ON b.rnk > a.rnk AND b.rnk - a.rnk <= 3"
+        ),
+        "time_decay_users": (
+            "WITH tref AS (SELECT max(ts) AS tr FROM events) "
+            "SELECT user_id, count(*) AS n, "
+            "CAST(floor(sum(value * exp(-(ln(2) / 86400.0) * "
+            "((epoch_us(tr) - epoch_us(ts)) / 1e6))) * 1e6 + 0.5) "
+            "AS BIGINT) AS decayed_e6 "
+            "FROM events, tref GROUP BY user_id"
+        ),
+        "zscore_outliers_events": (
+            "WITH st AS (SELECT event_type, "
+            "sum(value) / count(*) AS mu, "
+            "sqrt(greatest(sum(value * value) / count(*) - "
+            "(sum(value) / count(*)) * (sum(value) / count(*)), 0)) "
+            "AS sd FROM events GROUP BY event_type) "
+            "SELECT e.event_id, e.event_type, e.value, "
+            "CAST(floor((CASE WHEN sd > 0 THEN (value - mu) / sd "
+            "ELSE 0 END) * 1e4 + 0.5) AS BIGINT) AS z_e4 "
+            "FROM events e JOIN st USING (event_type) "
+            "WHERE abs(CASE WHEN sd > 0 THEN (value - mu) / sd "
+            "ELSE 0 END) > 3.0"
+        ),
+        "orders_above_cust_avg": (
+            "WITH a AS (SELECT o_custkey, avg(o_totalprice) AS av "
+            "FROM orders GROUP BY o_custkey) "
+            "SELECT o.o_orderkey, o.o_custkey, o.o_totalprice, "
+            "CAST(floor(a.av * 1.3 * 100 + 0.5) AS BIGINT) "
+            "AS threshold_e2 "
+            "FROM orders o JOIN a USING (o_custkey) "
+            "WHERE o.o_totalprice > a.av * 1.3"
+        ),
+        "topn_events_ties": (
+            "SELECT user_id, event_id, value, rnk FROM ("
+            "SELECT user_id, event_id, value, rank() OVER ("
+            "PARTITION BY user_id ORDER BY value DESC) AS rnk "
+            "FROM events) WHERE rnk <= 2"
+        ),
+        "gap_fill_daily_events": (
+            "WITH b AS (SELECT min(date_trunc('day', ts)) AS lo, "
+            "max(date_trunc('day', ts)) AS hi FROM events), "
+            "days AS (SELECT unnest(generate_series("
+            "(SELECT lo FROM b), (SELECT hi FROM b), "
+            "INTERVAL 1 DAY)) AS day), "
+            "cats AS (SELECT DISTINCT event_type FROM events), "
+            "cnts AS (SELECT event_type, date_trunc('day', ts) AS day, "
+            "count(*) AS cnt FROM events GROUP BY 1, 2) "
+            "SELECT c.event_type, d.day, coalesce(n.cnt, 0) AS cnt "
+            "FROM cats c CROSS JOIN days d "
+            "LEFT JOIN cnts n ON n.event_type = c.event_type "
+            "AND n.day = d.day"
         ),
     }
 

@@ -603,3 +603,122 @@ def test_pagerank_vs_dense(ray_session):
     assert got["node"].tolist() == nodes.tolist()
     assert np.abs(got["rank_e9"].to_numpy() - want).max() <= 2
     assert abs(got["rank_e9"].sum() / 1e9 - 1.0) < 1e-6
+
+
+def test_time_decay_agg_hand_example(ray_session):
+    import ray.data as rd
+
+    from wned_ray.pipelines.analytics import time_decay_agg
+
+    # t_ref = the max ts; ages 0 s and exactly one half-life
+    df = pd.DataFrame({
+        "k": ["a", "a", "b"],
+        "ts": pd.to_datetime(["2024-01-02 00:00:00",
+                              "2024-01-01 00:00:00",
+                              "2024-01-02 00:00:00"]),
+        "v": [10.0, 8.0, 4.0],
+    })
+    got = (time_decay_agg(rd.from_pandas(df), "k", "ts", "v",
+                          half_life_s=86400.0)
+           .to_pandas().sort_values("k").reset_index(drop=True))
+    # a: 10*2^0 + 8*2^-1 = 14.0 ; b: 4*2^0 = 4.0
+    assert got["decayed_e6"].tolist() == [14_000_000, 4_000_000]
+    assert got["n"].tolist() == [2, 1]
+
+
+def test_zscore_outliers_planted(ray_session):
+    import ray.data as rd
+
+    from wned_ray.pipelines.analytics import zscore_outliers
+
+    vals = [10.0] * 20 + [11.0] * 20 + [1000.0]   # one wild point
+    df = pd.DataFrame({"id": range(len(vals)),
+                       "g": ["x"] * len(vals), "v": vals})
+    got = zscore_outliers(rd.from_pandas(df), "g", "v", "id",
+                          z_thresh=3.0).to_pandas()
+    assert got["id"].tolist() == [40]
+    assert got["z_e4"].iloc[0] > 3_0000  # z far above threshold
+    # constant group: sd == 0 -> no outliers, no div-by-zero
+    df2 = pd.DataFrame({"id": [1, 2], "g": ["c", "c"], "v": [5.0, 5.0]})
+    assert zscore_outliers(rd.from_pandas(df2), "g", "v", "id",
+                           3.0).count() == 0
+
+
+def test_above_group_avg_hand_example(ray_session):
+    import ray.data as rd
+
+    from wned_ray.pipelines.analytics import above_group_avg
+
+    df = pd.DataFrame({"k": [1, 1, 1, 2, 2],
+                       "id": [10, 11, 12, 20, 21],
+                       "v": [100.0, 100.0, 400.0, 50.0, 60.0]})
+    # group 1 avg=200 -> thr 260 -> only v=400; group 2 avg=55 ->
+    # thr 71.5 -> none
+    got = above_group_avg(rd.from_pandas(df), "k", "v", ["id"],
+                          factor=1.3).to_pandas()
+    assert got["id"].tolist() == [12]
+    assert got["threshold_e2"].tolist() == [26_000]
+
+
+def test_topn_per_group_ties_keeps_boundary_ties(ray_session):
+    import ray.data as rd
+
+    from wned_ray.pipelines.analytics import topn_per_group_ties
+
+    df = pd.DataFrame({
+        "g": ["a"] * 4 + ["b"] * 3,
+        "id": [1, 2, 3, 4, 5, 6, 7],
+        "v": [9.0, 7.0, 7.0, 1.0,    5.0, 5.0, 5.0],
+    })
+    got = (topn_per_group_ties(rd.from_pandas(df), "g", "v", "id", n=2)
+           .to_pandas().sort_values(["g", "id"]).reset_index(drop=True))
+    # a: 9 (rnk1) + BOTH 7s (rnk2, tie kept); b: all three tie at rnk1
+    assert got[got.g == "a"]["id"].tolist() == [1, 2, 3]
+    assert got[got.g == "a"]["rnk"].tolist() == [1, 2, 2]
+    assert got[got.g == "b"]["id"].tolist() == [5, 6, 7]
+    assert got[got.g == "b"]["rnk"].tolist() == [1, 1, 1]
+
+
+def test_topn_per_group_ties_matches_bruteforce(ray_session):
+    import ray.data as rd
+
+    from wned_ray.pipelines.analytics import topn_per_group_ties
+
+    rng = np.random.RandomState(7)
+    df = pd.DataFrame({
+        "g": rng.randint(0, 17, 600),
+        "id": np.arange(600),
+        # coarse grid so cross-batch ties actually occur
+        "v": rng.randint(0, 9, 600).astype(np.float64),
+    })
+    got = (topn_per_group_ties(
+        rd.from_pandas(df).repartition(7), "g", "v", "id", n=3)
+        .to_pandas().sort_values(["g", "id"]).reset_index(drop=True))
+    ref = df.copy()
+    ref["rnk"] = (ref.groupby("g")["v"].rank(method="min",
+                                             ascending=False)
+                  .astype(np.int64))
+    ref = (ref[ref.rnk <= 3].sort_values(["g", "id"])
+           .reset_index(drop=True))
+    assert got["id"].tolist() == ref["id"].tolist()
+    assert got["rnk"].tolist() == ref["rnk"].tolist()
+
+
+def test_gap_fill_daily_zero_rows(ray_session):
+    import ray.data as rd
+
+    from wned_ray.pipelines.analytics import gap_fill_daily
+
+    df = pd.DataFrame({
+        "t": ["click", "click", "view"],
+        "ts": pd.to_datetime(["2024-01-01 05:00", "2024-01-03 06:00",
+                              "2024-01-01 07:00"]),
+    })
+    got = (gap_fill_daily(rd.from_pandas(df), "t", "ts").to_pandas()
+           .sort_values(["t", "day"]).reset_index(drop=True))
+    # 3 days x 2 types = 6 dense rows
+    assert len(got) == 6
+    click = got[got.t == "click"]
+    assert click["cnt"].tolist() == [1, 0, 1]     # Jan 2 zero-filled
+    view = got[got.t == "view"]
+    assert view["cnt"].tolist() == [1, 0, 0]

@@ -967,3 +967,253 @@ def pagerank(edges, src_col: str = "src", dst_col: str = "dst",
         })
 
     return ranks.map_batches(fin, batch_format="pyarrow")
+
+
+def time_decay_agg(ds, key_col: str, ts_col: str, val_col: str,
+                   half_life_s: float = 86400.0):
+    """Exponentially time-decayed sum per key (the "recency-weighted
+    engagement" aggregate): ``sum(value * 2^(-(t_ref - t)/half_life))``
+    with ``t_ref`` = the global max timestamp. Because ``t_ref`` is
+    fixed, the decayed sum is ASSOCIATIVE — per-batch partial sums per
+    key ride one dim-sized groupby shuffle; the input never reshuffles.
+
+    Scale shape: one cheap max() pass (scalar), one map_batches partial,
+    one groupby over |keys| rows. Output (key, n, decayed_e6).
+    """
+    from ray.data.aggregate import Count, Sum
+
+    # pd.Timestamp normalizes whatever Dataset.max returns for a
+    # timestamp column (datetime.datetime, numpy datetime64, Timestamp)
+    t_ref_us = pd.Timestamp(ds.max(ts_col)).value // 1000
+    lam = np.log(2.0) / float(half_life_s)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t_us = batch[ts_col].cast(pa.timestamp("us")).cast(
+            pa.int64()).to_numpy(zero_copy_only=False)
+        age_s = (t_ref_us - t_us).astype(np.float64) / 1e6
+        w = np.exp(-lam * age_s)
+        v = batch[val_col].to_numpy(zero_copy_only=False)
+        t = pa.table({key_col: batch[key_col],
+                      "_wv": pa.array(w * v, pa.float64())})
+        return t.group_by([key_col]).aggregate(
+            [("_wv", "sum"), ("_wv", "count")]).rename_columns(
+            [key_col, "_wv", "_n"])
+
+    agg = (ds.select_columns([key_col, ts_col, val_col])
+           .map_batches(partial, batch_format="pyarrow")
+           .groupby(key_col)
+           .aggregate(Sum("_wv", alias_name="_dec"),
+                      Sum("_n", alias_name="n")))
+
+    def fin(batch: pa.Table) -> pa.Table:
+        d = batch["_dec"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            key_col: batch[key_col], "n": batch["n"],
+            "decayed_e6": pa.array(
+                np.floor(d * 1e6 + 0.5).astype(np.int64)),
+        })
+
+    return agg.map_batches(fin, batch_format="pyarrow")
+
+
+def zscore_outliers(ds, group_col: str, val_col: str,
+                    id_col: str, z_thresh: float = 3.0):
+    """Per-group z-score anomaly flagging: group mean/std from ONE
+    moment-partials pass (n, sum, sum-of-squares per group — the same
+    combiner family as grouped_corr), broadcast the dim-sized stats,
+    then a stateless second scan emits rows with ``|z| > z_thresh``.
+
+    Input never shuffles; the only exchange is |groups| x 3 scalars.
+    Output (id, group, value, z_e4) for the outlier rows only."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    def moments(batch: pa.Table) -> pa.Table:
+        v = batch[val_col].to_numpy(zero_copy_only=False)
+        t = pa.table({group_col: batch[group_col],
+                      "_s": pa.array(v, pa.float64()),
+                      "_s2": pa.array(v * v, pa.float64()),
+                      "_one": pa.array(np.ones(len(v), np.int64))})
+        return t.group_by([group_col]).aggregate(
+            [("_s", "sum"), ("_s2", "sum"), ("_one", "sum")]
+        ).rename_columns([group_col, "_s", "_s2", "_n"])
+
+    stats = (ds.select_columns([group_col, val_col])
+             .map_batches(moments, batch_format="pyarrow")
+             .groupby(group_col)
+             .aggregate(Sum("_s", alias_name="s"),
+                        Sum("_s2", alias_name="s2"),
+                        Sum("_n", alias_name="n"))
+             .to_pandas())
+    mu = stats["s"] / stats["n"]
+    var = stats["s2"] / stats["n"] - mu * mu
+    sd = np.sqrt(np.maximum(var, 0.0))
+    lut_ref = ray.put({k: (m, s) for k, m, s in
+                       zip(stats[group_col], mu, sd)})
+
+    def flag(batch: pa.Table) -> pa.Table:
+        lut = ray.get(lut_ref)
+        keys = batch[group_col].to_pylist()
+        mus = np.array([lut[k][0] for k in keys])
+        sds = np.array([lut[k][1] for k in keys])
+        v = batch[val_col].to_numpy(zero_copy_only=False)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            z = np.where(sds > 0, (v - mus) / sds, 0.0)
+        keep = np.abs(z) > z_thresh
+        out = pa.table({
+            id_col: batch[id_col], group_col: batch[group_col],
+            val_col: batch[val_col],
+            "z_e4": pa.array(np.floor(z * 1e4 + 0.5).astype(np.int64)),
+        })
+        return out.filter(pa.array(keep))
+
+    return (ds.select_columns([id_col, group_col, val_col])
+            .map_batches(flag, batch_format="pyarrow"))
+
+
+def above_group_avg(ds, key_col: str, val_col: str, id_cols: list,
+                    factor: float = 1.3):
+    """The correlated-subquery shape ``WHERE v > factor * (SELECT avg(v)
+    ... same key)``: per-key mean via one groupby, then a DISTRIBUTED
+    hash join back (the per-key dim can be arbitrarily large — a
+    customer table at 100 TB is not broadcastable) and a vectorized
+    filter. Output: id_cols + value + threshold_e2."""
+    from ray.data.aggregate import Mean
+
+    from wned_ray.util import safe_partitions
+
+    means = (ds.groupby(key_col)
+             .aggregate(Mean(val_col, alias_name="_avg")))
+    joined = ds.select_columns(list(dict.fromkeys(
+        [key_col, val_col, *id_cols]))).join(
+        means, join_type="inner", num_partitions=safe_partitions(16),
+        on=(key_col,))
+
+    def keep(batch: pa.Table) -> pa.Table:
+        v = batch[val_col].to_numpy(zero_copy_only=False)
+        thr = batch["_avg"].to_numpy(zero_copy_only=False) * factor
+        m = v > thr
+        out = pa.table({
+            **{c: batch[c] for c in
+               dict.fromkeys([*id_cols, key_col, val_col])},
+            "threshold_e2": pa.array(
+                np.floor(thr * 100 + 0.5).astype(np.int64)),
+        })
+        return out.filter(pa.array(m))
+
+    return joined.map_batches(keep, batch_format="pyarrow")
+
+
+def topn_per_group_ties(ds, group_col: str, order_col: str,
+                        tie_col: str, n: int = 2):
+    """Top-N per group under RANK() semantics — ties at the boundary
+    are KEPT (the ANSI ``rank() <= n`` filter), unlike the row_number
+    top-1 elsewhere. Two-stage combiner shape: a vectorized BATCH-LOCAL
+    prune first (a row whose rank within its batch exceeds n can never
+    make the global top-n, so only ~n rows per (group, batch) survive —
+    the shuffle moves the pruned set, not the input), then one groupby
+    with an exact per-group rank filter.
+
+    The prune kernel is fully vectorized: lexsort by (group, -value),
+    positions via arange - segment offsets, rank via
+    first-occurrence-of-value propagation (np.maximum.accumulate over
+    segment-reset indices).
+
+    Output: (group, tie_col, order_col, rnk)."""
+    def kern(batch: pa.Table) -> pa.Table:
+        g = batch[group_col].to_numpy(zero_copy_only=False)
+        v = batch[order_col].to_numpy(zero_copy_only=False)
+        t = batch[tie_col].to_numpy(zero_copy_only=False)
+        order = np.lexsort((t, -v, g))
+        gs, vs = g[order], v[order]
+        new_grp = np.empty(len(gs), bool)
+        new_grp[0:1] = True
+        new_grp[1:] = gs[1:] != gs[:-1]
+        seg_start = np.maximum.accumulate(
+            np.where(new_grp, np.arange(len(gs)), 0))
+        pos = np.arange(len(gs)) - seg_start  # 0-based row_number
+        # rank = position of the FIRST row with this value in the group
+        new_val = np.empty(len(gs), bool)
+        new_val[0:1] = True
+        new_val[1:] = (vs[1:] != vs[:-1]) | new_grp[1:]
+        first_idx = np.maximum.accumulate(
+            np.where(new_val, np.arange(len(gs)), 0))
+        rnk = (first_idx - seg_start + 1).astype(np.int64)
+        keep = rnk <= n
+        idx = order[keep]
+        return pa.table({
+            group_col: batch[group_col].take(pa.array(idx)),
+            tie_col: batch[tie_col].take(pa.array(idx)),
+            order_col: batch[order_col].take(pa.array(idx)),
+            "rnk": pa.array(rnk[keep]),
+        })
+
+    def exact(g: pd.DataFrame) -> pd.DataFrame:
+        rnk = g[order_col].rank(method="min", ascending=False)
+        out = g[rnk <= n].copy()
+        out["rnk"] = rnk[rnk <= n].astype(np.int64)
+        return out.sort_values([order_col, tie_col],
+                               ascending=[False, True])
+
+    pruned = (ds.select_columns([group_col, order_col, tie_col])
+              .map_batches(kern, batch_format="pyarrow")
+              .select_columns([group_col, tie_col, order_col]))
+    return pruned.groupby(group_col).map_groups(
+        exact, batch_format="pandas")
+
+
+def gap_fill_daily(ds, type_col: str, ts_col: str):
+    """Dense daily time series per category with zero-filled gaps (the
+    warehouse ``generate_series`` + left-join shape). Bounds come from
+    one min/max pass (2 scalars); the dense grid is a ray.data.range
+    over n_days crossed with the broadcast category list (the grid is
+    |days| x |categories| — generated distributed, never collected);
+    actual daily counts join in distributed.
+
+    Output (category, day, cnt) with cnt=0 on missing days."""
+    import ray
+    import ray.data as rd
+    from ray.data.aggregate import Count
+
+    from wned_ray.util import safe_partitions
+
+    def to_day(batch: pa.Table) -> pa.Table:
+        # day rides the shuffle as int64 epoch-us: Ray's sort shuffle
+        # round-trips day-precision timestamps through numpy and lands
+        # on timestamp[s]; int64 keys are stable (and hash faster)
+        return pa.table({
+            type_col: batch[type_col],
+            "day_us": pc.floor_temporal(batch[ts_col], unit="day").cast(
+                pa.timestamp("us")).cast(pa.int64()),
+        })
+
+    daily = (ds.select_columns([type_col, ts_col])
+             .map_batches(to_day, batch_format="pyarrow")
+             .groupby([type_col, "day_us"])
+             .aggregate(Count(alias_name="cnt"))
+             .materialize())
+    lo_us = int(daily.min("day_us"))
+    hi_us = int(daily.max("day_us"))
+    cats = sorted(r[type_col] for r in
+                  daily.groupby(type_col).count().take_all())
+    n_days = (hi_us - lo_us) // 86_400_000_000 + 1
+    cats_ref = ray.put(cats)
+
+    def grid(batch):
+        ids = np.asarray(batch["id"], np.int64)
+        cs = ray.get(cats_ref)
+        days = pa.array(lo_us + ids * 86_400_000_000, pa.int64())
+        tbl = []
+        for c in cs:
+            tbl.append(pa.table({
+                type_col: pa.array([c] * len(ids)), "day_us": days}))
+        return pa.concat_tables(tbl)
+
+    dense = rd.range(n_days).map_batches(grid, batch_format="pandas")
+    out = dense.join(daily, join_type="left_outer",
+                     num_partitions=safe_partitions(8),
+                     on=(type_col, "day_us"))
+    return out.map_batches(lambda b: pa.table({
+        type_col: b[type_col],
+        "day": b["day_us"].cast(pa.timestamp("us")),
+        "cnt": pc.fill_null(b["cnt"], 0)}), batch_format="pyarrow")
