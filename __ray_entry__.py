@@ -2664,6 +2664,30 @@ def _q_gap_fill_daily_events(sf_dir: str):
     return gap_fill_daily(ds, "event_type", "ts")
 
 
+def _q_meta_blocking_wnp(sf_dir: str):
+    """Meta-blocking with weighted NODE pruning over token blocks on
+    documents (blocking.meta_blocking, Papadakis TKDE 2014 / BLAST
+    threshold): CBS edge weights from one self-join, per-node mean
+    neighborhood weight, keep w >= (avg_a + avg_b)/2."""
+    from wned_ray.stages.blocking import meta_blocking
+
+    ds = _rd().read_parquet(f"{sf_dir}/documents.parquet",
+                            columns=["doc_id", "text"])
+    return meta_blocking(ds, "doc_id", "text", scheme="wnp",
+                         max_block=32)
+
+
+def _q_meta_blocking_wep(sf_dir: str):
+    """Meta-blocking with weighted EDGE pruning (global mean weight
+    threshold) — the WEP variant of blocking.meta_blocking."""
+    from wned_ray.stages.blocking import meta_blocking
+
+    ds = _rd().read_parquet(f"{sf_dir}/documents.parquet",
+                            columns=["doc_id", "text"])
+    return meta_blocking(ds, "doc_id", "text", scheme="wep",
+                         max_block=32)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # ORDER MATTERS: the round driver sweeps this dict in insertion order
     # and records the FIRST 50 entries (round-3 CORRECTNESS captured
@@ -2794,6 +2818,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_above_cust_avg": _q_orders_above_cust_avg,
         "topn_events_ties": _q_topn_events_ties,
         "gap_fill_daily_events": _q_gap_fill_daily_events,
+        "meta_blocking_wnp": _q_meta_blocking_wnp,
+        "meta_blocking_wep": _q_meta_blocking_wep,
     }
 
 
@@ -3614,6 +3640,45 @@ def oracle_sql() -> dict[str, str]:
             "FROM cats c CROSS JOIN days d "
             "LEFT JOIN cnts n ON n.event_type = c.event_type "
             "AND n.day = d.day"
+        ),
+        "meta_blocking_wnp": (
+            "WITH toks AS (SELECT doc_id, string_split(lower(text), ' ') "
+            "AS ts FROM documents), "
+            "et AS (SELECT DISTINCT doc_id, "
+            "ts[i] || '_' || ts[i+1] AS term FROM toks, "
+            "unnest(generate_series(1, len(ts) - 1)) AS t(i) "
+            "WHERE ts[i] <> '' AND ts[i+1] <> ''), "
+            "kept AS (SELECT term FROM et GROUP BY term "
+            "HAVING count(*) BETWEEN 2 AND 32), "
+            "p AS (SELECT et.doc_id, et.term FROM et "
+            "JOIN kept USING (term)), "
+            "e AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, "
+            "count(*) AS w FROM p a JOIN p b ON a.term = b.term "
+            "AND a.doc_id < b.doc_id GROUP BY 1, 2), "
+            "na AS (SELECT node, avg(w) AS avg_w FROM ("
+            "SELECT id_a AS node, w FROM e UNION ALL "
+            "SELECT id_b AS node, w FROM e) GROUP BY node) "
+            "SELECT e.id_a, e.id_b, e.w FROM e "
+            "JOIN na x ON e.id_a = x.node "
+            "JOIN na y ON e.id_b = y.node "
+            "WHERE e.w >= (x.avg_w + y.avg_w) / 2"
+        ),
+        "meta_blocking_wep": (
+            "WITH toks AS (SELECT doc_id, string_split(lower(text), ' ') "
+            "AS ts FROM documents), "
+            "et AS (SELECT DISTINCT doc_id, "
+            "ts[i] || '_' || ts[i+1] AS term FROM toks, "
+            "unnest(generate_series(1, len(ts) - 1)) AS t(i) "
+            "WHERE ts[i] <> '' AND ts[i+1] <> ''), "
+            "kept AS (SELECT term FROM et GROUP BY term "
+            "HAVING count(*) BETWEEN 2 AND 32), "
+            "p AS (SELECT et.doc_id, et.term FROM et "
+            "JOIN kept USING (term)), "
+            "e AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, "
+            "count(*) AS w FROM p a JOIN p b ON a.term = b.term "
+            "AND a.doc_id < b.doc_id GROUP BY 1, 2) "
+            "SELECT id_a, id_b, w FROM e "
+            "WHERE w >= (SELECT avg(w) FROM e)"
         ),
     }
 

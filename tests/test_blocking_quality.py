@@ -126,3 +126,66 @@ def test_sorted_neighborhood_validates_params(ray_session):
         sorted_neighborhood_pairs(ds, "rid", "key", window=1)
     with _pt.raises(ValueError):
         sorted_neighborhood_pairs(ds, "rid", "key", window=8, chunk=4)
+
+
+def test_meta_blocking_hand_example(ray_session):
+    import ray.data as rd
+
+    from wned_ray.stages.blocking import meta_blocking
+
+    # bigram blocks: x_y {1,2,3,5}, y_z {1,3}, y_w {2}, q_r {4}
+    # kept (size 2..32): x_y, y_z
+    # edges (CBS): (1,2)=1 (1,3)=2 (1,5)=1 (2,3)=1 (2,5)=1 (3,5)=1
+    df = pd.DataFrame({
+        "doc_id": [1, 2, 3, 4, 5],
+        "text": ["x y z", "x y w", "x y z", "q r", "x y"],
+    })
+    # WEP: global mean = 7/6 -> only (1,3) survives
+    wep = (meta_blocking(rd.from_pandas(df), "doc_id", "text",
+                         scheme="wep", max_block=32)
+           .to_pandas().sort_values(["id_a", "id_b"]))
+    assert list(map(tuple, wep[["id_a", "id_b", "w"]].values)) == \
+        [(1, 3, 2)]
+    # WNP: node means 1:4/3, 2:1, 3:4/3, 5:1
+    #   (1,3): 2 >= 4/3 keep; (2,5): 1 >= (1+1)/2 keep (boundary tie);
+    #   all others fall below their (avg_a+avg_b)/2 threshold
+    wnp = (meta_blocking(rd.from_pandas(df), "doc_id", "text",
+                         scheme="wnp", max_block=32)
+           .to_pandas().sort_values(["id_a", "id_b"]))
+    assert list(map(tuple, wnp[["id_a", "id_b", "w"]].values)) == \
+        [(1, 3, 2), (2, 5, 1)]
+
+
+def test_meta_blocking_prunes_most_edges(ray_session):
+    """At sf0.001 the pruned edge set must be a strict (and large)
+    reduction of the unpruned CBS graph while keeping every surviving
+    weight >= 1 and id_a < id_b."""
+    import ray.data as rd
+
+    from wned_ray.stages.blocking import meta_blocking
+
+    ds = rd.read_parquet("/root/testdata/sf0.001/documents.parquet",
+                         columns=["doc_id", "text"])
+    out = meta_blocking(ds, "doc_id", "text", scheme="wnp",
+                        max_block=32).to_pandas()
+    assert (out["id_a"] < out["id_b"]).all()
+    assert (out["w"] >= 1).all()
+    # brute-force CBS reference in pandas: the pruned set must be a
+    # PROPER subset of the full graph with identical weights
+    docs = pd.read_parquet("/root/testdata/sf0.001/documents.parquet",
+                           columns=["doc_id", "text"])
+    rows = []
+    for did, text in zip(docs.doc_id, docs.text):
+        t = [w for w in text.lower().split(" ") if w]
+        rows.extend((did, f"{a}_{b}") for a, b in zip(t, t[1:]))
+    et = pd.DataFrame(rows, columns=["doc_id", "g"]).drop_duplicates()
+    bs = et.groupby("g")["doc_id"].transform("size")
+    et = et[(bs >= 2) & (bs <= 32)]
+    m = et.merge(et, on="g")
+    m = m[m.doc_id_x < m.doc_id_y]
+    full = (m.groupby(["doc_id_x", "doc_id_y"]).size()
+            .rename("w").reset_index())
+    assert 0 < len(out) < len(full)
+    chk = out.merge(full, left_on=["id_a", "id_b"],
+                    right_on=["doc_id_x", "doc_id_y"], how="left")
+    assert (chk["w_x"] == chk["w_y"]).all()

@@ -288,3 +288,158 @@ def sorted_neighborhood_pairs(ds, id_col: str, key_col: str,
 
     return (ranked.map_batches(assign, batch_format="pandas")
             .groupby("_g").map_groups(emit, batch_format="pandas"))
+
+
+def meta_blocking(ds, id_col: str = "doc_id", text_col: str = "text",
+                  scheme: str = "wnp", max_block: int = 32):
+    """Meta-blocking: re-weight and prune a token-blocking graph so the
+    surviving candidate pairs carry most of the recall at a fraction of
+    the comparisons (Papadakis et al., "Meta-Blocking: Taking Entity
+    Resolution to the Next Level", TKDE 2014; the (avg_a + avg_b)/2
+    node-centric threshold follows BLAST, Simonini et al., VLDB 2016).
+
+    Blocking keys are word BIGRAMS (adjacent lowercased token pairs) —
+    the composite-key variant of token blocking: single tokens over a
+    narrow vocabulary put every entity in every block, while bigrams
+    grade block sizes smoothly (and at web scale keep hot blocks rare).
+
+    Stages, all streaming:
+      1. distinct (entity, bigram) pairs — vectorized adjacent-token
+         join (pc.binary_join_element_wise over the flattened token
+         stream), per-batch distinct combiner, one groupby
+      2. block purging: bigrams blocking > ``max_block`` entities (or
+         < 2) are dropped — the classic stop-block guard that keeps the
+         self-join product bounded at web scale
+      3. pair generation: one native self-join on the token + a pair
+         groupby; edge weight = CBS (count of common blocks)
+      4. pruning:
+         - ``wep``  (weighted edge pruning): keep w >= GLOBAL mean
+           weight (one scalar exchange)
+         - ``wnp``  (weighted node pruning): keep w >= (mean_a +
+           mean_b) / 2 of the two endpoint neighborhoods — per-node
+           means via one explode + groupby, joined back distributed
+
+    Output: (id_a, id_b, w) surviving candidate edges. Weights are
+    ints and thresholds exact ratios of int sums, so the SQL twin is
+    bit-reproducible."""
+    import pandas as pd
+    import pyarrow.compute as pc
+    import ray
+    from ray.data.aggregate import Count, Mean
+
+    from wned_ray.util import safe_partitions
+
+    def toks(batch: pa.Table) -> pa.Table:
+        lists = pc.split_pattern(pc.utf8_lower(batch[text_col]),
+                                 pattern=" ")
+        flat = pc.list_flatten(lists).combine_chunks()
+        par = pc.list_parent_indices(lists).to_numpy(
+            zero_copy_only=False)
+        n = len(flat)
+        if n < 2:
+            return pa.table({id_col: batch[id_col].slice(0, 0),
+                             "term": pa.array([], pa.string())})
+        a, b = flat.slice(0, n - 1), flat.slice(1, n - 1)
+        gram = pc.binary_join_element_wise(a, b, "_")
+        same_doc = par[1:] == par[:-1]
+        nonempty = (pc.not_equal(a, "").to_numpy(zero_copy_only=False)
+                    & pc.not_equal(b, "").to_numpy(zero_copy_only=False))
+        m = pa.array(same_doc & nonempty)
+        t = pa.table({
+            id_col: batch[id_col].take(pa.array(par[:-1])).filter(m),
+            "term": gram.filter(m),
+        })
+        return t.group_by([id_col, "term"]).aggregate([])
+
+    ent_term = (ds.select_columns([id_col, text_col])
+                .map_batches(toks, batch_format="pyarrow")
+                .groupby([id_col, "term"])
+                .aggregate(Count(alias_name="_c"))
+                .select_columns([id_col, "term"])
+                .materialize())
+
+    sizes = (ent_term.groupby("term")
+             .aggregate(Count(alias_name="_bs")))
+
+    def keep_sizes(b: pa.Table) -> pa.Table:
+        m = pc.and_(pc.greater_equal(b["_bs"], 2),
+                    pc.less_equal(b["_bs"], int(max_block)))
+        # schema-preserving projection: a filter+select chain can emit
+        # schema-less empty blocks that break the downstream acero join
+        return pa.table({"term": b["term"].filter(m)})
+
+    # rows hint collapses tiny inputs to fewer partitions: a hash
+    # partition that receives zero rows of one side is schema-less and
+    # the per-partition Arrow join fails (see safe_partitions)
+    n_et = ent_term.count()
+    kept_terms = sizes.map_batches(keep_sizes, batch_format="pyarrow")
+    pruned = ent_term.join(kept_terms, join_type="inner",
+                           num_partitions=safe_partitions(16, rows=n_et),
+                           on=("term",))
+
+    def _ren(new):
+        def f(b: pa.Table) -> pa.Table:
+            return pa.table({"term": b["term"], new: b[id_col]})
+        return f
+
+    left = pruned.map_batches(_ren("id_a"), batch_format="pyarrow")
+    right = pruned.map_batches(_ren("id_b"), batch_format="pyarrow")
+    edges = (left.join(right, join_type="inner",
+                       num_partitions=safe_partitions(16, rows=n_et),
+                       on=("term",))
+             .filter(expr="id_a < id_b")
+             .groupby(["id_a", "id_b"])
+             .aggregate(Count(alias_name="w"))
+             .materialize())
+
+    if scheme == "wep":
+        thr = edges.mean("w")
+
+        def keep_wep(b: pa.Table) -> pa.Table:
+            return b.filter(pc.greater_equal(
+                pc.cast(b["w"], pa.float64()), thr))
+
+        return edges.map_batches(keep_wep, batch_format="pyarrow")
+
+    if scheme != "wnp":
+        raise ValueError(f"unknown meta-blocking scheme: {scheme!r}")
+
+    # per-node mean edge weight: explode each edge to both endpoints
+    def ends(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "node": pa.concat_arrays([
+                b["id_a"].combine_chunks(),
+                b["id_b"].combine_chunks()]),
+            "w": pa.concat_arrays([b["w"].combine_chunks()] * 2),
+        })
+
+    node_avg = (edges.map_batches(ends, batch_format="pyarrow")
+                .groupby("node")
+                .aggregate(Mean("w", alias_name="avg_w")))
+
+    def _ren2(col, new):
+        def f(b: pa.Table) -> pa.Table:
+            return pa.table({col: b["node"], new: b["avg_w"]})
+        return f
+
+    av_a = node_avg.map_batches(_ren2("id_a", "_ava"),
+                                batch_format="pyarrow")
+    av_b = node_avg.map_batches(_ren2("id_b", "_avb"),
+                                batch_format="pyarrow")
+    n_edges = edges.count()
+    joined = (edges.join(av_a, join_type="inner",
+                         num_partitions=safe_partitions(16, rows=n_edges),
+                         on=("id_a",))
+              .join(av_b, join_type="inner",
+                    num_partitions=safe_partitions(16, rows=n_edges),
+                    on=("id_b",)))
+
+    def keep_wnp(b: pa.Table) -> pa.Table:
+        w = b["w"].to_numpy(zero_copy_only=False).astype(np.float64)
+        thr = (b["_ava"].to_numpy(zero_copy_only=False) +
+               b["_avb"].to_numpy(zero_copy_only=False)) / 2.0
+        m = w >= thr
+        return pa.table({"id_a": b["id_a"], "id_b": b["id_b"],
+                         "w": b["w"]}).filter(pa.array(m))
+
+    return joined.map_batches(keep_wnp, batch_format="pyarrow")
