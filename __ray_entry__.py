@@ -2688,6 +2688,33 @@ def _q_meta_blocking_wep(sf_dir: str):
                          max_block=32)
 
 
+def _q_prefix_jaccard_join(sf_dir: str):
+    """PPJoin-style prefix-filtered Jaccard self-join
+    (datawork.prefix_jaccard_join): EXACT same pair set as
+    ngram_jaccard_dedup (shared oracle) but the self-join exchanges
+    prefix rows only and verify ships packed gram blobs to candidates —
+    the web-scale path for exact set-similarity dedup."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from wned_ray.pipelines.datawork import prefix_jaccard_join
+
+    ds = _rd().read_parquet(f"{sf_dir}/documents.parquet",
+                            columns=["doc_id", "text"])
+    out = prefix_jaccard_join(ds, id_col="doc_id", n=3, threshold=0.8,
+                              ordering="df", num_partitions=8)
+
+    def micro(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "id_a": batch["id_a"], "id_b": batch["id_b"],
+            "jaccard_micro": pc.cast(
+                pc.round(pc.multiply(batch["jaccard"], 1_000_000.0)),
+                pa.int64()),
+        })
+
+    return out.map_batches(micro, batch_format="pyarrow")
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # ORDER MATTERS: the round driver sweeps this dict in insertion order
     # and records the FIRST 50 entries (round-3 CORRECTNESS captured
@@ -2820,6 +2847,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "gap_fill_daily_events": _q_gap_fill_daily_events,
         "meta_blocking_wnp": _q_meta_blocking_wnp,
         "meta_blocking_wep": _q_meta_blocking_wep,
+        "prefix_jaccard_join": _q_prefix_jaccard_join,
     }
 
 
@@ -3640,6 +3668,29 @@ def oracle_sql() -> dict[str, str]:
             "FROM cats c CROSS JOIN days d "
             "LEFT JOIN cnts n ON n.event_type = c.event_type "
             "AND n.day = d.day"
+        ),
+        # identical SQL as ngram_jaccard_dedup: the prefix filter is an
+        # optimization with a provably identical result set
+        "prefix_jaccard_join": (
+            r"WITH w AS (SELECT doc_id, string_split(lower(trim("
+            r"regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS ws "
+            "FROM documents), "
+            "g AS (SELECT doc_id, unnest(list_distinct("
+            "[array_to_string(ws[i:i+2], ' ') "
+            "for i in generate_series(1, len(ws)-2)])) AS gram "
+            "FROM w WHERE len(ws) >= 3), "
+            "s AS (SELECT doc_id, count(*) AS sz FROM g GROUP BY doc_id), "
+            "i AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, "
+            "count(*) AS inter FROM g a "
+            "JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id "
+            "GROUP BY 1, 2) "
+            "SELECT i.id_a, i.id_b, "
+            "CAST(round(1000000.0 * inter / (sa.sz + sb.sz - inter)) "
+            "AS BIGINT) AS jaccard_micro "
+            "FROM i JOIN s sa ON sa.doc_id = i.id_a "
+            "JOIN s sb ON sb.doc_id = i.id_b "
+            "WHERE 1.0 * inter / (sa.sz + sb.sz - inter) >= 0.8 "
+            "ORDER BY 1, 2"
         ),
         "meta_blocking_wnp": (
             "WITH toks AS (SELECT doc_id, string_split(lower(text), ' ') "

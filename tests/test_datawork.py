@@ -1503,3 +1503,45 @@ def test_rolling_window_agg_hand_example(ray_session):
     # frames: [1], [1,3], [1,3,2], [3,2,10], [2,10,4]
     assert np.allclose(got["roll_avg"], [1.0, 2.0, 2.0, 5.0, 16 / 3])
     assert np.allclose(got["roll_max"], [1.0, 3.0, 3.0, 10.0, 10.0])
+
+
+def test_prefix_jaccard_join_equals_exact(ray_session):
+    """The PPJoin prefix filter is an optimization, not an
+    approximation: both global orderings must return the identical
+    pair set and jaccard values as the exhaustive gram self-join."""
+    import ray.data as rd
+
+    from wned_ray.pipelines.datawork import (ngram_jaccard_dedup,
+                                             prefix_jaccard_join)
+
+    ds = rd.read_parquet("/root/testdata/sf0.001/documents.parquet",
+                         columns=["doc_id", "text"])
+    ex = (ngram_jaccard_dedup(ds, threshold=0.8).to_pandas()
+          .sort_values(["id_a", "id_b"]).reset_index(drop=True))
+    assert len(ex) > 0
+    for ordering in ("df", "hash"):
+        pf = (prefix_jaccard_join(ds, threshold=0.8, ordering=ordering)
+              .to_pandas().sort_values(["id_a", "id_b"])
+              .reset_index(drop=True))
+        assert pf[["id_a", "id_b"]].values.tolist() == \
+            ex[["id_a", "id_b"]].values.tolist()
+        assert np.allclose(pf["jaccard"], ex["jaccard"])
+
+
+def test_prefix_jaccard_join_planted_pair(ray_session):
+    """A near-dup pair sharing 4 of 5 trigrams (J = 2/3 at t = 0.6)
+    must survive the prefix filter; an unrelated doc must not pair."""
+    import ray.data as rd
+
+    from wned_ray.pipelines.datawork import prefix_jaccard_join
+
+    df = pd.DataFrame({
+        "doc_id": [1, 2, 3],
+        "text": ["a b c d e f g",        # grams: abc bcd cde def efg
+                 "a b c d e f h",        # shares abc bcd cde def -> J=4/6
+                 "q r s t u v w"],
+    })
+    out = prefix_jaccard_join(rd.from_pandas(df), threshold=0.6,
+                              n=3).to_pandas()
+    assert list(map(tuple, out[["id_a", "id_b"]].values)) == [(1, 2)]
+    assert abs(out["jaccard"].iloc[0] - 4 / 6) < 1e-12
