@@ -2715,6 +2715,21 @@ def _q_prefix_jaccard_join(sf_dir: str):
     return out.map_batches(micro, batch_format="pyarrow")
 
 
+def _q_cms_term_counts(sf_dir: str):
+    """Count-Min sketch term frequencies (datawork.cms_term_counts,
+    d=4 x w=1024, md5 hash mode): per-batch counter blobs sum on the
+    driver, exact counts via one vocab groupby with a DISTRIBUTED
+    top-k (sort+limit before the driver). The md5 mode makes the
+    sketch itself bit-reproducible in DuckDB, so est_cnt is
+    value-hash-checked, not just rows-only (hll_distinct_terms
+    discipline)."""
+    from wned_ray.pipelines.datawork import cms_term_counts
+
+    ds = _rd().read_parquet(f"{sf_dir}/documents.parquet",
+                            columns=["text"])
+    return cms_term_counts(ds, d=4, w=1024, top_k=64, hash_mode="md5")
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # ORDER MATTERS: the round driver sweeps this dict in insertion order
     # and records the FIRST 50 entries (round-3 CORRECTNESS captured
@@ -2848,6 +2863,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "meta_blocking_wnp": _q_meta_blocking_wnp,
         "meta_blocking_wep": _q_meta_blocking_wep,
         "prefix_jaccard_join": _q_prefix_jaccard_join,
+        "cms_term_counts": _q_cms_term_counts,
     }
 
 
@@ -3668,6 +3684,27 @@ def oracle_sql() -> dict[str, str]:
             "FROM cats c CROSS JOIN days d "
             "LEFT JOIN cnts n ON n.event_type = c.event_type "
             "AND n.day = d.day"
+        ),
+        # the CMS registers are md5-derived, so DuckDB reproduces the
+        # whole sketch: same counters, same min-probe estimates
+        "cms_term_counts": (
+            "WITH tok AS (SELECT "
+            "unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) "
+            "AS term FROM documents), "
+            "tc AS (SELECT term, count(*) AS c FROM tok GROUP BY term), "
+            "hj AS (SELECT t.term, s.j, "
+            "('0x' || substr(md5(CAST(s.j AS VARCHAR) || '|' || t.term), "
+            "1, 16))::UBIGINT % 1024 AS b "
+            "FROM tc t, (SELECT unnest(generate_series(0, 3)) AS j) s), "
+            "cms AS (SELECT hj.j, hj.b, sum(tc.c) AS cnt "
+            "FROM hj JOIN tc USING (term) GROUP BY hj.j, hj.b), "
+            "topk AS (SELECT term, c AS exact_cnt FROM tc "
+            "ORDER BY c DESC, term LIMIT 64) "
+            "SELECT tk.term, tk.exact_cnt, "
+            "CAST(min(cms.cnt) AS BIGINT) AS est_cnt "
+            "FROM topk tk JOIN hj ON hj.term = tk.term "
+            "JOIN cms ON cms.j = hj.j AND cms.b = hj.b "
+            "GROUP BY 1, 2"
         ),
         # identical SQL as ngram_jaccard_dedup: the prefix filter is an
         # optimization with a provably identical result set

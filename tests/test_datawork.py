@@ -1545,3 +1545,42 @@ def test_prefix_jaccard_join_planted_pair(ray_session):
                               n=3).to_pandas()
     assert list(map(tuple, out[["id_a", "id_b"]].values)) == [(1, 2)]
     assert abs(out["jaccard"].iloc[0] - 4 / 6) < 1e-12
+
+
+def test_cms_one_sided_and_partition_invariant(ray_session):
+    import ray.data as rd
+
+    from wned_ray.pipelines.datawork import cms_term_counts
+
+    docs = pd.DataFrame({"text": [
+        "apple banana apple", "cherry apple", "banana date egg",
+        "fig grape apple banana", "apple"] * 8})
+    a = (cms_term_counts(rd.from_pandas(docs), top_k=8,
+                         hash_mode="md5").to_pandas()
+         .sort_values("term").reset_index(drop=True))
+    # one-sided error: the sketch never undercounts
+    assert (a["est_cnt"] >= a["exact_cnt"]).all()
+    assert a.loc[a.term == "apple", "exact_cnt"].iloc[0] == 40
+    # merging partials is associative: any partitioning -> same sketch
+    b = (cms_term_counts(rd.from_pandas(docs).repartition(7), top_k=8,
+                         hash_mode="md5").to_pandas()
+         .sort_values("term").reset_index(drop=True))
+    assert a.values.tolist() == b.values.tolist()
+    # the fast (splitmix) mode holds the same one-sided contract
+    c = cms_term_counts(rd.from_pandas(docs), top_k=8,
+                        hash_mode="fast").to_pandas()
+    assert (c["est_cnt"] >= c["exact_cnt"]).all()
+
+
+def test_cms_tiny_width_overestimates_only(ray_session):
+    """With w=2 everything collides: estimates blow UP, never down —
+    the defining CMS failure mode is conservative."""
+    import ray.data as rd
+
+    from wned_ray.pipelines.datawork import cms_term_counts
+
+    docs = pd.DataFrame({"text": ["a b c d e f g h"] * 10})
+    out = cms_term_counts(rd.from_pandas(docs), d=2, w=2,
+                          top_k=8, hash_mode="fast").to_pandas()
+    assert (out["est_cnt"] >= out["exact_cnt"]).all()
+    assert (out["est_cnt"] > out["exact_cnt"]).any()

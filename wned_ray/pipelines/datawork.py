@@ -3170,3 +3170,112 @@ def prefix_jaccard_join(ds, id_col: str = "doc_id", text_col: str = "text",
         })
 
     return ja.map_batches(verify, batch_format="pyarrow")
+
+
+def _splitmix64(x: np.ndarray) -> np.ndarray:
+    """Vectorized splitmix64 finalizer over uint64 (public-domain
+    constant set; same mixer family as add_content_hash)."""
+    x = x.astype(np.uint64, copy=True)
+    x += np.uint64(0x9E3779B97F4A7C15)
+    x ^= x >> np.uint64(30)
+    x *= np.uint64(0xBF58476D1CE4E5B9)
+    x ^= x >> np.uint64(27)
+    x *= np.uint64(0x94D049BB133111EB)
+    x ^= x >> np.uint64(31)
+    return x
+
+
+def cms_term_counts(ds, text_col: str = "text", d: int = 4,
+                    w: int = 1024, top_k: int = 64,
+                    hash_mode: str = "md5"):
+    """Count-Min sketch term frequencies (Cormode & Muthukrishnan 2005)
+    — the mergeable POINT-FREQUENCY sketch beside the HLL cardinality
+    sketch and the Misra-Gries heavy-hitter summary: d x w int64
+    counters, est(t) = min_j counters[j][h_j(t)], one-sided error
+    (est >= exact, overshoot <= 2N/w w.h.p.).
+
+    Distribution shape: each batch folds its term counts into ONE
+    d x w counter blob (8*d*w bytes); blobs sum on the driver
+    (n_batches x blob — values never leave the workers). The exact
+    side (for the report and the oracle) is one vocab-sized groupby;
+    the top-k terms are picked by (count DESC, term) there and probed
+    against the merged sketch.
+
+    ``hash_mode='md5'`` derives row hashes as
+    md5(f"{j}|{term}") (first 8 bytes) % w — bit-reproducible in
+    DuckDB, which turns the SKETCH ITSELF into a value-hash-checkable
+    oracle (the hll_distinct_terms discipline). ``'fast'`` uses
+    vectorized splitmix64 over (rolling_hash(term) ^ j) — the scale
+    path. Output: (term, exact_cnt, est_cnt) for the top_k terms."""
+    import hashlib
+
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    from wned_ray.functions.minhash import whole_string_hashes
+
+    def _buckets(terms: list, base_hashes: np.ndarray) -> np.ndarray:
+        """d x n bucket indices for the given unique terms."""
+        if hash_mode == "md5":
+            out = np.empty((d, len(terms)), np.int64)
+            for i, t in enumerate(terms):
+                for j in range(d):
+                    hv = int.from_bytes(
+                        hashlib.md5(f"{j}|{t}".encode()).digest()[:8],
+                        "big")
+                    out[j, i] = hv % w
+            return out
+        rows = []
+        for j in range(d):
+            rows.append((_splitmix64(base_hashes ^ np.uint64(j))
+                         % np.uint64(w)).astype(np.int64))
+        return np.stack(rows)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        flat, _ = _tokenize_lower(batch[text_col])
+        if len(flat) == 0:
+            return pa.table({"cms": pa.array([], pa.binary())})
+        tc = pa.table({"t": flat}).group_by(["t"]).aggregate(
+            [([], "count_all")])
+        terms = tc["t"].to_pylist()
+        cnts = tc["count_all"].to_numpy(zero_copy_only=False)
+        base = (whole_string_hashes(tc["t"].combine_chunks())
+                if hash_mode != "md5" else None)
+        b = _buckets(terms, base)
+        counters = np.zeros((d, w), np.int64)
+        for j in range(d):
+            np.add.at(counters[j], b[j], cnts)
+        return pa.table({"cms": pa.array([counters.tobytes()],
+                                         pa.binary())})
+
+    blobs = (ds.select_columns([text_col])
+             .map_batches(partial, batch_format="pyarrow").take_all())
+    counters = np.zeros((d, w), np.int64)
+    for r in blobs:
+        counters += np.frombuffer(r["cms"], np.int64).reshape(d, w)
+
+    def toks(batch: pa.Table) -> pa.Table:
+        flat, _ = _tokenize_lower(batch[text_col])
+        t = pa.table({"term": flat}).group_by(["term"]).aggregate(
+            [([], "count_all")])
+        return t.rename_columns(["term", "_c"])
+
+    # distributed top-k: the vocab-sized count table sorts and limits
+    # BEFORE touching the driver (only top_k rows collect)
+    exact = (ds.select_columns([text_col])
+             .map_batches(toks, batch_format="pyarrow")
+             .groupby("term").aggregate(Sum("_c", alias_name="exact_cnt"))
+             .sort(["exact_cnt", "term"], descending=[True, False])
+             .limit(top_k)
+             .to_pandas())
+    terms = exact["term"].tolist()
+    base = (whole_string_hashes(pa.array(terms))
+            if hash_mode != "md5" else None)
+    b = _buckets(terms, base)
+    est = counters[np.arange(d)[:, None], b].min(axis=0)
+    out = pa.table({
+        "term": pa.array(terms),
+        "exact_cnt": pa.array(exact["exact_cnt"].to_numpy(np.int64)),
+        "est_cnt": pa.array(est.astype(np.int64)),
+    })
+    return rd.from_arrow(out)
