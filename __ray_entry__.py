@@ -1670,21 +1670,39 @@ def _q_ann_ivf(sf_dir: str):
         ["query_id", "vec_id"])
 
 
+def _q_ann_pq(sf_dir: str):
+    """Product-quantization ANN (ADC lookup-table scan + in-batch exact
+    rerank) — the third scale path; rows-only check — approximate by
+    construction, unit-tested for recall vs brute force."""
+    import pyarrow.parquet as pq
+
+    from wned_ray.pipelines.datawork import ann_pq
+
+    ds = _rd().read_parquet(f"{sf_dir}/embeddings.parquet")
+    head = pq.read_table(f"{sf_dir}/embeddings.parquet").slice(0, 3)
+    q_ids = np.asarray(head["vec_id"].to_pylist())
+    qm = np.asarray(head["embedding"].to_pylist(), dtype=np.float64)
+    return ann_pq(ds, q_ids, qm, k=5).select_columns(
+        ["query_id", "vec_id"])
+
+
 def _q_ann_embeddings(sf_dir: str):
-    """Both ANN scale paths (LSH multiprobe + IVF) in one registered
-    query, tagged by ``method`` — consolidates two rows-only entries so
-    more of the query surface fits inside the driver's 50-entry sweep
-    window; each path keeps its own recall unit tests. The two pipelines
-    run SEQUENTIALLY and concat driver-side (results are top-k-sized);
-    a lazy union would co-schedule both actor pools and can deadlock on
-    a small CPU budget."""
+    """All three ANN scale paths (LSH multiprobe + IVF + PQ) in one
+    registered query, tagged by ``method`` — consolidates rows-only
+    entries so more of the query surface fits inside the driver's
+    50-entry sweep window; each path keeps its own recall unit tests.
+    The pipelines run SEQUENTIALLY and concat driver-side (results are
+    top-k-sized); a lazy union would co-schedule the actor pools and
+    can deadlock on a small CPU budget."""
     import pandas as pd
 
     lsh = _q_ann_lsh(sf_dir).to_pandas()
     ivf = _q_ann_ivf(sf_dir).to_pandas()
+    pq_ = _q_ann_pq(sf_dir).to_pandas()
     lsh["method"] = "lsh"
     ivf["method"] = "ivf"
-    return pd.concat([lsh, ivf], ignore_index=True)
+    pq_["method"] = "pq"
+    return pd.concat([lsh, ivf, pq_], ignore_index=True)
 
 
 def _q_embedding_near_dup(sf_dir: str):

@@ -1584,3 +1584,69 @@ def test_cms_tiny_width_overestimates_only(ray_session):
                           top_k=8, hash_mode="fast").to_pandas()
     assert (out["est_cnt"] >= out["exact_cnt"]).all()
     assert (out["est_cnt"] > out["exact_cnt"]).any()
+
+
+def test_ann_pq_matches_bruteforce_on_clusters(ray_session):
+    import numpy as np
+    import ray.data as rd
+
+    from wned_ray.pipelines.datawork import ann_pq, knn_search
+
+    rng = np.random.default_rng(7)
+    centers = rng.standard_normal((4, 16)) * 5
+    vecs = np.concatenate([c + 0.05 * rng.standard_normal((50, 16))
+                           for c in centers])
+    ids = np.arange(len(vecs))
+    ds = rd.from_items([{"vec_id": int(i), "embedding": v.tolist()}
+                        for i, v in zip(ids, vecs)])
+    q_ids = np.array([0, 50, 100])
+    qm = vecs[q_ids]
+    exact = knn_search(ds, q_ids, qm, k=5).to_pandas()
+    approx = ann_pq(ds, q_ids, qm, k=5, m=4, ks=16,
+                    train_sample=200).to_pandas()
+    e = exact.groupby("query_id")["vec_id"].apply(set)
+    a = approx.groupby("query_id")["vec_id"].apply(set)
+    recalls = [len(e[q] & a.get(q, set())) / len(e[q]) for q in q_ids]
+    assert np.mean(recalls) >= 0.8, recalls
+
+
+def test_ann_pq_recall_on_real_embeddings(ray_session):
+    """sf0.001 embeddings (near-random, the hard case for PQ): mean
+    recall@5 with the default (m=8, ks=32, rerank 16k pool) must hold
+    >= 0.8 vs brute force."""
+    import numpy as np
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from wned_ray.pipelines.datawork import ann_pq, knn_search
+
+    sf = "/root/testdata/sf0.001"
+    ds = rd.read_parquet(f"{sf}/embeddings.parquet")
+    head = pq.read_table(f"{sf}/embeddings.parquet").slice(0, 3)
+    q_ids = np.asarray(head["vec_id"].to_pylist())
+    qm = np.asarray(head["embedding"].to_pylist(), dtype=np.float64)
+    exact = knn_search(ds, q_ids, qm, k=5).to_pandas()
+    approx = ann_pq(ds, q_ids, qm, k=5).to_pandas()
+    e = exact.groupby("query_id")["vec_id"].apply(set)
+    a = approx.groupby("query_id")["vec_id"].apply(set)
+    recalls = [len(e[q] & a.get(q, set())) / len(e[q]) for q in q_ids]
+    assert np.mean(recalls) >= 0.8, recalls
+
+
+def test_ann_pq_deterministic(ray_session):
+    import numpy as np
+    import ray.data as rd
+
+    from wned_ray.pipelines.datawork import ann_pq
+
+    rng = np.random.default_rng(3)
+    vecs = rng.standard_normal((60, 8))
+    ds = rd.from_items([{"vec_id": int(i), "embedding": v.tolist()}
+                        for i, v in enumerate(vecs)])
+    q_ids = np.array([1, 2])
+    qm = vecs[q_ids]
+    a = (ann_pq(ds, q_ids, qm, k=3, m=2, ks=8, train_sample=60)
+         .to_pandas().sort_values(["query_id", "vec_id"]).values.tolist())
+    b = (ann_pq(ds, q_ids, qm, k=3, m=2, ks=8, train_sample=60)
+         .to_pandas().sort_values(["query_id", "vec_id"]).values.tolist())
+    assert a == b

@@ -3279,3 +3279,109 @@ def cms_term_counts(ds, text_col: str = "text", d: int = 4,
         "est_cnt": pa.array(est.astype(np.int64)),
     })
     return rd.from_arrow(out)
+
+
+def ann_pq(ds, query_ids: np.ndarray, query_matrix: np.ndarray, k: int,
+           m: int = 8, ks: int = 32, train_sample: int = 2048,
+           iters: int = 8, seed: int = 42, rerank_mult: int = 16,
+           concurrency: int = 4, batch_size: int = 2048):
+    """Product-quantization ANN (Jégou et al., PAMI 2011) — the third
+    scale path beside ``ann_lsh`` and ``ann_ivf``: vectors compress to
+    ``m`` uint8 codes (m=8 over d=64 is 32x smaller than float32), and
+    the scan scores candidates from per-query ADC lookup tables instead
+    of full dot products.
+
+    Ray-Data shape: per-subspace k-means codebooks train on ONE
+    driver-bounded ``limit(train_sample)`` collect; (codebooks, query
+    LUTs) broadcast via ``ray.put``; the scan is ONE streaming
+    map_batches — encode the batch (m argmin passes over ks centroids),
+    ADC-score every (row, query) from the LUTs, keep the per-batch top
+    ``rerank_mult * k`` per query and rerank those EXACTLY against the
+    still-resident batch vectors (zero extra IO — the rerank pool never
+    leaves the batch). Global top-k via the shared groupby-head
+    reduction. Deterministic (fixed seed, no wall-clock)."""
+    import ray
+
+    from wned_ray.util import safe_concurrency
+
+    sample = ds.limit(train_sample).take_batch(train_sample,
+                                               batch_format="pyarrow")
+    x = _batch_embeddings(sample["embedding"])      # normalized rows
+    d = x.shape[1]
+    if d % m != 0:
+        raise ValueError(f"dim {d} not divisible by m={m}")
+    sub = d // m
+    rng = np.random.default_rng(seed)
+    ks = max(1, min(ks, len(x)))
+    books = np.empty((m, ks, sub), np.float64)
+    for j in range(m):
+        xs = x[:, j * sub:(j + 1) * sub]
+        cb = xs[rng.choice(len(xs), ks, replace=False)].copy()
+        for _ in range(iters):
+            d2 = ((xs[:, None, :] - cb[None, :, :]) ** 2).sum(axis=2)
+            assign = np.argmin(d2, axis=1)
+            for c in range(ks):
+                msk = assign == c
+                cb[c] = xs[msk].mean(axis=0) if msk.any() else \
+                    xs[rng.integers(len(xs))]
+        books[j] = cb
+
+    qn = query_matrix / np.maximum(
+        np.linalg.norm(query_matrix, axis=1, keepdims=True), 1e-12)
+    # ADC tables: lut[q, j, c] = qn[q, sub_j] . books[j, c]  — the
+    # asymmetric inner-product decomposition (query exact, data coded)
+    lut = np.einsum("qjs,jcs->qjc",
+                    qn.reshape(len(qn), m, sub), books)
+    ref = ray.put((query_ids, qn, books, lut))
+    pool = max(k * rerank_mult, k)
+
+    class Scan:
+        def __init__(self):
+            self.q_ids, self.qm, self.books, self.lut = ray.get(ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            empty = pa.table({"vec_id": pa.array([], pa.int64()),
+                              "query_id": pa.array([], pa.int64()),
+                              "cos": pa.array([], pa.float64())})
+            emb = _batch_embeddings(batch["embedding"])
+            if emb.size == 0:
+                return empty
+            n = len(emb)
+            codes = np.empty((n, m), np.int64)
+            for j in range(m):
+                xs = emb[:, j * sub:(j + 1) * sub]
+                # ||x-c||^2 argmin == argmax(x.c - |c|^2/2)
+                dots = xs @ self.books[j].T
+                norm2 = (self.books[j] ** 2).sum(axis=1)
+                codes[:, j] = np.argmax(dots - norm2 / 2.0, axis=1)
+            # adc[q, i] = sum_j lut[q, j, codes[i, j]]
+            adc = self.lut[:, np.arange(m)[None, :],
+                           codes].sum(axis=2)     # (Q, n)
+            take = min(pool, n)
+            vec_ids = batch["vec_id"].to_numpy(zero_copy_only=False)
+            outs = []
+            for q in range(len(self.q_ids)):
+                cand = np.argpartition(-adc[q], take - 1)[:take]
+                cos = emb[cand] @ self.qm[q]
+                topk = cand[np.lexsort((vec_ids[cand], -cos))[:k]]
+                outs.append((vec_ids[topk],
+                             np.full(len(topk), self.q_ids[q]),
+                             emb[topk] @ self.qm[q]))
+            return pa.table({
+                "vec_id": pa.array(np.concatenate([o[0] for o in outs])),
+                "query_id": pa.array(
+                    np.concatenate([o[1] for o in outs])),
+                "cos": pa.array(np.concatenate([o[2] for o in outs]),
+                                pa.float64()),
+            })
+
+    cands = ds.map_batches(Scan, batch_format="pyarrow",
+                           batch_size=batch_size,
+                           concurrency=safe_concurrency(concurrency))
+
+    def head_k(g: pd.DataFrame) -> pd.DataFrame:
+        return g.sort_values(["cos", "vec_id"],
+                             ascending=[False, True]).head(k)
+
+    return cands.groupby("query_id").map_groups(head_k,
+                                                batch_format="pandas")
