@@ -2748,6 +2748,18 @@ def _q_cms_term_counts(sf_dir: str):
     return cms_term_counts(ds, d=4, w=1024, top_k=64, hash_mode="md5")
 
 
+def _q_bigram_lm_docs(sf_dir: str):
+    """CCNet-style perplexity-proxy quality signal: per-doc average
+    negative log-likelihood under an add-0.1-smoothed bigram LM fitted
+    on the corpus in the same job (datawork.bigram_lm_scores) — one
+    tagged count shuffle, broadcast LM, stateless scoring pass."""
+    from wned_ray.pipelines.datawork import bigram_lm_scores
+
+    ds = _rd().read_parquet(f"{sf_dir}/documents.parquet",
+                            columns=["doc_id", "text"])
+    return bigram_lm_scores(ds, alpha=0.1)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # ORDER MATTERS: the round driver sweeps this dict in insertion order
     # and records the FIRST 50 entries (round-3 CORRECTNESS captured
@@ -2882,6 +2894,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "meta_blocking_wep": _q_meta_blocking_wep,
         "prefix_jaccard_join": _q_prefix_jaccard_join,
         "cms_term_counts": _q_cms_term_counts,
+        "bigram_lm_docs": _q_bigram_lm_docs,
     }
 
 
@@ -3702,6 +3715,28 @@ def oracle_sql() -> dict[str, str]:
             "FROM cats c CROSS JOIN days d "
             "LEFT JOIN cnts n ON n.event_type = c.event_type "
             "AND n.day = d.day"
+        ),
+        "bigram_lm_docs": (
+            "WITH w AS (SELECT doc_id, "
+            "regexp_extract_all(lower(text), '[a-z0-9]+') AS ws "
+            "FROM documents), "
+            "uc AS (SELECT t, count(*) AS c FROM ("
+            "SELECT unnest(ws) AS t FROM w) GROUP BY t), "
+            "vs AS (SELECT count(*) AS v FROM uc), "
+            "bgr AS (SELECT doc_id, unnest([struct_pack("
+            "w1 := ws[i], w12 := ws[i] || ' ' || ws[i+1]) "
+            "for i in generate_series(1, len(ws) - 1)]) AS s "
+            "FROM w WHERE len(ws) >= 2), "
+            "bc AS (SELECT s.w12 AS w12, count(*) AS c FROM bgr "
+            "GROUP BY s.w12), "
+            "sc AS (SELECT b.doc_id, count(*) AS n_bigrams, "
+            "avg(-ln((bc.c + 0.1) / (uc.c + 0.1 * vs.v))) AS nll "
+            "FROM bgr b JOIN bc ON b.s.w12 = bc.w12 "
+            "JOIN uc ON b.s.w1 = uc.t, vs GROUP BY b.doc_id) "
+            "SELECT d.doc_id, coalesce(sc.n_bigrams, 0) AS n_bigrams, "
+            "CAST(floor(coalesce(sc.nll, 0) * 1e4 + 0.5) AS BIGINT) "
+            "AS nll_e4 "
+            "FROM documents d LEFT JOIN sc ON d.doc_id = sc.doc_id"
         ),
         # the CMS registers are md5-derived, so DuckDB reproduces the
         # whole sketch: same counters, same min-probe estimates

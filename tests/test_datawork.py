@@ -1650,3 +1650,41 @@ def test_ann_pq_deterministic(ray_session):
     b = (ann_pq(ds, q_ids, qm, k=3, m=2, ks=8, train_sample=60)
          .to_pandas().sort_values(["query_id", "vec_id"]).values.tolist())
     assert a == b
+
+
+def test_bigram_lm_hand_example(ray_session):
+    """Tiny corpus where every count is hand-checkable: doc1 'a b',
+    doc2 'a b', doc3 'a c', doc4 'z' (no bigrams -> scored 0).
+    unigrams: a=3 b=2 c=1 z=1, V=4; bigrams: 'a b'=2, 'a c'=1."""
+    import math
+
+    import ray.data as rd
+
+    from wned_ray.pipelines.datawork import bigram_lm_scores
+
+    df = pd.DataFrame({"doc_id": [1, 2, 3, 4],
+                       "text": ["a b", "a b", "a c", "z"]})
+    got = (bigram_lm_scores(rd.from_pandas(df), alpha=0.1).to_pandas()
+           .sort_values("doc_id").reset_index(drop=True))
+    a = 0.1
+    nll_ab = -math.log((2 + a) / (3 + a * 4))
+    nll_ac = -math.log((1 + a) / (3 + a * 4))
+    want = [int(math.floor(x * 1e4 + 0.5)) for x in
+            (nll_ab, nll_ab, nll_ac, 0.0)]
+    assert got["nll_e4"].tolist() == want
+    assert got["n_bigrams"].tolist() == [1, 1, 1, 0]
+
+
+def test_bigram_lm_partition_invariant(ray_session):
+    import ray.data as rd
+
+    from wned_ray.pipelines.datawork import bigram_lm_scores
+
+    ds = rd.read_parquet("/root/testdata/sf0.001/documents.parquet",
+                         columns=["doc_id", "text"])
+    a = (bigram_lm_scores(ds).to_pandas()
+         .sort_values("doc_id").reset_index(drop=True))
+    b = (bigram_lm_scores(ds.repartition(7)).to_pandas()
+         .sort_values("doc_id").reset_index(drop=True))
+    assert a["n_bigrams"].tolist() == b["n_bigrams"].tolist()
+    assert a["nll_e4"].tolist() == b["nll_e4"].tolist()

@@ -3385,3 +3385,102 @@ def ann_pq(ds, query_ids: np.ndarray, query_matrix: np.ndarray, k: int,
 
     return cands.groupby("query_id").map_groups(head_k,
                                                 batch_format="pandas")
+
+
+def bigram_lm_scores(ds, id_col: str = "doc_id", text_col: str = "text",
+                     alpha: float = 0.1):
+    """Per-document bigram language-model score — the CCNet-style
+    "perplexity filter" quality signal (Wenzek et al., LREC 2020) with
+    the LM trained ON THE CORPUS ITSELF in the same job: average
+    negative log-likelihood under an add-alpha-smoothed bigram model,
+
+        nll(doc) = -mean_i ln( (c2(w_i, w_i+1) + a) / (c1(w_i) + a*V) )
+
+    Low nll == predictable/templated text, high nll == unusual token
+    sequences; both tails are curation signals.
+
+    Distribution shape: ONE tagged count shuffle builds unigram and
+    bigram tables together (per-batch combiner -> groupby over the
+    gram vocabulary); the fitted LM broadcasts via ray.put (string-
+    keyed so the DuckDB twin reproduces every count bit-for-bit); the
+    scoring pass is one stateless map_batches — input text never
+    reshuffles. Driver-state bound: the LM table (uni+bigram vocab).
+    At open-web scale cap the vocabulary (heavy_hitter_terms) before
+    the broadcast; the synthetic-corpus tiers fit whole.
+
+    Output: one row per input doc — (id, n_bigrams, nll_e4), zero-
+    bigram docs scored 0."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    from wned_ray.functions import minhash as _mh  # noqa: F401 (parity)
+
+    def counts(batch: pa.Table) -> pa.Table:
+        flat, par = _tokenize_lower(batch[text_col])
+        flat = flat.combine_chunks() if isinstance(
+            flat, pa.ChunkedArray) else flat
+        par = par.to_numpy(zero_copy_only=False)
+        n = len(flat)
+        rows = []
+        uni = pa.table({"g": flat,
+                        "k": pa.array(np.ones(n, np.int8))})
+        rows.append(uni)
+        if n >= 2:
+            a, b = flat.slice(0, n - 1), flat.slice(1, n - 1)
+            same = pa.array(par[1:] == par[:-1])
+            bg = pc.binary_join_element_wise(a, b, " ")
+            bgt = pa.table({"g": bg.filter(same)})
+            rows.append(pa.table({
+                "g": bgt["g"],
+                "k": pa.array(np.full(bgt.num_rows, 2, np.int8))}))
+        t = pa.concat_tables(rows)
+        g = t.group_by(["g", "k"]).aggregate([([], "count_all")])
+        return g.rename_columns(["g", "k", "_c"])
+
+    lm = (ds.select_columns([text_col])
+          .map_batches(counts, batch_format="pyarrow")
+          .groupby(["g", "k"]).aggregate(Sum("_c", alias_name="c"))
+          .to_pandas())
+    uni = lm[lm.k == 1]
+    bg = lm[lm.k == 2]
+    v_size = len(uni)
+    uni_keys = np.sort(uni["g"].to_numpy(object))
+    uni_cnt = uni.set_index("g").loc[uni_keys, "c"].to_numpy(np.int64)
+    bg_keys = np.sort(bg["g"].to_numpy(object))
+    bg_cnt = bg.set_index("g").loc[bg_keys, "c"].to_numpy(np.int64)
+    lm_ref = ray.put((uni_keys, uni_cnt, bg_keys, bg_cnt, v_size))
+
+    def score(batch: pa.Table) -> pa.Table:
+        uk, uc, bk, bc, V = ray.get(lm_ref)
+        nrows = batch.num_rows
+        flat, par = _tokenize_lower(batch[text_col])
+        flat = flat.combine_chunks() if isinstance(
+            flat, pa.ChunkedArray) else flat
+        par = par.to_numpy(zero_copy_only=False)
+        nll = np.zeros(nrows, np.float64)
+        nbg = np.zeros(nrows, np.int64)
+        n = len(flat)
+        if n >= 2:
+            a = flat.slice(0, n - 1)
+            bgs = pc.binary_join_element_wise(a, flat.slice(1, n - 1),
+                                              " ")
+            same = par[1:] == par[:-1]
+            w1 = np.asarray(a)[same]
+            w12 = np.asarray(bgs)[same]
+            docs = par[:-1][same]
+            c1 = uc[np.searchsorted(uk, w1)]
+            c2 = bc[np.searchsorted(bk, w12)]
+            ll = np.log((c2 + alpha) / (c1 + alpha * V))
+            nbg = np.bincount(docs, minlength=nrows).astype(np.int64)
+            sums = np.bincount(docs, weights=-ll, minlength=nrows)
+            nz = nbg > 0
+            nll[nz] = sums[nz] / nbg[nz]
+        return pa.table({
+            id_col: batch[id_col],
+            "n_bigrams": pa.array(nbg),
+            "nll_e4": pa.array(np.floor(nll * 1e4 + 0.5).astype(
+                np.int64)),
+        })
+
+    return (ds.select_columns([id_col, text_col])
+            .map_batches(score, batch_format="pyarrow"))
