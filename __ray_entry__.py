@@ -2760,6 +2760,31 @@ def _q_bigram_lm_docs(sf_dir: str):
     return bigram_lm_scores(ds, alpha=0.1)
 
 
+def _q_skyline_parts(sf_dir: str):
+    """Skyline / Pareto frontier over parts (minimize retail price,
+    maximize size) — analytics.skyline: vectorized per-batch local
+    prune (dominated rows never leave their batch), exact final prune
+    over the collapsed frontiers."""
+    from wned_ray.pipelines.analytics import skyline
+
+    ds = _rd().read_parquet(f"{sf_dir}/part.parquet",
+                            columns=["p_partkey", "p_retailprice",
+                                     "p_size"])
+    return skyline(ds, "p_retailprice", "p_size", ["p_partkey"])
+
+
+def _q_pmi_doc_terms(sf_dir: str):
+    """Within-document token-pair PMI (analytics.pmi_pairs,
+    support >= 50 docs): per-batch vectorized pair generation (docs are
+    whole inside batches — no self-join), one pair groupby, broadcast
+    document frequencies."""
+    from wned_ray.pipelines.analytics import pmi_pairs
+
+    ds = _rd().read_parquet(f"{sf_dir}/documents.parquet",
+                            columns=["doc_id", "text"])
+    return pmi_pairs(ds, min_pairs=50)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # ORDER MATTERS: the round driver sweeps this dict in insertion order
     # and records the FIRST 50 entries (round-3 CORRECTNESS captured
@@ -2895,6 +2920,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "prefix_jaccard_join": _q_prefix_jaccard_join,
         "cms_term_counts": _q_cms_term_counts,
         "bigram_lm_docs": _q_bigram_lm_docs,
+        "skyline_parts": _q_skyline_parts,
+        "pmi_doc_terms": _q_pmi_doc_terms,
     }
 
 
@@ -3715,6 +3742,29 @@ def oracle_sql() -> dict[str, str]:
             "FROM cats c CROSS JOIN days d "
             "LEFT JOIN cnts n ON n.event_type = c.event_type "
             "AND n.day = d.day"
+        ),
+        "skyline_parts": (
+            "SELECT p_partkey, p_retailprice, p_size FROM part a "
+            "WHERE NOT EXISTS (SELECT 1 FROM part b "
+            "WHERE b.p_retailprice <= a.p_retailprice "
+            "AND b.p_size >= a.p_size "
+            "AND (b.p_retailprice < a.p_retailprice "
+            "OR b.p_size > a.p_size))"
+        ),
+        "pmi_doc_terms": (
+            "WITH dt AS (SELECT DISTINCT doc_id, term FROM ("
+            "SELECT doc_id, unnest(string_split(lower(text), ' ')) "
+            "AS term FROM documents) WHERE term <> ''), "
+            "df AS (SELECT term, count(*) AS df FROM dt GROUP BY term), "
+            "p AS (SELECT x.term AS a, y.term AS b, count(*) AS n_ab "
+            "FROM dt x JOIN dt y ON x.doc_id = y.doc_id "
+            "AND x.term < y.term GROUP BY 1, 2) "
+            "SELECT p.a, p.b, p.n_ab, "
+            "CAST(floor(ln((SELECT count(*) FROM documents) * p.n_ab "
+            "* 1.0 / (da.df * db.df)) * 1e4 + 0.5) AS BIGINT) "
+            "AS pmi_e4 "
+            "FROM p JOIN df da ON p.a = da.term "
+            "JOIN df db ON p.b = db.term WHERE p.n_ab >= 50"
         ),
         "bigram_lm_docs": (
             "WITH w AS (SELECT doc_id, "

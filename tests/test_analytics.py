@@ -722,3 +722,63 @@ def test_gap_fill_daily_zero_rows(ray_session):
     assert click["cnt"].tolist() == [1, 0, 1]     # Jan 2 zero-filled
     view = got[got.t == "view"]
     assert view["cnt"].tolist() == [1, 0, 0]
+
+
+def test_skyline_hand_example_with_ties(ray_session):
+    import ray.data as rd
+
+    from wned_ray.pipelines.analytics import skyline
+
+    # (price, size): frontier = {(1,5), (2,9)}; (1,5)-duplicate row 6
+    # survives too (no STRICT dominator); (2,5) dominated by (1,5);
+    # (3,9) dominated by (2,9); (2,2) dominated by everything cheap
+    df = pd.DataFrame({
+        "id": [1, 2, 3, 4, 5, 6],
+        "price": [1.0, 2.0, 2.0, 3.0, 2.0, 1.0],
+        "size": [5, 9, 5, 9, 2, 5],
+    })
+    got = (skyline(rd.from_pandas(df).repartition(3), "price", "size",
+                   ["id"]).to_pandas().sort_values("id"))
+    assert got["id"].tolist() == [1, 2, 6]
+
+
+def test_skyline_matches_bruteforce(ray_session):
+    import ray.data as rd
+
+    from wned_ray.pipelines.analytics import skyline
+
+    rng = np.random.RandomState(11)
+    df = pd.DataFrame({"id": np.arange(400),
+                       "price": rng.randint(0, 40, 400).astype(float),
+                       "size": rng.randint(0, 40, 400)})
+    got = set(skyline(rd.from_pandas(df).repartition(5), "price",
+                      "size", ["id"]).to_pandas()["id"])
+    want = set()
+    for _, r in df.iterrows():
+        dom = ((df.price <= r.price) & (df["size"] >= r["size"]) &
+               ((df.price < r.price) | (df["size"] > r["size"]))).any()
+        if not dom:
+            want.add(r.id)
+    assert got == want
+
+
+def test_pmi_hand_example(ray_session):
+    import math
+
+    import ray.data as rd
+
+    from wned_ray.pipelines.analytics import pmi_pairs
+
+    # 4 docs; (a,b) co-occur in 2, df(a)=3, df(b)=2 -> pmi=ln(4*2/6)
+    df = pd.DataFrame({
+        "doc_id": [1, 2, 3, 4],
+        "text": ["a b", "a b c", "a c", "d"],
+    })
+    got = (pmi_pairs(rd.from_pandas(df), min_pairs=2).to_pandas()
+           .sort_values(["a", "b"]).reset_index(drop=True))
+    ab = got[(got.a == "a") & (got.b == "b")]
+    assert ab["n_ab"].tolist() == [2]
+    want = int(math.floor(math.log(4 * 2 / (3 * 2)) * 1e4 + 0.5))
+    assert ab["pmi_e4"].tolist() == [want]
+    # (a,c): n=2, df(c)=2 -> same value; (b,c): n=1 < min_pairs dropped
+    assert not ((got.a == "b") & (got.b == "c")).any()

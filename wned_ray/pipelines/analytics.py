@@ -1217,3 +1217,158 @@ def gap_fill_daily(ds, type_col: str, ts_col: str):
         type_col: b[type_col],
         "day": b["day_us"].cast(pa.timestamp("us")),
         "cnt": pc.fill_null(b["cnt"], 0)}), batch_format="pyarrow")
+
+
+def _pareto_prune(price: np.ndarray, size: np.ndarray) -> np.ndarray:
+    """Boolean keep-mask of the (min price, max size) Pareto frontier.
+    Vectorized: sort by (price asc, size desc); a row is dominated iff
+    the running max size over strictly-cheaper rows reaches its size,
+    or a same-price row has strictly larger size. Equal (price, size)
+    duplicates are NOT dominated (no strict inequality) — matching the
+    ANSI NOT EXISTS dominance predicate."""
+    n = len(price)
+    order = np.lexsort((-size, price))
+    p_s, s_s = price[order], size[order]
+    # best size over strictly cheaper prices, per sorted position
+    new_price = np.empty(n, bool)
+    new_price[0:1] = True
+    new_price[1:] = p_s[1:] != p_s[:-1]
+    # running max of size up to the previous row
+    run = np.maximum.accumulate(s_s)
+    prev_run = np.empty(n, np.int64 if s_s.dtype.kind == "i"
+                        else np.float64)
+    prev_run[0] = np.iinfo(np.int64).min if s_s.dtype.kind == "i" \
+        else -np.inf
+    prev_run[1:] = run[:-1]
+    # group start index per row -> max over strictly cheaper rows
+    grp_start = np.maximum.accumulate(
+        np.where(new_price, np.arange(n), 0))
+    cheaper_max = np.where(grp_start > 0, prev_run[grp_start],
+                           prev_run[0])
+    # same-price strictly-larger: within a price group rows sort size
+    # desc, so a row is beaten iff the group's FIRST size is larger
+    group_best = s_s[grp_start]
+    dominated = (cheaper_max >= s_s) | (group_best > s_s)
+    keep = np.zeros(n, bool)
+    keep[order] = ~dominated
+    return keep
+
+
+def skyline(ds, min_col: str, max_col: str, id_cols: list):
+    """Pareto frontier / skyline query (Börzsönyi et al., ICDE 2001):
+    rows not dominated under (minimize ``min_col``, maximize
+    ``max_col``). Two-phase distributed shape: a vectorized per-batch
+    local prune first — a row dominated within its batch can never be
+    in the global skyline, so only each batch's local frontier moves —
+    then one exact prune over the collapsed survivors. The final pass
+    runs on a single partition (the frontier of a union of frontiers
+    is the global frontier); skylines are output-sized, not
+    input-sized, so the collapse is bounded in practice."""
+    cols = list(dict.fromkeys([*id_cols, min_col, max_col]))
+
+    def prune(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return batch.select(cols)
+        p = batch[min_col].to_numpy(zero_copy_only=False)
+        s = batch[max_col].to_numpy(zero_copy_only=False)
+        return batch.select(cols).filter(
+            pa.array(_pareto_prune(p, s)))
+
+    local = (ds.select_columns(cols)
+             .map_batches(prune, batch_format="pyarrow"))
+    return (local.repartition(1)
+            .map_batches(prune, batch_format="pyarrow"))
+
+
+def pmi_pairs(ds, id_col: str = "doc_id", text_col: str = "text",
+              min_pairs: int = 5):
+    """Pointwise mutual information over within-document token
+    co-occurrence (Church & Hanks 1990): for distinct token pairs
+    (a < b) co-occurring in >= ``min_pairs`` docs,
+
+        pmi = ln( N * df(a,b) / (df(a) * df(b)) )
+
+    with df = document frequency and N = corpus size.
+
+    Shape: docs are whole inside each batch, so pair generation is a
+    per-batch vectorized kernel (np.unique over (doc, term), segment
+    cross products) — NO self-join; one pair-count groupby; term
+    document frequencies broadcast (vocab-sized ray.put)."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    n_docs = ds.count()
+
+    def doc_terms(batch: pa.Table):
+        lists = pc.split_pattern(pc.utf8_lower(batch[text_col]),
+                                 pattern=" ")
+        flat = pc.list_flatten(lists)
+        par = pc.list_parent_indices(lists)
+        keep = pc.not_equal(flat, "")
+        return flat.filter(keep), par.filter(keep)
+
+    def pair_partial(batch: pa.Table) -> pa.Table:
+        flat, par = doc_terms(batch)
+        if len(flat) == 0:
+            return pa.table({"a": pa.array([], pa.string()),
+                             "b": pa.array([], pa.string()),
+                             "_c": pa.array([], pa.int64())})
+        enc = pa.table({"d": par, "t": flat}).group_by(
+            ["d", "t"]).aggregate([])
+        d = enc["d"].to_numpy(zero_copy_only=False)
+        t = np.asarray(enc["t"])
+        order = np.lexsort((t, d))
+        d, t = d[order], t[order]
+        starts = np.flatnonzero(np.r_[True, d[1:] != d[:-1]])
+        lens = np.diff(np.r_[starts, len(d)])
+        sq = lens * lens
+        tot = int(sq.sum())
+        off = np.cumsum(sq) - sq
+        gi = np.repeat(np.arange(len(starts)), sq)
+        wdx = np.arange(tot, dtype=np.int64) - off[gi]
+        L = lens[gi]
+        base = np.repeat(starts, sq)
+        ia = base + wdx // L
+        ib = base + wdx % L
+        m = ia < ib          # within-doc a-before-b in sorted order
+        pt = pa.table({"a": pa.array(t[ia[m]]), "b": pa.array(t[ib[m]])})
+        g = pt.group_by(["a", "b"]).aggregate([([], "count_all")])
+        return g.rename_columns(["a", "b", "_c"])
+
+    pair_df = (ds.select_columns([id_col, text_col])
+               .map_batches(pair_partial, batch_format="pyarrow")
+               .groupby(["a", "b"]).aggregate(Sum("_c", alias_name="n_ab")))
+
+    def term_partial(batch: pa.Table) -> pa.Table:
+        flat, par = doc_terms(batch)
+        t = pa.table({"d": par, "t": flat}).group_by(
+            ["d", "t"]).aggregate([])
+        g = t.select(["t"]).group_by(["t"]).aggregate([([], "count_all")])
+        return g.rename_columns(["t", "_c"])
+
+    dfs = (ds.select_columns([text_col])
+           .map_batches(term_partial, batch_format="pyarrow")
+           .groupby("t").aggregate(Sum("_c", alias_name="df"))
+           .to_pandas())
+    df_ref = ray.put(dict(zip(dfs["t"], dfs["df"])))
+
+    def fin(batch: pa.Table) -> pa.Table:
+        lut = ray.get(df_ref)
+        nab = batch["n_ab"].to_numpy(zero_copy_only=False)
+        keep = nab >= min_pairs
+        b = batch.filter(pa.array(keep))
+        if b.num_rows == 0:
+            return pa.table({"a": b["a"], "b": b["b"],
+                             "n_ab": b["n_ab"],
+                             "pmi_e4": pa.array([], pa.int64())})
+        da = np.array([lut[x] for x in b["a"].to_pylist()], np.float64)
+        db = np.array([lut[x] for x in b["b"].to_pylist()], np.float64)
+        pmi = np.log(n_docs * b["n_ab"].to_numpy(
+            zero_copy_only=False) / (da * db))
+        return pa.table({
+            "a": b["a"], "b": b["b"], "n_ab": b["n_ab"],
+            "pmi_e4": pa.array(np.floor(pmi * 1e4 + 0.5).astype(
+                np.int64)),
+        })
+
+    return pair_df.map_batches(fin, batch_format="pyarrow")
