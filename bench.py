@@ -398,6 +398,35 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
     entry_mod._q_source_vocab_jaccard(sf_dir).count()
     queries["source_vocab_jaccard"] = round(time.time() - t0, 3)
 
+    # round-4 continuation 3: ER-scale blocking + sketch/LM/sim-join ops
+    from wned_ray.pipelines.datawork import (bigram_lm_scores,
+                                             cms_term_counts,
+                                             prefix_jaccard_join)
+    from wned_ray.stages.blocking import meta_blocking
+
+    t0 = time.time()
+    meta_blocking(docs, "doc_id", "text", scheme="wnp",
+                  max_block=32).count()
+    queries["meta_blocking_wnp"] = round(time.time() - t0, 3)
+
+    t0 = time.time()
+    prefix_jaccard_join(docs, threshold=0.8).count()
+    queries["prefix_jaccard_join"] = round(time.time() - t0, 3)
+
+    t0 = time.time()
+    bigram_lm_scores(docs).count()
+    queries["bigram_lm_docs"] = round(time.time() - t0, 3)
+
+    t0 = time.time()
+    cms_term_counts(rd.read_parquet(f"{sf_dir}/documents.parquet",
+                                    columns=["text"]),
+                    hash_mode="fast").count()
+    queries["cms_term_counts"] = round(time.time() - t0, 3)
+
+    t0 = time.time()
+    entry_mod._q_time_decay_users(sf_dir).count()
+    queries["time_decay_users"] = round(time.time() - t0, 3)
+
     ray.shutdown()
     return {
         "metric": "er_linkage_wall_sec",
