@@ -2785,6 +2785,56 @@ def _q_pmi_doc_terms(sf_dir: str):
     return pmi_pairs(ds, min_pairs=50)
 
 
+def _q_graph_components_parts(sf_dir: str):
+    """First-class distributed connected components
+    (analytics.connected_components, BSP min-label propagation) over a
+    part-adjacency graph: parts on consecutive lineitem rows of the
+    same order, sparsified by (src+dst) % 17 == 0 so the graph
+    fragments into ~100 components (a discriminating check — a one-
+    giant-component result would pass trivially). SQL-oracled via a
+    recursive CTE computing min reachable id."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from wned_ray.pipelines.analytics import connected_components
+    from wned_ray.util import safe_partitions
+
+    li = _rd().read_parquet(f"{sf_dir}/lineitem.parquet",
+                            columns=["l_orderkey", "l_linenumber",
+                                     "l_partkey"])
+
+    def lhs(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "k": b["l_orderkey"],
+            "ln": b["l_linenumber"].cast(pa.int64()),
+            "src": b["l_partkey"],
+        })
+
+    def rhs(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "k": b["l_orderkey"],
+            "ln": pc.subtract(b["l_linenumber"].cast(pa.int64()), 1),
+            "dst": b["l_partkey"],
+        })
+
+    n_li = li.count()
+    joined = (li.map_batches(lhs, batch_format="pyarrow")
+              .join(li.map_batches(rhs, batch_format="pyarrow"),
+                    join_type="inner",
+                    num_partitions=safe_partitions(8, rows=n_li),
+                    on=("k", "ln")))
+
+    def keep(b: pa.Table) -> pa.Table:
+        s = b["src"].to_numpy(zero_copy_only=False)
+        d = b["dst"].to_numpy(zero_copy_only=False)
+        m = (s != d) & ((s + d) % 17 == 0)
+        return pa.table({"src": b["src"], "dst": b["dst"]}).filter(
+            pa.array(m))
+
+    edges = joined.map_batches(keep, batch_format="pyarrow")
+    return connected_components(edges, "src", "dst")
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # ORDER MATTERS: the round driver sweeps this dict in insertion order
     # and records the FIRST 50 entries (round-3 CORRECTNESS captured
@@ -2922,6 +2972,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bigram_lm_docs": _q_bigram_lm_docs,
         "skyline_parts": _q_skyline_parts,
         "pmi_doc_terms": _q_pmi_doc_terms,
+        "graph_components_parts": _q_graph_components_parts,
     }
 
 
@@ -3742,6 +3793,25 @@ def oracle_sql() -> dict[str, str]:
             "FROM cats c CROSS JOIN days d "
             "LEFT JOIN cnts n ON n.event_type = c.event_type "
             "AND n.day = d.day"
+        ),
+        # recursive-CTE twin: lp enumerates (node, reachable ancestor id)
+        # pairs; min per node == the component representative
+        "graph_components_parts": (
+            "WITH RECURSIVE "
+            "e0 AS (SELECT a.l_partkey AS src, b.l_partkey AS dst "
+            "FROM lineitem a JOIN lineitem b "
+            "ON a.l_orderkey = b.l_orderkey "
+            "AND b.l_linenumber = a.l_linenumber + 1 "
+            "AND a.l_partkey <> b.l_partkey "
+            "WHERE (a.l_partkey + b.l_partkey) % 17 = 0), "
+            "edges AS (SELECT DISTINCT src, dst FROM ("
+            "SELECT src, dst FROM e0 "
+            "UNION ALL SELECT dst, src FROM e0)), "
+            "nodes AS (SELECT DISTINCT src AS node FROM edges), "
+            "lp AS (SELECT node, node AS lbl FROM nodes "
+            "UNION SELECT e.dst AS node, lp.lbl FROM lp "
+            "JOIN edges e ON lp.node = e.src) "
+            "SELECT node, min(lbl) AS component FROM lp GROUP BY node"
         ),
         "skyline_parts": (
             "SELECT p_partkey, p_retailprice, p_size FROM part a "

@@ -782,3 +782,54 @@ def test_pmi_hand_example(ray_session):
     assert ab["pmi_e4"].tolist() == [want]
     # (a,c): n=2, df(c)=2 -> same value; (b,c): n=1 < min_pairs dropped
     assert not ((got.a == "b") & (got.b == "c")).any()
+
+
+def test_connected_components_hand_and_ring(ray_session):
+    import ray.data as rd
+
+    from wned_ray.pipelines.analytics import connected_components
+
+    edges = rd.from_pandas(pd.DataFrame(
+        {"src": [1, 2, 7, 9], "dst": [2, 3, 8, 9]}))
+    got = (connected_components(edges).to_pandas()
+           .sort_values("node").values.tolist())
+    assert got == [[1, 1], [2, 1], [3, 1], [7, 7], [8, 7], [9, 9]]
+    # a 30-node ring: single component, diameter 15 — exercises the
+    # multi-round convergence path (label sum fixpoint)
+    n = 30
+    ring = pd.DataFrame({"src": np.arange(n),
+                         "dst": (np.arange(n) + 1) % n})
+    got = (connected_components(rd.from_pandas(ring)).to_pandas())
+    assert sorted(got["node"]) == list(range(n))
+    assert (got["component"] == 0).all()
+
+
+def test_connected_components_matches_union_find(ray_session):
+    import ray.data as rd
+
+    from wned_ray.pipelines.analytics import connected_components
+
+    rng = np.random.RandomState(5)
+    e = pd.DataFrame({"src": rng.randint(0, 200, 150),
+                      "dst": rng.randint(0, 200, 150)})
+    got = (connected_components(rd.from_pandas(e).repartition(5))
+           .to_pandas())
+    # reference union-find
+    parent = list(range(201))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for s, d in e.values:
+        parent[find(s)] = find(d)
+    nodes = sorted(set(e.src) | set(e.dst))
+    # min node id per root
+    rep = {}
+    for v in nodes:
+        r = find(v)
+        rep[r] = min(rep.get(r, v), v)
+    want = {v: rep[find(v)] for v in nodes}
+    assert dict(zip(got["node"], got["component"])) == want

@@ -1372,3 +1372,81 @@ def pmi_pairs(ds, id_col: str = "doc_id", text_col: str = "text",
         })
 
     return pair_df.map_batches(fin, batch_format="pyarrow")
+
+
+def connected_components(edges, src_col: str = "src",
+                         dst_col: str = "dst", max_rounds: int = 64):
+    """Connected components over an arbitrary edge Dataset — the
+    standalone, first-class version of the linkage pipeline's
+    transitive-clustering stage (stages/cluster.py): BSP min-label
+    propagation expressed purely in Ray Data.
+
+    Per round: ONE hash join of the (static, symmetrized, materialized)
+    edge list against the current label table + a groupby(node).min —
+    each node's label becomes the min of its own and its neighbors' —
+    followed by a POINTER-JUMPING shortcut (label <- label-of-label,
+    one self-join of the label table; label[l] <= l always, so no min
+    needed). The shortcut halves the remaining path length every
+    round, so convergence is O(log diameter) exchanges, not
+    O(diameter). Labels only decrease, so a per-round label SUM
+    detects the fixpoint exactly (monotone => equal sum <=> done).
+
+    Output: (node, component) with component = min node id reachable.
+    Isolated nodes (present as self-loops or absent-from-edges ids fed
+    via the edge list) label themselves."""
+    import ray.data as rd
+    from ray.data.aggregate import Min, Sum
+
+    from wned_ray.util import safe_partitions
+
+    def sym(b: pa.Table) -> pa.Table:
+        s = b[src_col].combine_chunks()
+        d = b[dst_col].combine_chunks()
+        return pa.table({"src": pa.concat_arrays([s, d]),
+                         "dst": pa.concat_arrays([d, s])})
+
+    sym_edges = edges.map_batches(sym, batch_format="pyarrow").materialize()
+    n_edges = sym_edges.count()
+    np_ = safe_partitions(16, rows=n_edges)
+
+    from ray.data.aggregate import Count
+
+    labels = (sym_edges
+              .map_batches(lambda b: pa.table({"node": b["src"]}),
+                           batch_format="pyarrow")
+              .groupby("node").aggregate(Count(alias_name="_c"))
+              .map_batches(lambda b: pa.table({
+                  "node": b["node"], "lbl": b["node"]}),
+                  batch_format="pyarrow")
+              .materialize())
+    prev_sum = None
+    for _ in range(max_rounds):
+        prop = (sym_edges
+                .join(labels.map_batches(lambda b: pa.table({
+                    "src": b["node"], "_l": b["lbl"]}),
+                    batch_format="pyarrow"),
+                    join_type="inner", num_partitions=np_, on=("src",))
+                .map_batches(lambda b: pa.table({
+                    "node": b["dst"], "lbl": b["_l"]}),
+                    batch_format="pyarrow"))
+        labels = (prop.union(labels.select_columns(["node", "lbl"]))
+                  .groupby("node").aggregate(Min("lbl", alias_name="lbl"))
+                  .materialize())
+        # pointer jump: node -> label-of-label (label[l] <= l, so this
+        # only ever decreases; halves remaining path length per round)
+        lut = labels.map_batches(lambda b: pa.table({
+            "lbl": b["node"], "_l2": b["lbl"]}), batch_format="pyarrow")
+        labels = (labels.join(lut, join_type="inner",
+                              num_partitions=np_, on=("lbl",))
+                  .map_batches(lambda b: pa.table({
+                      "node": b["node"], "lbl": b["_l2"]}),
+                      batch_format="pyarrow")
+                  .materialize())
+        s = labels.sum("lbl")
+        if s == prev_sum:
+            break
+        prev_sum = s
+
+    return labels.map_batches(lambda b: pa.table({
+        "node": b["node"], "component": b["lbl"]}),
+        batch_format="pyarrow")
