@@ -2835,6 +2835,29 @@ def _q_graph_components_parts(sf_dir: str):
     return connected_components(edges, "src", "dst")
 
 
+def _q_cumulative_new_users(sf_dir: str):
+    """Daily new-user counts + running cumulative distinct users per
+    event type (analytics.cumulative_new_users): distinctness reduces
+    to per-(type, user) first day, cumulative is a dim-sized running
+    sum — the streaming recast of COUNT(DISTINCT) OVER."""
+    from wned_ray.pipelines.analytics import cumulative_new_users
+
+    ds = _rd().read_parquet(f"{sf_dir}/events.parquet",
+                            columns=["event_type", "user_id", "ts"])
+    return cumulative_new_users(ds, "event_type", "user_id", "ts")
+
+
+def _q_embedding_centroids(sf_dir: str):
+    """Per-label embedding centroids as (label, dim, mean_e6) rows
+    (analytics.embedding_centroids): scatter-add combiner, one
+    (label, dim) groupby — vectors never shuffle."""
+    from wned_ray.pipelines.analytics import embedding_centroids
+
+    ds = _rd().read_parquet(f"{sf_dir}/embeddings.parquet",
+                            columns=["label", "embedding"])
+    return embedding_centroids(ds)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # ORDER MATTERS: the round driver sweeps this dict in insertion order
     # and records the FIRST 50 entries (round-3 CORRECTNESS captured
@@ -2973,6 +2996,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "skyline_parts": _q_skyline_parts,
         "pmi_doc_terms": _q_pmi_doc_terms,
         "graph_components_parts": _q_graph_components_parts,
+        "cumulative_new_users": _q_cumulative_new_users,
+        "embedding_centroids": _q_embedding_centroids,
     }
 
 
@@ -3793,6 +3818,23 @@ def oracle_sql() -> dict[str, str]:
             "FROM cats c CROSS JOIN days d "
             "LEFT JOIN cnts n ON n.event_type = c.event_type "
             "AND n.day = d.day"
+        ),
+        "cumulative_new_users": (
+            "WITH f AS (SELECT event_type, user_id, "
+            "min(date_trunc('day', ts)) AS d0 FROM events "
+            "GROUP BY 1, 2), "
+            "n AS (SELECT event_type, d0 AS day, count(*) AS new_users "
+            "FROM f GROUP BY 1, 2) "
+            "SELECT event_type, day, new_users, "
+            "CAST(sum(new_users) OVER (PARTITION BY event_type "
+            "ORDER BY day) AS BIGINT) AS cum_users FROM n"
+        ),
+        "embedding_centroids": (
+            "SELECT label, i AS dim, "
+            "CAST(floor(avg(embedding[i]) * 1e6 + 0.5) AS BIGINT) "
+            "AS mean_e6 "
+            "FROM embeddings, (SELECT unnest(generate_series(1, 64)) "
+            "AS i) s GROUP BY label, i"
         ),
         # recursive-CTE twin: lp enumerates (node, reachable ancestor id)
         # pairs; min per node == the component representative

@@ -833,3 +833,43 @@ def test_connected_components_matches_union_find(ray_session):
         rep[r] = min(rep.get(r, v), v)
     want = {v: rep[find(v)] for v in nodes}
     assert dict(zip(got["node"], got["component"])) == want
+
+
+def test_cumulative_new_users_hand_example(ray_session):
+    import ray.data as rd
+
+    from wned_ray.pipelines.analytics import cumulative_new_users
+
+    df = pd.DataFrame({
+        "t": ["c", "c", "c", "c", "v"],
+        "u": [1, 1, 2, 3, 1],
+        "ts": pd.to_datetime(["2024-01-01", "2024-01-02", "2024-01-02",
+                              "2024-01-03", "2024-01-05"]),
+    })
+    got = (cumulative_new_users(rd.from_pandas(df), "t", "u", "ts")
+           .to_pandas().sort_values(["t", "day"]).reset_index(drop=True))
+    c = got[got.t == "c"]
+    # user 1 new on d1; user 2 new on d2 (1's second day doesn't count);
+    # user 3 new on d3 -> cum 1, 2, 3
+    assert c["new_users"].tolist() == [1, 1, 1]
+    assert c["cum_users"].tolist() == [1, 2, 3]
+    v = got[got.t == "v"]
+    assert v["cum_users"].tolist() == [1]
+
+
+def test_embedding_centroids_hand_example(ray_session):
+    import ray.data as rd
+
+    from wned_ray.pipelines.analytics import embedding_centroids
+
+    df = pd.DataFrame({
+        "label": [0, 0, 1],
+        "embedding": [[1.0, 3.0], [3.0, 5.0], [2.0, 2.0]],
+    })
+    got = (embedding_centroids(rd.from_pandas(df).repartition(2))
+           .to_pandas().sort_values(["label", "dim"])
+           .reset_index(drop=True))
+    # label 0: (2.0, 4.0); label 1: (2.0, 2.0); dim is 1-based
+    assert got["dim"].tolist() == [1, 2, 1, 2]
+    assert got["mean_e6"].tolist() == [2_000_000, 4_000_000,
+                                       2_000_000, 2_000_000]

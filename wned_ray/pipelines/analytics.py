@@ -1450,3 +1450,91 @@ def connected_components(edges, src_col: str = "src",
     return labels.map_batches(lambda b: pa.table({
         "node": b["node"], "component": b["lbl"]}),
         batch_format="pyarrow")
+
+
+def cumulative_new_users(ds, type_col: str, user_col: str, ts_col: str):
+    """Daily new-user counts and the running cumulative distinct-user
+    total per category — the warehouse "cumulative distinct" shape
+    that naive COUNT(DISTINCT) OVER cannot stream: distinct-ness
+    reduces to each user's FIRST day (one groupby over (category,
+    user)), after which the cumulative is a dim-sized running sum.
+
+    Output: (category, day, new_users, cum_users)."""
+    from ray.data.aggregate import Count, Min
+
+    def prep(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            type_col: batch[type_col],
+            user_col: batch[user_col],
+            "day_us": pc.floor_temporal(batch[ts_col], unit="day").cast(
+                pa.timestamp("us")).cast(pa.int64()),
+        })
+
+    firsts = (ds.select_columns([type_col, user_col, ts_col])
+              .map_batches(prep, batch_format="pyarrow")
+              .groupby([type_col, user_col])
+              .aggregate(Min("day_us", alias_name="d0")))
+    daily = (firsts.groupby([type_col, "d0"])
+             .aggregate(Count(alias_name="new_users")))
+
+    def cum(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("d0")
+        return pd.DataFrame({
+            type_col: g[type_col].to_numpy(),
+            "day": pd.to_datetime(g["d0"].to_numpy(), unit="us"),
+            "new_users": g["new_users"].to_numpy(np.int64),
+            "cum_users": g["new_users"].cumsum().to_numpy(np.int64),
+        })
+
+    return daily.groupby(type_col).map_groups(cum, batch_format="pandas")
+
+
+def embedding_centroids(ds, label_col: str = "label",
+                        vec_col: str = "embedding"):
+    """Per-label centroid of an embedding column as (label, dim, mean)
+    rows — the vector GROUP BY mean Ray Data's aggregate API can't
+    express over list columns. Per-batch combiner: one matmul-free
+    scatter-add produces |labels| x dim partial sums (dim-sized rows,
+    k*d per batch); ONE groupby-sum; vectors themselves never shuffle.
+
+    Output: (label, dim 1-based, mean_e6) — the 1-based dim matches
+    SQL's embedding[i] indexing so the oracle shares coordinates."""
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        col = batch[vec_col]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        flat = pc.list_flatten(col).to_numpy(zero_copy_only=False)
+        n = batch.num_rows
+        d = len(flat) // max(n, 1) if n else 0
+        m = flat.reshape(n, d).astype(np.float64)
+        labels = batch[label_col].to_numpy(zero_copy_only=False)
+        ul, inv = np.unique(labels, return_inverse=True)
+        sums = np.zeros((len(ul), d), np.float64)
+        np.add.at(sums, inv, m)
+        cnt = np.bincount(inv, minlength=len(ul))
+        return pa.table({
+            label_col: pa.array(np.repeat(ul, d)),
+            "dim": pa.array(np.tile(np.arange(1, d + 1, dtype=np.int64),
+                                    len(ul))),
+            "_s": pa.array(sums.ravel(), pa.float64()),
+            "_n": pa.array(np.repeat(cnt, d).astype(np.int64)),
+        })
+
+    agg = (ds.select_columns([label_col, vec_col])
+           .map_batches(partial, batch_format="pyarrow")
+           .groupby([label_col, "dim"])
+           .aggregate(Sum("_s", alias_name="s"),
+                      Sum("_n", alias_name="n")))
+
+    def fin(batch: pa.Table) -> pa.Table:
+        m = (batch["s"].to_numpy(zero_copy_only=False)
+             / batch["n"].to_numpy(zero_copy_only=False))
+        return pa.table({
+            label_col: batch[label_col], "dim": batch["dim"],
+            "mean_e6": pa.array(np.floor(m * 1e6 + 0.5).astype(
+                np.int64)),
+        })
+
+    return agg.map_batches(fin, batch_format="pyarrow")
