@@ -2561,6 +2561,31 @@ def _q_er_blocking_phonetic(sf_dir: str):
     return pd.DataFrame([m])
 
 
+def _q_er_blocking_canopy(sf_dir: str):
+    """Canopy-clustering blocking-scheme evaluation (McCallum-Nigam-
+    Ungar 2000; blocking.canopy_pairs): cheap char-bigram-Jaccard
+    canopies with loose/tight radii, centers picked greedily on a
+    deterministic bounded sample, assignment one stateless pass —
+    measured with the same RR / transitive-PC instrument as the LSH,
+    Soundex and sorted-neighborhood tiers (the FIFTH comparable
+    scheme). Rows-only (the instrument isn't SQL-expressible); the
+    canopy kernel is unit-gated on hand examples."""
+    import pandas as pd
+
+    from wned_ray.stages.blocking import canopy_pairs
+    from wned_ray.stages.evaluate import blocking_quality
+
+    corpus, _, out = _linkage(sf_dir)
+    pairs = canopy_pairs(out["prepared"], "mention_id", "mention",
+                         t_loose=0.25, t_tight=0.55)
+    gold = _rd().read_parquet(corpus["expected_clusters"])
+    m = blocking_quality(pairs, gold)
+    m["reduction_ratio_e6"] = int(round(m.pop("reduction_ratio") * 1e6))
+    m["pair_completeness_e6"] = int(round(
+        m.pop("pair_completeness") * 1e6))
+    return pd.DataFrame([m])
+
+
 def _q_sorted_neighborhood_docs(sf_dir: str):
     """Sorted-neighborhood blocking over documents
     (blocking.sorted_neighborhood_pairs): rank by the first 7 chars of
@@ -2998,6 +3023,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "graph_components_parts": _q_graph_components_parts,
         "cumulative_new_users": _q_cumulative_new_users,
         "embedding_centroids": _q_embedding_centroids,
+        "er_blocking_canopy": _q_er_blocking_canopy,  # rows-only
     }
 
 

@@ -1,6 +1,7 @@
 """blocking_quality: RR / PC on a hand-computable fixture, plus the e2e
 row over the T1 corpus (completeness must be 1.0 where pairwise F1 is)."""
 
+import numpy as np
 import pandas as pd
 
 
@@ -189,3 +190,45 @@ def test_meta_blocking_prunes_most_edges(ray_session):
     chk = out.merge(full, left_on=["id_a", "id_b"],
                     right_on=["doc_id_x", "doc_id_y"], how="left")
     assert (chk["w_x"] == chk["w_y"]).all()
+
+
+def test_canopy_pairs_hand_example(ray_session):
+    import ray.data as rd
+
+    from wned_ray.stages.blocking import canopy_pairs
+
+    df = pd.DataFrame({
+        "id": list(range(8)),
+        "name": ["john smith", "jon smith", "john smyth", "mary jones",
+                 "marie jones", "robert brown", "bob brown", "zz qq"],
+    })
+    got = (canopy_pairs(rd.from_pandas(df), "id", "name",
+                        t_loose=0.25, t_tight=0.55)
+           .to_pandas().sort_values(["id_a", "id_b"]))
+    # canopies: {john*} {mary/marie jones} {r./bob brown}; 'zz qq' alone
+    assert got.values.tolist() == [[0, 1], [0, 2], [3, 4], [5, 6]]
+
+
+def test_canopy_pairs_deterministic_and_deduped(ray_session):
+    """Canopies OVERLAP (loose radius): the same edge may surface from
+    several canopies — the output must still be a deduplicated pair
+    set, identical across partitionings."""
+    import ray.data as rd
+
+    from wned_ray.stages.blocking import canopy_pairs
+
+    rng = np.random.RandomState(3)
+    base = ["alpha beta", "alpha betz", "gamma delta", "gamma deltz",
+            "epsilon zeta"]
+    df = pd.DataFrame({
+        "id": np.arange(60),
+        "name": [base[i % 5] + f" {rng.randint(0, 3)}"
+                 for i in range(60)],
+    })
+    a = (canopy_pairs(rd.from_pandas(df), "id", "name").to_pandas()
+         .sort_values(["id_a", "id_b"]).values.tolist())
+    b = (canopy_pairs(rd.from_pandas(df).repartition(6), "id", "name")
+         .to_pandas().sort_values(["id_a", "id_b"]).values.tolist())
+    assert a == b
+    assert len(a) == len({tuple(x) for x in a})  # deduplicated
+    assert len(a) > 0

@@ -443,3 +443,109 @@ def meta_blocking(ds, id_col: str = "doc_id", text_col: str = "text",
                          "w": b["w"]}).filter(pa.array(m))
 
     return joined.map_batches(keep_wnp, batch_format="pyarrow")
+
+
+def _char_bigram_sets(texts) -> tuple[np.ndarray, np.ndarray]:
+    """(row_idx, bigram_hash) distinct pairs over lowercased character
+    bigrams — the cheap-distance representation for canopies. Short
+    strings (< 2 chars) contribute their single char."""
+    import pandas as pd
+
+    import zlib
+
+    s = pd.Series(texts).astype(str).str.lower()
+    rows, hashes = [], []
+    for i, t in enumerate(s):
+        grams = {t[j:j + 2] for j in range(max(len(t) - 1, 1))}
+        rows.extend([i] * len(grams))
+        # crc32, NOT builtin hash(): str hashing is salted per process,
+        # and these keys must agree between driver-built center sets
+        # and worker-side assignment batches
+        hashes.extend(zlib.crc32(g.encode()) for g in grams)
+    return (np.asarray(rows, np.int64),
+            np.asarray(hashes, np.int64))
+
+
+def canopy_pairs(ds, id_col: str, text_col: str,
+                 t_loose: float = 0.25, t_tight: float = 0.55,
+                 sample: int = 4096, max_centers: int = 512,
+                 max_block: int = 2048):
+    """Canopy clustering blocking (McCallum, Nigam & Ungar, KDD 2000):
+    cheap-distance canopies — char-bigram Jaccard here — group records
+    for the expensive pairwise stage; records inside the TIGHT radius
+    of a center can't found new canopies, records inside the LOOSE
+    radius join the canopy (canopies overlap by design, which is what
+    preserves recall vs disjoint blocking keys).
+
+    Distributed adaptation of the inherently sequential center pick:
+    centers are selected greedily on a DETERMINISTIC bounded sample
+    (limit(sample) collect, ordered by id — the documented driver
+    bound), then broadcast; assignment is one stateless map_batches
+    over the full input (vectorized membership per center). Canopies
+    emit min-id star edges (the connectivity contract every blocking
+    tier here shares). Output: (id_a, id_b), id_a < id_b."""
+    import pandas as pd
+    import ray
+
+    # ---- greedy center selection on the bounded sample (driver) ----
+    smp = ds.select_columns([id_col, text_col]).limit(sample).take_all()
+    smp.sort(key=lambda r: r[id_col])
+    ids = [r[id_col] for r in smp]
+    rows, hs = _char_bigram_sets([r[text_col] for r in smp])
+    sets = [np.sort(hs[rows == i]) for i in range(len(ids))]
+    covered = np.zeros(len(ids), bool)
+    centers = []
+    for i in range(len(ids)):
+        if covered[i] or len(centers) >= max_centers:
+            continue
+        centers.append((ids[i], sets[i]))
+        ci = sets[i]
+        for j in range(i + 1, len(ids)):
+            if covered[j]:
+                continue
+            inter = np.intersect1d(ci, sets[j],
+                                   assume_unique=True).size
+            union = ci.size + sets[j].size - inter
+            if union and inter / union >= t_tight:
+                covered[j] = True
+    c_ref = ray.put(centers)
+
+    def assign(batch: pa.Table) -> pa.Table:
+        cs = ray.get(c_ref)
+        texts = batch[text_col].to_pylist()
+        rids = batch[id_col].to_pylist()
+        rows_, hs_ = _char_bigram_sets(texts)
+        n = len(texts)
+        sizes = np.bincount(rows_, minlength=n)
+        out_c, out_i = [], []
+        for cid, cset in cs:
+            member = np.isin(hs_, cset, assume_unique=False)
+            inter = np.bincount(rows_[member], minlength=n)
+            union = sizes + cset.size - inter
+            sim = np.where(union > 0, inter / np.maximum(union, 1), 0.0)
+            hit = np.flatnonzero(sim >= t_loose)
+            out_c.extend([cid] * len(hit))
+            out_i.extend(rids[h] for h in hit)
+        t = batch[id_col].type
+        return pa.table({"_canopy": pa.array(out_c, type=t),
+                         id_col: pa.array(out_i, type=t)})
+
+    assigned = ds.select_columns([id_col, text_col]).map_batches(
+        assign, batch_format="pyarrow")
+
+    def star(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) < 2 or len(g) > max_block:
+            return pd.DataFrame({"id_a": pd.Series([], dtype=g[id_col].dtype),
+                                 "id_b": pd.Series([], dtype=g[id_col].dtype)})
+        vals = np.sort(g[id_col].to_numpy())
+        return pd.DataFrame({"id_a": np.repeat(vals[0], len(vals) - 1),
+                             "id_b": vals[1:]})
+
+    pairs = assigned.groupby("_canopy").map_groups(
+        star, batch_format="pandas")
+    # canopies overlap -> the same edge can appear in several canopies
+    from ray.data.aggregate import Count
+
+    return (pairs.groupby(["id_a", "id_b"])
+            .aggregate(Count(alias_name="_c"))
+            .select_columns(["id_a", "id_b"]))
