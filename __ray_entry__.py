@@ -2883,6 +2883,105 @@ def _q_embedding_centroids(sf_dir: str):
     return embedding_centroids(ds)
 
 
+def _q_equidepth_bins_events(sf_dir: str):
+    """Equi-depth (quantile) binning of event values into 10 bins via
+    the exact distributed rank (analytics.equidepth_bins) — the
+    feature-engineering discretizer; per-bin count and value range."""
+    from wned_ray.pipelines.analytics import equidepth_bins
+
+    ds = _rd().read_parquet(f"{sf_dir}/events.parquet",
+                            columns=["event_id", "value"])
+    return equidepth_bins(ds, "value", "event_id", n_bins=10)
+
+
+def _q_rank_windows_events(sf_dir: str):
+    """percent_rank() / cume_dist() per user partition ordered by value
+    (analytics.rank_window_funcs) — one key shuffle + numpy kernels."""
+    from wned_ray.pipelines.analytics import rank_window_funcs
+
+    ds = _rd().read_parquet(f"{sf_dir}/events.parquet",
+                            columns=["user_id", "event_id", "value"])
+    return rank_window_funcs(ds, "user_id", "value", "event_id")
+
+
+def _q_scan_pushdown_orders(sf_dir: str):
+    """Prune-at-the-read demonstration: a row-filter + column projection
+    pushed into read_parquet (only 2 columns and 'F'-status row groups
+    leave storage), then one dim-sized aggregate. The brief's "a read
+    that loads all columns for a 2-column transform is wrong" rule as a
+    checkable query."""
+    import pyarrow.dataset as pads
+    from ray.data.aggregate import Count, Sum
+
+    ds = _rd().read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderpriority", "o_totalprice"],
+        filter=(pads.field("o_orderstatus") == "F"))
+
+    def e2(b):
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        return pa.table({
+            "o_orderpriority": b["o_orderpriority"],
+            "_p": pc.cast(pc.floor(pc.add(pc.multiply(
+                b["o_totalprice"], 100.0), 0.5)), pa.int64()),
+        })
+
+    return (ds.map_batches(e2, batch_format="pyarrow")
+            .groupby("o_orderpriority")
+            .aggregate(Count(alias_name="n"),
+                       Sum("_p", alias_name="sum_price_e2")))
+
+
+def _q_er_blocking_meta(sf_dir: str):
+    """Meta-blocking as the SIXTH measured blocking scheme on the
+    linkage fixture: word-bigram CBS graph over mention surfaces with
+    WNP pruning (blocking.meta_blocking), evaluated with the shared
+    RR / transitive-PC instrument. Rows-only; the kernel itself is
+    SQL-oracled on documents (meta_blocking_wnp)."""
+    import pandas as pd
+
+    from wned_ray.stages.blocking import meta_blocking
+    from wned_ray.stages.evaluate import blocking_quality
+
+    import pyarrow as pa
+    from ray.data.aggregate import Min
+
+    corpus, _, out = _linkage(sf_dir)
+    prep = out["prepared"].select_columns(["mention_id", "norm_mention"])
+    # the repo's distinct-surface discipline: block the 2.9k distinct
+    # surfaces, not the 20k mentions — same-surface mentions co-block
+    # trivially via star edges to the surface representative
+    reps = (prep.groupby("norm_mention")
+            .aggregate(Min("mention_id", alias_name="rep_id"))
+            .materialize())
+
+    def star(g: pd.DataFrame) -> pd.DataFrame:
+        ids = np.sort(g["mention_id"].astype(str).to_numpy())
+        if len(ids) < 2:
+            return pd.DataFrame({"id_a": pd.Series([], dtype=object),
+                                 "id_b": pd.Series([], dtype=object)})
+        return pd.DataFrame({"id_a": np.repeat(ids[0], len(ids) - 1),
+                             "id_b": ids[1:]})
+
+    # re-encode as Arrow blocks: union with the Arrow-block meta edges
+    # must not mix pandas/arrow block types (breaks downstream kernels)
+    same_surface = (prep.groupby("norm_mention")
+                    .map_groups(star, batch_format="pandas")
+                    .map_batches(lambda b: b, batch_format="pyarrow"))
+    meta_edges = (meta_blocking(reps, "rep_id", "norm_mention",
+                                scheme="wnp", max_block=256,
+                                key_mode="chars")
+                  .select_columns(["id_a", "id_b"]))
+    pairs = meta_edges.union(same_surface)
+    gold = _rd().read_parquet(corpus["expected_clusters"])
+    m = blocking_quality(pairs, gold)
+    m["reduction_ratio_e6"] = int(round(m.pop("reduction_ratio") * 1e6))
+    m["pair_completeness_e6"] = int(round(
+        m.pop("pair_completeness") * 1e6))
+    return pd.DataFrame([m])
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # ORDER MATTERS: the round driver sweeps this dict in insertion order
     # and records the FIRST 50 entries (round-3 CORRECTNESS captured
@@ -3024,6 +3123,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cumulative_new_users": _q_cumulative_new_users,
         "embedding_centroids": _q_embedding_centroids,
         "er_blocking_canopy": _q_er_blocking_canopy,  # rows-only
+        "equidepth_bins_events": _q_equidepth_bins_events,
+        "rank_windows_events": _q_rank_windows_events,
+        "scan_pushdown_orders": _q_scan_pushdown_orders,
+        "er_blocking_meta": _q_er_blocking_meta,  # rows-only
     }
 
 
@@ -3844,6 +3947,28 @@ def oracle_sql() -> dict[str, str]:
             "FROM cats c CROSS JOIN days d "
             "LEFT JOIN cnts n ON n.event_type = c.event_type "
             "AND n.day = d.day"
+        ),
+        "equidepth_bins_events": (
+            "WITH r AS (SELECT event_id, value, ntile(10) OVER ("
+            "ORDER BY value, event_id) AS bin FROM events) "
+            "SELECT bin, count(*) AS n, "
+            "CAST(floor(min(value) * 100 + 0.5) AS BIGINT) AS min_e2, "
+            "CAST(floor(max(value) * 100 + 0.5) AS BIGINT) AS max_e2 "
+            "FROM r GROUP BY bin"
+        ),
+        "rank_windows_events": (
+            "SELECT user_id, event_id, value, "
+            "CAST(floor(percent_rank() OVER (PARTITION BY user_id "
+            "ORDER BY value) * 1e6 + 0.5) AS BIGINT) AS pct_rank_e6, "
+            "CAST(floor(cume_dist() OVER (PARTITION BY user_id "
+            "ORDER BY value) * 1e6 + 0.5) AS BIGINT) AS cume_dist_e6 "
+            "FROM events"
+        ),
+        "scan_pushdown_orders": (
+            "SELECT o_orderpriority, count(*) AS n, "
+            "CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) "
+            "AS BIGINT) AS sum_price_e2 FROM orders "
+            "WHERE o_orderstatus = 'F' GROUP BY o_orderpriority"
         ),
         "cumulative_new_users": (
             "WITH f AS (SELECT event_type, user_id, "

@@ -873,3 +873,41 @@ def test_embedding_centroids_hand_example(ray_session):
     assert got["dim"].tolist() == [1, 2, 1, 2]
     assert got["mean_e6"].tolist() == [2_000_000, 4_000_000,
                                        2_000_000, 2_000_000]
+
+
+def test_equidepth_bins_balanced(ray_session):
+    import ray.data as rd
+
+    from wned_ray.pipelines.analytics import equidepth_bins
+
+    df = pd.DataFrame({"id": np.arange(103),
+                       "v": np.arange(103).astype(float)[::-1]})
+    got = (equidepth_bins(rd.from_pandas(df).repartition(4), "v", "id",
+                          n_bins=10).to_pandas().sort_values("bin")
+           .reset_index(drop=True))
+    # ntile: first 3 bins get 11 rows, the rest 10
+    assert got["n"].tolist() == [11, 11, 11] + [10] * 7
+    # bins partition the value range in order
+    assert (got["max_e2"].to_numpy()[:-1]
+            < got["min_e2"].to_numpy()[1:]).all()
+
+
+def test_rank_window_funcs_hand_example(ray_session):
+    import ray.data as rd
+
+    from wned_ray.pipelines.analytics import rank_window_funcs
+
+    df = pd.DataFrame({"k": ["a"] * 4 + ["b"],
+                       "id": [1, 2, 3, 4, 5],
+                       "v": [10.0, 20.0, 20.0, 30.0, 7.0]})
+    got = (rank_window_funcs(rd.from_pandas(df), "k", "v", "id")
+           .to_pandas().sort_values(["k", "id"]).reset_index(drop=True))
+    a = got[got.k == "a"]
+    # percent_rank: (rank-1)/(n-1): 0, 1/3, 1/3, 1 ; cume: .25 .75 .75 1
+    assert a["pct_rank_e6"].tolist() == [0, 333333, 333333, 1000000]
+    assert a["cume_dist_e6"].tolist() == [250000, 750000, 750000,
+                                          1000000]
+    b = got[got.k == "b"]
+    # single-row partition: percent_rank 0 by spec, cume_dist 1
+    assert b["pct_rank_e6"].tolist() == [0]
+    assert b["cume_dist_e6"].tolist() == [1000000]

@@ -232,3 +232,23 @@ def test_canopy_pairs_deterministic_and_deduped(ray_session):
     assert a == b
     assert len(a) == len({tuple(x) for x in a})  # deduplicated
     assert len(a) > 0
+
+
+def test_meta_blocking_char_qgram_mode(ray_session):
+    """key_mode='chars' (trigram q-grams) blocks short name surfaces
+    where word bigrams barely exist: the two smith variants co-block,
+    the unrelated string does not pair with them."""
+    import ray.data as rd
+
+    from wned_ray.stages.blocking import meta_blocking
+
+    df = pd.DataFrame({
+        "id": [1, 2, 3, 4],
+        "name": ["john smith", "john smyth", "johnny smith", "qqq zzz"],
+    })
+    got = (meta_blocking(rd.from_pandas(df), "id", "name",
+                         scheme="wep", max_block=32, key_mode="chars")
+           .to_pandas())
+    pairs = set(map(tuple, got[["id_a", "id_b"]].values))
+    assert (1, 3) in pairs or (1, 2) in pairs
+    assert all(4 not in p for p in pairs)

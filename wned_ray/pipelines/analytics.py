@@ -1538,3 +1538,82 @@ def embedding_centroids(ds, label_col: str = "label",
         })
 
     return agg.map_batches(fin, batch_format="pyarrow")
+
+
+def equidepth_bins(ds, val_col: str, id_col: str, n_bins: int = 10,
+                   n_buckets: int = 32):
+    """Equi-depth (quantile) binning — the feature-engineering
+    discretizer: every bin holds the same row count (ANSI
+    ``ntile(n) OVER (ORDER BY val, id)``). Rides the exact
+    distributed global_rank machinery (sample boundaries -> bucket
+    count prefix offsets -> one bucket shuffle), then bin =
+    SQL-ntile arithmetic on the exact rank. Output: one row per bin —
+    (bin, n, min_v, max_v) with e2-scaled value edges."""
+    from ray.data.aggregate import Count, Max, Min
+
+    from wned_ray.util import safe_partitions
+
+    n_total = ds.count()
+    ranked = global_rank(ds, val_col, id_col, n_buckets=n_buckets).join(
+        ds.select_columns([id_col, val_col]), join_type="inner",
+        num_partitions=safe_partitions(16, rows=n_total),
+        on=(id_col,))
+    base, rem = divmod(n_total, n_bins)
+
+    def to_bin(batch: pa.Table) -> pa.Table:
+        r = batch["rnk"].to_numpy(zero_copy_only=False) - 1  # 0-based
+        big = rem * (base + 1)
+        b = np.where(r < big, r // max(base + 1, 1),
+                     rem + (r - big) // max(base, 1)) + 1
+        v = batch[val_col].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "bin": pa.array(b.astype(np.int64)),
+            "_v": pa.array(v.astype(np.float64)),
+        })
+
+    agg = (ranked.map_batches(to_bin, batch_format="pyarrow")
+           .groupby("bin")
+           .aggregate(Count(alias_name="n"),
+                      Min("_v", alias_name="min_v"),
+                      Max("_v", alias_name="max_v")))
+
+    def fin(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "bin": batch["bin"], "n": batch["n"],
+            "min_e2": pa.array(np.floor(
+                batch["min_v"].to_numpy(zero_copy_only=False) * 100
+                + 0.5).astype(np.int64)),
+            "max_e2": pa.array(np.floor(
+                batch["max_v"].to_numpy(zero_copy_only=False) * 100
+                + 0.5).astype(np.int64)),
+        })
+
+    return agg.map_batches(fin, batch_format="pyarrow")
+
+
+def rank_window_funcs(ds, key_col: str, val_col: str, id_col: str):
+    """percent_rank() and cume_dist() per key partition ordered by
+    value — the normalized-rank window pair missing from
+    ordered_window_funcs. One hash shuffle by key; per-group kernel is
+    pure numpy (sort + searchsorted for the <=-count).
+
+    Output: (key, id, value, pct_rank_e6, cume_dist_e6)."""
+    def win(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([val_col, id_col]).reset_index(drop=True)
+        n = len(g)
+        v = g[val_col].to_numpy(np.float64)
+        # rank (min method) and count of <= per distinct value
+        first = np.searchsorted(v, v, side="left")
+        last = np.searchsorted(v, v, side="right")
+        pct = first / (n - 1) if n > 1 else np.zeros(n)
+        cume = last / n
+        return pd.DataFrame({
+            key_col: g[key_col],
+            id_col: g[id_col],
+            val_col: g[val_col],
+            "pct_rank_e6": np.floor(pct * 1e6 + 0.5).astype(np.int64),
+            "cume_dist_e6": np.floor(cume * 1e6 + 0.5).astype(np.int64),
+        })
+
+    return (ds.select_columns([key_col, val_col, id_col])
+            .groupby(key_col).map_groups(win, batch_format="pandas"))

@@ -291,7 +291,8 @@ def sorted_neighborhood_pairs(ds, id_col: str, key_col: str,
 
 
 def meta_blocking(ds, id_col: str = "doc_id", text_col: str = "text",
-                  scheme: str = "wnp", max_block: int = 32):
+                  scheme: str = "wnp", max_block: int = 32,
+                  key_mode: str = "words"):
     """Meta-blocking: re-weight and prune a token-blocking graph so the
     surviving candidate pairs carry most of the recall at a fraction of
     the comparisons (Papadakis et al., "Meta-Blocking: Taking Entity
@@ -329,7 +330,22 @@ def meta_blocking(ds, id_col: str = "doc_id", text_col: str = "text",
 
     from wned_ray.util import safe_partitions
 
+    def toks_chars(batch: pa.Table) -> pa.Table:
+        # q-gram (char trigram) blocks — the short-string variant: word
+        # bigrams barely exist on 1-3-token name surfaces, char q-grams
+        # are the standard blocking key there (Christen ch. 4 q-grams);
+        # trigrams keep the gram space selective enough that block
+        # purging doesn't flatten the graph
+        rows, hs = _char_bigram_sets(batch[text_col].to_pylist(), q=3)
+        t = pa.table({
+            id_col: batch[id_col].take(pa.array(rows)),
+            "term": pa.array(hs),
+        })
+        return t.group_by([id_col, "term"]).aggregate([])
+
     def toks(batch: pa.Table) -> pa.Table:
+        if key_mode == "chars":
+            return toks_chars(batch)
         lists = pc.split_pattern(pc.utf8_lower(batch[text_col]),
                                  pattern=" ")
         flat = pc.list_flatten(lists).combine_chunks()
@@ -445,10 +461,11 @@ def meta_blocking(ds, id_col: str = "doc_id", text_col: str = "text",
     return joined.map_batches(keep_wnp, batch_format="pyarrow")
 
 
-def _char_bigram_sets(texts) -> tuple[np.ndarray, np.ndarray]:
-    """(row_idx, bigram_hash) distinct pairs over lowercased character
-    bigrams — the cheap-distance representation for canopies. Short
-    strings (< 2 chars) contribute their single char."""
+def _char_bigram_sets(texts, q: int = 2) -> tuple[np.ndarray, np.ndarray]:
+    """(row_idx, qgram_hash) distinct pairs over lowercased character
+    q-grams — the cheap-distance representation for canopies and the
+    q-gram blocking key. Strings shorter than ``q`` contribute one
+    truncated gram."""
     import pandas as pd
 
     import zlib
@@ -456,7 +473,7 @@ def _char_bigram_sets(texts) -> tuple[np.ndarray, np.ndarray]:
     s = pd.Series(texts).astype(str).str.lower()
     rows, hashes = [], []
     for i, t in enumerate(s):
-        grams = {t[j:j + 2] for j in range(max(len(t) - 1, 1))}
+        grams = {t[j:j + q] for j in range(max(len(t) - q + 1, 1))}
         rows.extend([i] * len(grams))
         # crc32, NOT builtin hash(): str hashing is salted per process,
         # and these keys must agree between driver-built center sets
