@@ -2982,6 +2982,32 @@ def _q_er_blocking_meta(sf_dir: str):
     return pd.DataFrame([m])
 
 
+def _q_edit_distance_join(sf_dir: str):
+    """Exact Levenshtein<=1 similarity self-join over customer names
+    via FastSS deletion-neighborhood blocking
+    (datawork.edit_distance_join): complete candidate generation (no
+    recall loss, pytest-gated), vectorized DP verify; oracled against
+    DuckDB's levenshtein() over the full cross join."""
+    from wned_ray.pipelines.datawork import edit_distance_join
+
+    ds = _rd().read_parquet(f"{sf_dir}/customer.parquet",
+                            columns=["c_custkey", "c_name"])
+    return edit_distance_join(ds, "c_custkey", "c_name", max_dist=1)
+
+
+def _q_tfidf_cosine_join(sf_dir: str):
+    """All-pairs TF-IDF cosine document similarity at >= 0.8
+    (datawork.tfidf_cosine_join): sparse dot via a term self-join of
+    normalized (doc, term, weight) rows — the doc<->doc member of the
+    text-similarity family (bm25 is query->doc); weights ride the
+    join, text never shuffles."""
+    from wned_ray.pipelines.datawork import tfidf_cosine_join
+
+    ds = _rd().read_parquet(f"{sf_dir}/documents.parquet",
+                            columns=["doc_id", "text"])
+    return tfidf_cosine_join(ds, threshold=0.8)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # ORDER MATTERS: the round driver sweeps this dict in insertion order
     # and records the FIRST 50 entries (round-3 CORRECTNESS captured
@@ -3127,6 +3153,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rank_windows_events": _q_rank_windows_events,
         "scan_pushdown_orders": _q_scan_pushdown_orders,
         "er_blocking_meta": _q_er_blocking_meta,  # rows-only
+        "edit_distance_join": _q_edit_distance_join,
+        "tfidf_cosine_join": _q_tfidf_cosine_join,
     }
 
 
@@ -3947,6 +3975,38 @@ def oracle_sql() -> dict[str, str]:
             "FROM cats c CROSS JOIN days d "
             "LEFT JOIN cnts n ON n.event_type = c.event_type "
             "AND n.day = d.day"
+        ),
+        "tfidf_cosine_join": (
+            "WITH tok AS (SELECT doc_id, "
+            "unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) "
+            "AS term FROM documents), "
+            "tf AS (SELECT doc_id, term, count(*) AS tf FROM tok "
+            "GROUP BY 1, 2), "
+            "df AS (SELECT term, count(*) AS df FROM tf GROUP BY term), "
+            "n AS (SELECT count(*) AS nd FROM documents), "
+            "w AS (SELECT tf.doc_id, tf.term, "
+            "tf.tf * ln(nd * 1.0 / df.df) AS w "
+            "FROM tf JOIN df USING (term), n), "
+            "nm AS (SELECT doc_id, sqrt(sum(w * w)) AS nrm FROM w "
+            "GROUP BY doc_id), "
+            "wn AS (SELECT w.doc_id, w.term, "
+            "w.w / greatest(nm.nrm, 1e-300) AS wh "
+            "FROM w JOIN nm USING (doc_id)), "
+            "p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, "
+            "sum(a.wh * b.wh) AS cos FROM wn a JOIN wn b "
+            "ON a.term = b.term AND a.doc_id < b.doc_id "
+            "GROUP BY 1, 2) "
+            "SELECT id_a, id_b, "
+            "CAST(floor(cos * 1e6 + 0.5) AS BIGINT) AS cos_e6 "
+            "FROM p WHERE cos >= 0.8"
+        ),
+        "edit_distance_join": (
+            "SELECT a.c_custkey AS id_a, b.c_custkey AS id_b, "
+            "a.c_name AS name_a, b.c_name AS name_b, "
+            "CAST(levenshtein(a.c_name, b.c_name) AS BIGINT) AS dist "
+            "FROM customer a JOIN customer b "
+            "ON a.c_custkey < b.c_custkey "
+            "WHERE levenshtein(a.c_name, b.c_name) <= 1"
         ),
         "equidepth_bins_events": (
             "WITH r AS (SELECT event_id, value, ntile(10) OVER ("

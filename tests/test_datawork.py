@@ -1688,3 +1688,78 @@ def test_bigram_lm_partition_invariant(ray_session):
          .sort_values("doc_id").reset_index(drop=True))
     assert a["n_bigrams"].tolist() == b["n_bigrams"].tolist()
     assert a["nll_e4"].tolist() == b["nll_e4"].tolist()
+
+
+def test_edit_distance_join_complete_vs_bruteforce(ray_session):
+    """Deletion-neighborhood candidate generation is COMPLETE for
+    d<=1: result must equal the brute-force all-pairs filter exactly
+    (ids, names and distances) on a mixed fixture with substitutions,
+    inserts, deletes, equal strings and non-matches."""
+    import ray.data as rd
+
+    from wned_ray.pipelines.datawork import edit_distance_join
+
+    names = ["abc", "abd", "ab", "abcd", "xyz", "abc", "b", ""]
+    df = pd.DataFrame({"id": range(len(names)), "name": names})
+    got = (edit_distance_join(rd.from_pandas(df).repartition(3),
+                              "id", "name").to_pandas()
+           .sort_values(["id_a", "id_b"]).reset_index(drop=True))
+
+    def lev(a, b):
+        import numpy as _np
+        dp = _np.arange(len(b) + 1)
+        for i, ca in enumerate(a, 1):
+            prev = dp.copy()
+            dp[0] = i
+            for j, cb in enumerate(b, 1):
+                dp[j] = min(prev[j] + 1, dp[j - 1] + 1,
+                            prev[j - 1] + (ca != cb))
+        return dp[len(b)]
+
+    want = []
+    for i in range(len(names)):
+        for j in range(i + 1, len(names)):
+            d = lev(names[i], names[j])
+            if d <= 1:
+                want.append([i, j, names[i], names[j], d])
+    assert got.values.tolist() == want
+    # sanity: the fixture hits every edit type
+    assert len(want) >= 4
+
+
+def test_tfidf_cosine_join_hand_example(ray_session):
+    """3 docs over a 3-term vocab with hand-computable tf-idf: the
+    identical pair scores cos=1; the disjoint-content pair falls below
+    threshold. idf(common-term)=0 so it cannot contribute."""
+    import ray.data as rd
+
+    from wned_ray.pipelines.datawork import tfidf_cosine_join
+
+    df = pd.DataFrame({
+        "doc_id": [1, 2, 3],
+        "text": ["cat cat shared", "cat cat shared", "dog shared"],
+    })
+    got = (tfidf_cosine_join(rd.from_pandas(df), threshold=0.5)
+           .to_pandas().sort_values(["id_a", "id_b"])
+           .reset_index(drop=True))
+    # 'shared' has df=3 -> idf=0; docs 1,2 identical on 'cat' -> cos 1
+    # doc 3 only has 'dog' weight -> orthogonal to 1,2
+    assert got[["id_a", "id_b"]].values.tolist() == [[1, 2]]
+    assert got["cos_e6"].tolist() == [1_000_000]
+
+
+def test_tfidf_cosine_join_partition_invariant(ray_session):
+    import ray.data as rd
+
+    from wned_ray.pipelines.datawork import tfidf_cosine_join
+
+    ds = rd.read_parquet("/root/testdata/sf0.001/documents.parquet",
+                         columns=["doc_id", "text"])
+    a = (tfidf_cosine_join(ds, threshold=0.9).to_pandas()
+         .sort_values(["id_a", "id_b"]).reset_index(drop=True))
+    b = (tfidf_cosine_join(ds.repartition(7), threshold=0.9).to_pandas()
+         .sort_values(["id_a", "id_b"]).reset_index(drop=True))
+    assert len(a) > 0
+    assert a[["id_a", "id_b"]].values.tolist() == \
+        b[["id_a", "id_b"]].values.tolist()
+    assert (np.abs(a["cos_e6"] - b["cos_e6"]) <= 1).all()

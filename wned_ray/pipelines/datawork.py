@@ -3484,3 +3484,183 @@ def bigram_lm_scores(ds, id_col: str = "doc_id", text_col: str = "text",
 
     return (ds.select_columns([id_col, text_col])
             .map_batches(score, batch_format="pyarrow"))
+
+
+def edit_distance_join(ds, id_col: str, name_col: str,
+                       max_dist: int = 1, num_partitions: int = 16):
+    """Exact similarity self-join at Levenshtein distance <=
+    ``max_dist`` (currently 1) via FastSS deletion-neighborhood
+    blocking (Bocek et al., 2007): each string's candidate keys are
+    itself plus every single-character deletion; two strings within
+    edit distance 1 ALWAYS share a key (equal strings share the
+    identity key; a substitution shares the deletion at the edited
+    position; an insert/delete pair shares the shorter string itself),
+    so the block join is COMPLETE — no recall loss — and the exact
+    vectorized DP verify removes the false candidates.
+
+    Scale shape: keys explode to |s|+1 rows per string (int64 crc
+    hashes — strings don't ride the shuffle twice), one self-join on
+    the key, distinct candidate pairs, then one batch DP verify over
+    the candidate-sized set. Output: (id_a, id_b, name_a, name_b,
+    dist), canonical id_a < id_b."""
+    import zlib
+
+    import ray.data as rd
+    from ray.data.aggregate import Count, Min
+
+    from wned_ray.functions.strsim import levenshtein_batch
+    from wned_ray.util import safe_partitions
+
+    if max_dist != 1:
+        raise ValueError("deletion-neighborhood blocking covers "
+                         "max_dist=1; chain deletions for higher d")
+
+    def keys(batch: pa.Table) -> pa.Table:
+        ids, names = [], []
+        hashes = []
+        for i, s in zip(batch[id_col].to_pylist(),
+                        batch[name_col].to_pylist()):
+            t = str(s)
+            variants = {t}
+            variants.update(t[:j] + t[j + 1:] for j in range(len(t)))
+            for v in variants:
+                ids.append(i)
+                names.append(t)
+                hashes.append(zlib.crc32(v.encode()))
+        return pa.table({
+            "rid": pa.array(ids, type=batch[id_col].type),
+            "name": pa.array(names, pa.string()),
+            "vkey": pa.array(np.asarray(hashes, np.int64)),
+        })
+
+    exploded = (ds.select_columns([id_col, name_col])
+                .map_batches(keys, batch_format="pyarrow")
+                .materialize())
+    n_rows = exploded.count()
+    np_ = safe_partitions(num_partitions, rows=n_rows)
+    left = exploded.rename_columns({"rid": "id_a", "name": "name_a"})
+    right = exploded.rename_columns({"rid": "id_b", "name": "name_b"})
+    cands = (left.join(right, join_type="inner", num_partitions=np_,
+                       on=("vkey",))
+             .filter(expr="id_a < id_b")
+             .groupby(["id_a", "id_b"])
+             .aggregate(Min("name_a", alias_name="name_a"),
+                        Min("name_b", alias_name="name_b")))
+
+    def verify(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table({
+                "id_a": batch["id_a"], "id_b": batch["id_b"],
+                "name_a": batch["name_a"], "name_b": batch["name_b"],
+                "dist": pa.array([], pa.int64())})
+        a = np.asarray(batch["name_a"].to_pylist(), object)
+        b = np.asarray(batch["name_b"].to_pylist(), object)
+        d = levenshtein_batch(a, b).astype(np.int64)
+        keep = d <= max_dist
+        out = batch.filter(pa.array(keep))
+        return pa.table({
+            "id_a": out["id_a"], "id_b": out["id_b"],
+            "name_a": out["name_a"], "name_b": out["name_b"],
+            "dist": pa.array(d[keep]),
+        })
+
+    return cands.map_batches(verify, batch_format="pyarrow")
+
+
+def tfidf_cosine_join(ds, id_col: str = "doc_id", text_col: str = "text",
+                      threshold: float = 0.5, num_partitions: int = 16):
+    """All-pairs document cosine similarity over L2-normalized TF-IDF
+    vectors at >= ``threshold`` — the doc-doc similarity-matrix member
+    of the text family (bm25 is query->doc, this is doc<->doc; the
+    sparse-vector analog of embedding_near_dup).
+
+    Sparse formulation: cos(a, b) = Σ_t ŵ(a,t)·ŵ(b,t) over SHARED
+    terms only, so the all-to-all is a self-join on the term of
+    (doc, term, ŵ) rows — weights ride the join, text never does.
+    idf = ln(N / df) broadcast from one vocab-sized count pass;
+    per-doc L2 norms fold into ŵ inside the same batch (a doc's rows
+    are batch-local). Per-batch pair-partial combiner compresses the
+    product shuffle exactly like ngram_jaccard's.
+
+    Output: (id_a, id_b, cos_e6), id_a < id_b."""
+    import ray
+    import ray.data as rd
+    from ray.data.aggregate import Count, Sum
+
+    from wned_ray.util import safe_partitions
+
+    n_docs = ds.count()
+
+    def tf(batch: pa.Table) -> pa.Table:
+        flat, par = _tokenize_lower(batch[text_col])
+        t = pa.table({"_r": par, "term": flat}).group_by(
+            ["_r", "term"]).aggregate([([], "count_all")])
+        r = t["_r"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            id_col: batch[id_col].take(pa.array(r)),
+            "term": t["term"],
+            "tf": t["count_all"],
+        })
+
+    tf_rows = (ds.select_columns([id_col, text_col])
+               .map_batches(tf, batch_format="pyarrow").materialize())
+    dfs = (tf_rows.groupby("term")
+           .aggregate(Count(alias_name="df")).to_pandas())
+    terms_sorted = np.sort(dfs["term"].to_numpy(object))
+    idf = np.log(n_docs / dfs.set_index("term")
+                 .loc[terms_sorted, "df"].to_numpy(np.float64))
+    idf_ref = ray.put((terms_sorted, idf))
+
+    def weigh(batch: pa.Table) -> pa.Table:
+        # recompute tf from the ORIGINAL doc rows: a document is one
+        # input row here, so its weight vector and L2 norm are always
+        # whole — immune to dynamic block splitting of the tf table
+        tk, iv = ray.get(idf_ref)
+        flat, par = _tokenize_lower(batch[text_col])
+        t = pa.table({"_r": par, "term": flat}).group_by(
+            ["_r", "term"]).aggregate([([], "count_all")])
+        r = t["_r"].to_numpy(zero_copy_only=False).astype(np.int64)
+        terms = np.asarray(t["term"])
+        w = (t["count_all"].to_numpy(zero_copy_only=False)
+             * iv[np.searchsorted(tk, terms)])
+        norms = np.sqrt(np.bincount(r, weights=w * w,
+                                    minlength=batch.num_rows))
+        what = w / np.maximum(norms[r], 1e-300)
+        return pa.table({
+            id_col: batch[id_col].take(pa.array(r)),
+            "term": t["term"],
+            "w": pa.array(what, pa.float64()),
+        })
+
+    weighted = (ds.select_columns([id_col, text_col])
+                .map_batches(weigh, batch_format="pyarrow"))
+    np_ = safe_partitions(num_partitions, rows=tf_rows.count())
+    left = weighted.rename_columns({id_col: "id_a", "w": "w_a"})
+    right = weighted.rename_columns({id_col: "id_b", "w": "w_b"})
+
+    def partial(batch: pa.Table) -> pa.Table:
+        b = batch.filter(pc.less(batch["id_a"], batch["id_b"]))
+        prod = (b["w_a"].to_numpy(zero_copy_only=False)
+                * b["w_b"].to_numpy(zero_copy_only=False))
+        t = pa.table({"id_a": b["id_a"], "id_b": b["id_b"],
+                      "_p": pa.array(prod, pa.float64())})
+        return t.group_by(["id_a", "id_b"]).aggregate(
+            [("_p", "sum")]).rename_columns(["id_a", "id_b", "_p"])
+
+    sims = (left.join(right, join_type="inner", num_partitions=np_,
+                      on=("term",))
+            .map_batches(partial, batch_format="pyarrow")
+            .groupby(["id_a", "id_b"])
+            .aggregate(Sum("_p", alias_name="cos")))
+
+    def fin(batch: pa.Table) -> pa.Table:
+        c = batch["cos"].to_numpy(zero_copy_only=False)
+        keep = c >= threshold
+        out = batch.filter(pa.array(keep))
+        return pa.table({
+            "id_a": out["id_a"], "id_b": out["id_b"],
+            "cos_e6": pa.array(np.floor(
+                c[keep] * 1e6 + 0.5).astype(np.int64)),
+        })
+
+    return sims.map_batches(fin, batch_format="pyarrow")
