@@ -3008,6 +3008,19 @@ def _q_tfidf_cosine_join(sf_dir: str):
     return tfidf_cosine_join(ds, threshold=0.8)
 
 
+def _q_association_rules_parts(sf_dir: str):
+    """Frequent-pair association rules over order baskets
+    (analytics.association_rules): basket-keyed self-join (fan-out
+    bounded by basket size), pair-count groupby, broadcast item
+    counts; support / confidence / lift per directed pair."""
+    from wned_ray.pipelines.analytics import association_rules
+
+    ds = _rd().read_parquet(f"{sf_dir}/lineitem.parquet",
+                            columns=["l_orderkey", "l_partkey"])
+    return association_rules(ds, "l_orderkey", "l_partkey",
+                             min_support=3)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # ORDER MATTERS: the round driver sweeps this dict in insertion order
     # and records the FIRST 50 entries (round-3 CORRECTNESS captured
@@ -3155,6 +3168,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "er_blocking_meta": _q_er_blocking_meta,  # rows-only
         "edit_distance_join": _q_edit_distance_join,
         "tfidf_cosine_join": _q_tfidf_cosine_join,
+        "association_rules_parts": _q_association_rules_parts,
     }
 
 
@@ -3975,6 +3989,22 @@ def oracle_sql() -> dict[str, str]:
             "FROM cats c CROSS JOIN days d "
             "LEFT JOIN cnts n ON n.event_type = c.event_type "
             "AND n.day = d.day"
+        ),
+        "association_rules_parts": (
+            "WITH d AS (SELECT DISTINCT l_orderkey AS b, "
+            "l_partkey AS i FROM lineitem), "
+            "nb AS (SELECT count(DISTINCT b) AS n FROM d), "
+            "ic AS (SELECT i, count(*) AS n_i FROM d GROUP BY i), "
+            "p AS (SELECT x.i AS item_a, y.i AS item_b, "
+            "count(*) AS support FROM d x JOIN d y ON x.b = y.b "
+            "AND x.i <> y.i GROUP BY 1, 2) "
+            "SELECT p.item_a, p.item_b, p.support, "
+            "CAST(floor(p.support * 1e6 / a.n_i + 0.5) AS BIGINT) "
+            "AS conf_e6, "
+            "CAST(floor(nb.n * p.support * 1e6 / (a.n_i * b.n_i) "
+            "+ 0.5) AS BIGINT) AS lift_e6 "
+            "FROM p JOIN ic a ON p.item_a = a.i "
+            "JOIN ic b ON p.item_b = b.i, nb WHERE p.support >= 3"
         ),
         "tfidf_cosine_join": (
             "WITH tok AS (SELECT doc_id, "

@@ -911,3 +911,25 @@ def test_rank_window_funcs_hand_example(ray_session):
     # single-row partition: percent_rank 0 by spec, cume_dist 1
     assert b["pct_rank_e6"].tolist() == [0]
     assert b["cume_dist_e6"].tolist() == [1000000]
+
+
+def test_association_rules_hand_example(ray_session):
+    import ray.data as rd
+
+    from wned_ray.pipelines.analytics import association_rules
+
+    # baskets: {A,B} x3, {A,C}, {B}; N=5 baskets
+    df = pd.DataFrame({
+        "b": [1, 1, 2, 2, 3, 3, 4, 4, 5],
+        "i": ["A", "B", "A", "B", "A", "B", "A", "C", "B"],
+    })
+    got = (association_rules(rd.from_pandas(df), "b", "i",
+                             min_support=3).to_pandas()
+           .sort_values(["item_a", "item_b"]).reset_index(drop=True))
+    # only (A,B)/(B,A) reach support 3; n_A=4, n_B=4, N=5
+    assert got[["item_a", "item_b"]].values.tolist() == \
+        [["A", "B"], ["B", "A"]]
+    assert got["support"].tolist() == [3, 3]
+    assert got["conf_e6"].tolist() == [750_000, 750_000]
+    # lift = 5*3/(4*4) = 0.9375
+    assert got["lift_e6"].tolist() == [937_500, 937_500]

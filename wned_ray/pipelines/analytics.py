@@ -1617,3 +1617,79 @@ def rank_window_funcs(ds, key_col: str, val_col: str, id_col: str):
 
     return (ds.select_columns([key_col, val_col, id_col])
             .groupby(key_col).map_groups(win, batch_format="pandas"))
+
+
+def association_rules(ds, basket_col: str, item_col: str,
+                      min_support: int = 8, num_partitions: int = 16):
+    """Frequent-pair association rules (the Apriori k=2 tier of
+    market-basket analysis): for item pairs co-occurring in >=
+    ``min_support`` baskets emit support, confidence(a->b) and lift,
+
+        conf = n_ab / n_a,   lift = N * n_ab / (n_a * n_b)
+
+    with N = basket count. Scale shape: distinct (basket, item) rows
+    self-join on the basket key (pair fan-out bounded by basket size,
+    not corpus size), one pair-count groupby; per-item basket counts
+    broadcast (item dim). Both (a->b) and (b->a) rules emit — their
+    confidences differ.
+
+    Output: (item_a, item_b, support, conf_e6, lift_e6)."""
+    import ray
+    from ray.data.aggregate import Count
+
+    from wned_ray.util import safe_partitions
+
+    distinct = (ds.select_columns([basket_col, item_col])
+                # pin Arrow blocks: pandas-block inputs (from_pandas)
+                # otherwise flow pandas blocks through the groupby and
+                # break the downstream rename/join Project ops
+                .map_batches(lambda b: b, batch_format="pyarrow")
+                .groupby([basket_col, item_col])
+                .aggregate(Count(alias_name="_c"))
+                .select_columns([basket_col, item_col])
+                .materialize())
+    n_baskets = (distinct.groupby(basket_col)
+                 .aggregate(Count(alias_name="_n")).count())
+    item_counts = (distinct.groupby(item_col)
+                   .aggregate(Count(alias_name="n_i")).to_pandas())
+    lut_ref = ray.put(dict(zip(item_counts[item_col],
+                               item_counts["n_i"])))
+    np_ = safe_partitions(num_partitions, rows=distinct.count())
+
+    left = distinct.rename_columns({item_col: "item_a"})
+    right = distinct.rename_columns({item_col: "item_b"})
+    pairs = (left.join(right, join_type="inner", num_partitions=np_,
+                       on=(basket_col,))
+             .filter(expr="item_a != item_b")
+             .groupby(["item_a", "item_b"])
+             .aggregate(Count(alias_name="support")))
+
+    def fin(batch: pa.Table) -> pa.Table:
+        lut = ray.get(lut_ref)
+        s = batch["support"].to_numpy(zero_copy_only=False)
+        keep = s >= min_support
+        b = batch.filter(pa.array(keep))
+        if b.num_rows == 0:
+            return pa.table({
+                "item_a": b["item_a"], "item_b": b["item_b"],
+                "support": b["support"],
+                "conf_e6": pa.array([], pa.int64()),
+                "lift_e6": pa.array([], pa.int64())})
+        na = np.array([lut[x] for x in b["item_a"].to_pylist()],
+                      np.float64)
+        nb = np.array([lut[x] for x in b["item_b"].to_pylist()],
+                      np.float64)
+        sp = b["support"].to_numpy(zero_copy_only=False).astype(
+            np.float64)
+        conf = sp / na
+        lift = n_baskets * sp / (na * nb)
+        return pa.table({
+            "item_a": b["item_a"], "item_b": b["item_b"],
+            "support": b["support"],
+            "conf_e6": pa.array(np.floor(conf * 1e6 + 0.5).astype(
+                np.int64)),
+            "lift_e6": pa.array(np.floor(lift * 1e6 + 0.5).astype(
+                np.int64)),
+        })
+
+    return pairs.map_batches(fin, batch_format="pyarrow")
