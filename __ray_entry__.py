@@ -3021,6 +3021,65 @@ def _q_association_rules_parts(sf_dir: str):
                              min_support=3)
 
 
+def _q_graph_clustering_parts(sf_dir: str):
+    """Per-node triangle counts + local clustering coefficient over
+    the same sparsified part-adjacency graph as
+    graph_components_parts (analytics.graph_clustering): two-join
+    ordered-wedge triangle enumeration, corner explode, degree from
+    one endpoint groupby."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from wned_ray.pipelines.analytics import graph_clustering
+    from wned_ray.util import safe_partitions
+
+    li = _rd().read_parquet(f"{sf_dir}/lineitem.parquet",
+                            columns=["l_orderkey", "l_linenumber",
+                                     "l_partkey"])
+
+    def lhs(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "k": b["l_orderkey"],
+            "ln": b["l_linenumber"].cast(pa.int64()),
+            "src": b["l_partkey"],
+        })
+
+    def rhs(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "k": b["l_orderkey"],
+            "ln": pc.subtract(b["l_linenumber"].cast(pa.int64()), 1),
+            "dst": b["l_partkey"],
+        })
+
+    n_li = li.count()
+    joined = (li.map_batches(lhs, batch_format="pyarrow")
+              .join(li.map_batches(rhs, batch_format="pyarrow"),
+                    join_type="inner",
+                    num_partitions=safe_partitions(8, rows=n_li),
+                    on=("k", "ln")))
+
+    def keep(b: pa.Table) -> pa.Table:
+        s = b["src"].to_numpy(zero_copy_only=False)
+        d = b["dst"].to_numpy(zero_copy_only=False)
+        m = (s != d) & ((s + d) % 3 == 0)
+        return pa.table({"src": b["src"], "dst": b["dst"]}).filter(
+            pa.array(m))
+
+    edges = joined.map_batches(keep, batch_format="pyarrow")
+    return graph_clustering(edges, "src", "dst")
+
+
+def _q_mode_event_type_users(sf_dir: str):
+    """Per-user modal event type with deterministic tie-break
+    (analytics.grouped_mode) — MODE() as one count shuffle + per-key
+    argmax."""
+    from wned_ray.pipelines.analytics import grouped_mode
+
+    ds = _rd().read_parquet(f"{sf_dir}/events.parquet",
+                            columns=["user_id", "event_type"])
+    return grouped_mode(ds, "user_id", "event_type")
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # ORDER MATTERS: the round driver sweeps this dict in insertion order
     # and records the FIRST 50 entries (round-3 CORRECTNESS captured
@@ -3169,6 +3228,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "edit_distance_join": _q_edit_distance_join,
         "tfidf_cosine_join": _q_tfidf_cosine_join,
         "association_rules_parts": _q_association_rules_parts,
+        "graph_clustering_parts": _q_graph_clustering_parts,
+        "mode_event_type_users": _q_mode_event_type_users,
     }
 
 
@@ -3989,6 +4050,40 @@ def oracle_sql() -> dict[str, str]:
             "FROM cats c CROSS JOIN days d "
             "LEFT JOIN cnts n ON n.event_type = c.event_type "
             "AND n.day = d.day"
+        ),
+        "graph_clustering_parts": (
+            "WITH e0 AS (SELECT a.l_partkey AS src, b.l_partkey AS dst "
+            "FROM lineitem a JOIN lineitem b "
+            "ON a.l_orderkey = b.l_orderkey "
+            "AND b.l_linenumber = a.l_linenumber + 1 "
+            "AND a.l_partkey <> b.l_partkey "
+            "WHERE (a.l_partkey + b.l_partkey) % 3 = 0), "
+            "ec AS (SELECT DISTINCT least(src, dst) AS a, "
+            "greatest(src, dst) AS b FROM e0), "
+            "tri AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z "
+            "FROM ec e1 JOIN ec e2 ON e1.b = e2.a "
+            "JOIN ec e3 ON e3.a = e1.a AND e3.b = e2.b), "
+            "corners AS (SELECT x AS node FROM tri "
+            "UNION ALL SELECT y FROM tri UNION ALL SELECT z FROM tri), "
+            "tcnt AS (SELECT node, count(*) AS t FROM corners "
+            "GROUP BY node), "
+            "deg AS (SELECT node, count(*) AS degree FROM ("
+            "SELECT a AS node FROM ec UNION ALL SELECT b FROM ec) "
+            "GROUP BY node) "
+            "SELECT deg.node, deg.degree, "
+            "coalesce(tcnt.t, 0) AS triangles, "
+            "CAST(floor((CASE WHEN deg.degree > 1 THEN "
+            "2.0 * coalesce(tcnt.t, 0) / (deg.degree * "
+            "(deg.degree - 1.0)) ELSE 0 END) * 1e6 + 0.5) AS BIGINT) "
+            "AS clustering_e6 "
+            "FROM deg LEFT JOIN tcnt USING (node)"
+        ),
+        "mode_event_type_users": (
+            "SELECT user_id, mode_val, n FROM ("
+            "SELECT user_id, event_type AS mode_val, count(*) AS n, "
+            "row_number() OVER (PARTITION BY user_id "
+            "ORDER BY count(*) DESC, event_type) AS rn "
+            "FROM events GROUP BY user_id, event_type) WHERE rn = 1"
         ),
         "association_rules_parts": (
             "WITH d AS (SELECT DISTINCT l_orderkey AS b, "

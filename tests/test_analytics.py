@@ -933,3 +933,46 @@ def test_association_rules_hand_example(ray_session):
     assert got["conf_e6"].tolist() == [750_000, 750_000]
     # lift = 5*3/(4*4) = 0.9375
     assert got["lift_e6"].tolist() == [937_500, 937_500]
+
+
+def test_graph_clustering_hand_example(ray_session):
+    import ray.data as rd
+
+    from wned_ray.pipelines.analytics import graph_clustering
+
+    # triangle {1,2,3} + pendant edge 3-4 (input direction mixed)
+    edges = rd.from_pandas(pd.DataFrame(
+        {"src": [1, 2, 3, 3], "dst": [2, 3, 1, 4]}))
+    got = sorted(map(tuple, graph_clustering(edges).to_pandas()
+                     .values.tolist()))
+    # node 3: deg 3, 1 tri -> cc = 2/(3*2) = 1/3; node 4 pendant
+    assert got == [(1, 2, 1, 1_000_000), (2, 2, 1, 1_000_000),
+                   (3, 3, 1, 333_333), (4, 1, 0, 0)]
+
+
+def test_graph_clustering_triangle_free(ray_session):
+    import ray.data as rd
+
+    from wned_ray.pipelines.analytics import graph_clustering
+
+    # a path graph has zero triangles -> the empty-tri guard path
+    edges = rd.from_pandas(pd.DataFrame(
+        {"src": [1, 2, 3], "dst": [2, 3, 4]}))
+    got = graph_clustering(edges).to_pandas()
+    assert (got["triangles"] == 0).all()
+    assert (got["clustering_e6"] == 0).all()
+    assert len(got) == 4
+
+
+def test_grouped_mode_tie_break(ray_session):
+    import ray.data as rd
+
+    from wned_ray.pipelines.analytics import grouped_mode
+
+    df = pd.DataFrame({"k": ["a"] * 4 + ["b"] * 2,
+                       "v": ["x", "y", "y", "x", "q", "p"]})
+    got = (grouped_mode(rd.from_pandas(df), "k", "v").to_pandas()
+           .sort_values("k").reset_index(drop=True))
+    # a: x and y tie at 2 -> smallest value 'x' wins; b: p/q tie -> p
+    assert got["mode_val"].tolist() == ["x", "p"]
+    assert got["n"].tolist() == [2, 1]

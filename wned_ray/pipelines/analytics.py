@@ -1693,3 +1693,123 @@ def association_rules(ds, basket_col: str, item_col: str,
         })
 
     return pairs.map_batches(fin, batch_format="pyarrow")
+
+
+def graph_clustering(edges, src_col: str = "src", dst_col: str = "dst",
+                     num_partitions: int = 16):
+    """Per-node triangle counts and local clustering coefficient —
+    the standard graph-quality statistics (Watts-Strogatz 1998)
+    computed with the two-join distributed triangle enumeration:
+    canonical edges (a < b), join on the middle node to build wedges
+    (a-b-c with a < b < c), then join the wedge's (a, c) closure
+    against the edge list. Each triangle {a, b, c} is found exactly
+    once (as the ordered wedge), then credited to all three corners
+    via an explode + groupby.
+
+    Degree comes from one endpoint-explode groupby; coefficient =
+    2T / (deg * (deg - 1)). Output: (node, degree, triangles,
+    clustering_e6)."""
+    from ray.data.aggregate import Count, Sum
+
+    from wned_ray.util import safe_partitions
+
+    def canon(b: pa.Table) -> pa.Table:
+        s = b[src_col].to_numpy(zero_copy_only=False)
+        d = b[dst_col].to_numpy(zero_copy_only=False)
+        lo = np.minimum(s, d)
+        hi = np.maximum(s, d)
+        keep = lo != hi
+        return pa.table({"a": pa.array(lo[keep]),
+                         "b": pa.array(hi[keep])})
+
+    e = (edges.map_batches(canon, batch_format="pyarrow")
+         .groupby(["a", "b"]).aggregate(Count(alias_name="_c"))
+         .select_columns(["a", "b"]).materialize())
+    n_e = e.count()
+    np_ = safe_partitions(num_partitions, rows=n_e)
+
+    # wedges a-b-c with a < b < c: join e(a,b) with e(b,c) on b
+    lhs = e.rename_columns({"b": "m"})                  # (a, m)
+    rhs = e.rename_columns({"a": "m", "b": "c"})        # (m, c)
+    wedges = (lhs.join(rhs, join_type="inner", num_partitions=np_,
+                       on=("m",)))
+    # close the wedge: (a, c) must be an edge
+    closure = (wedges.join(
+        e.rename_columns({"b": "c"}), join_type="inner",
+        num_partitions=np_, on=("a", "c")))
+
+    def corners(b: pa.Table) -> pa.Table:
+        return pa.table({"node": pa.concat_arrays([
+            b["a"].combine_chunks(), b["m"].combine_chunks(),
+            b["c"].combine_chunks()])})
+
+    tri = (closure.map_batches(corners, batch_format="pyarrow")
+           .groupby("node").aggregate(Count(alias_name="triangles"))
+           .materialize())
+
+    def ends(b: pa.Table) -> pa.Table:
+        return pa.table({"node": pa.concat_arrays([
+            b["a"].combine_chunks(), b["b"].combine_chunks()])})
+
+    deg = (e.map_batches(ends, batch_format="pyarrow")
+           .groupby("node").aggregate(Count(alias_name="degree")))
+
+    n_tri = tri.count()
+    if n_tri == 0:
+        # triangle-free graph: a left join against an EMPTY (block-less,
+        # schema-less) right side breaks the acero join — emit zeros
+        def zeros(b: pa.Table) -> pa.Table:
+            return pa.table({
+                "node": b["node"], "degree": b["degree"],
+                "triangles": pa.array(
+                    np.zeros(b.num_rows, np.int64)),
+                "clustering_e6": pa.array(
+                    np.zeros(b.num_rows, np.int64)),
+            })
+
+        return deg.map_batches(zeros, batch_format="pyarrow")
+
+    out = deg.join(tri, join_type="left_outer",
+                   num_partitions=safe_partitions(np_, rows=n_tri),
+                   on=("node",))
+
+    def fin(b: pa.Table) -> pa.Table:
+        d = b["degree"].to_numpy(zero_copy_only=False).astype(
+            np.float64)
+        t = pc.fill_null(b["triangles"], 0).to_numpy(
+            zero_copy_only=False).astype(np.float64)
+        denom = d * (d - 1)
+        cc = np.where(denom > 0, 2.0 * t / np.maximum(denom, 1), 0.0)
+        return pa.table({
+            "node": b["node"], "degree": b["degree"],
+            "triangles": pa.array(t.astype(np.int64)),
+            "clustering_e6": pa.array(
+                np.floor(cc * 1e6 + 0.5).astype(np.int64)),
+        })
+
+    return out.map_batches(fin, batch_format="pyarrow")
+
+
+def grouped_mode(ds, key_col: str, val_col: str):
+    """Most-frequent value per key with a deterministic tie-break
+    (smallest value wins) — the MODE() aggregate as one (key, val)
+    count shuffle + a vectorized per-batch argmax over the dim-sized
+    count table (groups co-locate via one more dim-sized groupby).
+
+    Output: (key, mode_val, n)."""
+    from ray.data.aggregate import Count
+
+    counts = (ds.select_columns([key_col, val_col])
+              .groupby([key_col, val_col])
+              .aggregate(Count(alias_name="n")))
+
+    def pick(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["n", val_col], ascending=[False, True])
+        return pd.DataFrame({
+            key_col: [g[key_col].iloc[0]],
+            "mode_val": [g[val_col].iloc[0]],
+            "n": np.array([g["n"].iloc[0]], np.int64),
+        })
+
+    return counts.groupby(key_col).map_groups(pick,
+                                              batch_format="pandas")
