@@ -3080,6 +3080,41 @@ def _q_mode_event_type_users(sf_dir: str):
     return grouped_mode(ds, "user_id", "event_type")
 
 
+def _q_incremental_dedup_docs(sf_dir: str):
+    """Append-only exact dedup (datawork.incremental_dedup): classify
+    delta docs (doc_id%10==0) against base + delta without re-shuffling
+    the base — delta hashes broadcast, base one filtered scan."""
+    import pyarrow as pa
+
+    from wned_ray.pipelines.datawork import incremental_dedup
+
+    docs = _rd().read_parquet(f"{sf_dir}/documents.parquet",
+                              columns=["doc_id", "text"])
+
+    def mod(keep_eval):
+        def f(b):
+            ids = b["doc_id"].to_numpy(zero_copy_only=False)
+            m = (ids % 10 == 0) if keep_eval else (ids % 10 != 0)
+            return b.filter(pa.array(m))
+        return f
+
+    base = docs.map_batches(mod(False), batch_format="pyarrow")
+    delta = docs.map_batches(mod(True), batch_format="pyarrow")
+    return incremental_dedup(base, delta)
+
+
+def _q_logodds_en_de(sf_dir: str):
+    """Weighted log-odds-ratio with Dirichlet prior (Monroe-Colaresi-
+    Quinn "fightin' words") between en and de document slices
+    (datawork.logodds_terms): one tagged count shuffle, z computed on
+    the vocab-sized table."""
+    from wned_ray.pipelines.datawork import logodds_terms
+
+    ds = _rd().read_parquet(f"{sf_dir}/documents.parquet",
+                            columns=["lang", "text"])
+    return logodds_terms(ds, "lang", "text", "en", "de")
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # ORDER MATTERS: the round driver sweeps this dict in insertion order
     # and records the FIRST 50 entries (round-3 CORRECTNESS captured
@@ -3230,6 +3265,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "association_rules_parts": _q_association_rules_parts,
         "graph_clustering_parts": _q_graph_clustering_parts,
         "mode_event_type_users": _q_mode_event_type_users,
+        "incremental_dedup_docs": _q_incremental_dedup_docs,
+        "logodds_en_de": _q_logodds_en_de,
     }
 
 
@@ -4050,6 +4087,39 @@ def oracle_sql() -> dict[str, str]:
             "FROM cats c CROSS JOIN days d "
             "LEFT JOIN cnts n ON n.event_type = c.event_type "
             "AND n.day = d.day"
+        ),
+        "incremental_dedup_docs": (
+            "WITH b AS (SELECT doc_id, text FROM documents "
+            "WHERE doc_id % 10 <> 0), "
+            "d AS (SELECT doc_id, text FROM documents "
+            "WHERE doc_id % 10 = 0), "
+            "u AS (SELECT * FROM b UNION ALL SELECT * FROM d), "
+            "m AS (SELECT text, min(doc_id) AS mn FROM u "
+            "GROUP BY text) "
+            "SELECT d.doc_id, "
+            "CAST(CASE WHEN m.mn < d.doc_id THEN m.mn ELSE -1 END "
+            "AS BIGINT) AS dup_of, "
+            "CAST(CASE WHEN m.mn < d.doc_id THEN 0 ELSE 1 END "
+            "AS BIGINT) AS is_new "
+            "FROM d JOIN m ON d.text = m.text"
+        ),
+        "logodds_en_de": (
+            "WITH tok AS (SELECT lang, "
+            "unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) "
+            "AS term FROM documents WHERE lang IN ('en', 'de')), "
+            "c AS (SELECT term, "
+            "count(CASE WHEN lang = 'en' THEN 1 END) AS cnt_a, "
+            "count(CASE WHEN lang = 'de' THEN 1 END) AS cnt_b "
+            "FROM tok GROUP BY term), "
+            "t AS (SELECT sum(cnt_a) AS na, sum(cnt_b) AS nb, "
+            "count(*) AS v FROM c) "
+            "SELECT term, cnt_a, cnt_b, "
+            "CAST(floor((ln((cnt_a + 0.5) / "
+            "(na + 0.5 * v - cnt_a - 0.5)) "
+            "- ln((cnt_b + 0.5) / (nb + 0.5 * v - cnt_b - 0.5))) "
+            "/ sqrt(1.0 / (cnt_a + 0.5) + 1.0 / (cnt_b + 0.5)) "
+            "* 1e4 + 0.5) AS BIGINT) AS z_e4 "
+            "FROM c, t WHERE cnt_a + cnt_b >= 5"
         ),
         "graph_clustering_parts": (
             "WITH e0 AS (SELECT a.l_partkey AS src, b.l_partkey AS dst "

@@ -1763,3 +1763,66 @@ def test_tfidf_cosine_join_partition_invariant(ray_session):
     assert a[["id_a", "id_b"]].values.tolist() == \
         b[["id_a", "id_b"]].values.tolist()
     assert (np.abs(a["cos_e6"] - b["cos_e6"]) <= 1).all()
+
+
+def test_incremental_dedup_planted(ray_session):
+    """Planted fates: a delta doc duplicating a BASE doc points at the
+    base id; a delta-internal dup points at the smaller delta id; a
+    fresh delta doc is new; a delta doc that is the SMALLEST id of its
+    text group stays the keeper even with a larger base duplicate."""
+    import ray.data as rd
+
+    from wned_ray.pipelines.datawork import incremental_dedup
+
+    base = pd.DataFrame({"doc_id": [1, 2, 9],
+                         "text": ["alpha", "beta", "omega"]})
+    delta = pd.DataFrame({"doc_id": [5, 6, 7, 8, 3],
+                          "text": ["alpha", "gamma", "gamma",
+                                   "fresh", "omega"]})
+    got = (incremental_dedup(rd.from_pandas(base),
+                             rd.from_pandas(delta)).to_pandas()
+           .sort_values("doc_id").reset_index(drop=True))
+    want = {3: (-1, 1),    # smaller than base 'omega' 9 -> keeper
+            5: (1, 0),     # dup of base 1
+            6: (-1, 1),    # first 'gamma' in delta
+            7: (6, 0),     # delta-internal dup
+            8: (-1, 1)}    # fresh
+    assert {r.doc_id: (r.dup_of, r.is_new)
+            for r in got.itertuples()} == want
+
+
+def test_incremental_dedup_no_overlap(ray_session):
+    """Empty base_min (no delta text in base) exercises the
+    schema-less-join guard path."""
+    import ray.data as rd
+
+    from wned_ray.pipelines.datawork import incremental_dedup
+
+    base = pd.DataFrame({"doc_id": [1], "text": ["aaa"]})
+    delta = pd.DataFrame({"doc_id": [2, 3], "text": ["bbb", "ccc"]})
+    got = incremental_dedup(rd.from_pandas(base),
+                            rd.from_pandas(delta)).to_pandas()
+    assert got["is_new"].tolist() == [1, 1]
+    assert got["dup_of"].tolist() == [-1, -1]
+
+
+def test_logodds_direction_and_symmetry(ray_session):
+    """A term overrepresented in A gets z > 0; swapping the groups
+    flips the sign exactly."""
+    import ray.data as rd
+
+    from wned_ray.pipelines.datawork import logodds_terms
+
+    df = pd.DataFrame({
+        "g": ["a"] * 6 + ["b"] * 6,
+        "text": ["cat common"] * 5 + ["dog common"]
+        + ["dog common"] * 5 + ["cat common"],
+    })
+    ab = (logodds_terms(rd.from_pandas(df), "g", "text", "a", "b",
+                        min_count=1).to_pandas().set_index("term"))
+    assert ab.loc["cat", "z_e4"] > 0
+    assert ab.loc["dog", "z_e4"] < 0
+    assert abs(ab.loc["common", "z_e4"]) < abs(ab.loc["cat", "z_e4"])
+    ba = (logodds_terms(rd.from_pandas(df), "g", "text", "b", "a",
+                        min_count=1).to_pandas().set_index("term"))
+    assert ba.loc["cat", "z_e4"] == -ab.loc["cat", "z_e4"]

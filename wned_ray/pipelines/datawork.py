@@ -3664,3 +3664,147 @@ def tfidf_cosine_join(ds, id_col: str = "doc_id", text_col: str = "text",
         })
 
     return sims.map_batches(fin, batch_format="pyarrow")
+
+
+def incremental_dedup(base, delta, id_col: str = "doc_id",
+                      text_col: str = "text",
+                      max_delta_hashes: int = 4_000_000):
+    """Append-only exact dedup: classify each DELTA document against
+    the base corpus + the delta itself WITHOUT re-shuffling the base —
+    the dedup-family analog of the linkage increment
+    (pipelines/increment.py). dup_of = the smallest doc id (base or
+    delta) sharing the text when that id is smaller than the delta
+    doc's own, else -1 (the doc is the keeper / genuinely new).
+
+    Scale shape: delta content hashes collect ONCE (delta-sized by
+    contract, capped at ``max_delta_hashes`` — raises past it) and
+    broadcast as a sorted int64 array; the base corpus is ONE
+    stateless filtered scan (searchsorted membership — no shuffle, no
+    join against base rows that can't matter) followed by a
+    delta-hash-sized min-id groupby; the only joins are delta-sized.
+
+    Output: (doc_id, dup_of, is_new) for every delta doc."""
+    import ray
+    from ray.data.aggregate import Min
+
+    from wned_ray.util import safe_partitions
+
+    dh = add_content_hash(delta, text_col).materialize()
+    n_delta = dh.count()
+    hashes = np.sort(np.unique(
+        dh.select_columns(["content_hash"]).to_pandas()
+        ["content_hash"].to_numpy(np.int64)))
+    if len(hashes) > max_delta_hashes:
+        raise ValueError(
+            f"delta has {len(hashes)} distinct hashes > "
+            f"{max_delta_hashes}; split the delta")
+    h_ref = ray.put(hashes)
+
+    def probe(batch: pa.Table) -> pa.Table:
+        hs = ray.get(h_ref)
+        ch = batch["content_hash"].to_numpy(zero_copy_only=False)
+        idx = np.searchsorted(hs, ch)
+        idx[idx >= len(hs)] = 0
+        hit = hs[idx] == ch if len(hs) else np.zeros(len(ch), bool)
+        return pa.table({
+            "content_hash": batch["content_hash"],
+            id_col: batch[id_col]}).filter(pa.array(hit))
+
+    base_min = (add_content_hash(base, text_col)
+                .map_batches(probe, batch_format="pyarrow")
+                .groupby("content_hash")
+                .aggregate(Min(id_col, alias_name="_bmin"))
+                .materialize())
+    delta_min = (dh.groupby("content_hash")
+                 .aggregate(Min(id_col, alias_name="_dmin")))
+    np_ = safe_partitions(16, rows=n_delta)
+    joined = dh.select_columns([id_col, "content_hash"]).join(
+        delta_min, join_type="inner", num_partitions=np_,
+        on=("content_hash",))
+    if base_min.count() > 0:
+        joined = joined.join(base_min, join_type="left_outer",
+                             num_partitions=np_, on=("content_hash",))
+    else:
+        # no delta text exists in the base: an empty (schema-less)
+        # right side breaks the acero join — attach an all-null _bmin
+        joined = joined.map_batches(lambda b: b.append_column(
+            "_bmin", pa.nulls(b.num_rows, pa.int64())),
+            batch_format="pyarrow")
+
+    def fin(b: pa.Table) -> pa.Table:
+        own = b[id_col].to_numpy(zero_copy_only=False)
+        dmin = b["_dmin"].to_numpy(zero_copy_only=False)
+        bmin = pc.fill_null(b["_bmin"], np.iinfo(np.int64).max
+                            ).to_numpy(zero_copy_only=False)
+        gmin = np.minimum(dmin, bmin)
+        dup = np.where(gmin < own, gmin, -1)
+        return pa.table({
+            id_col: b[id_col],
+            "dup_of": pa.array(dup.astype(np.int64)),
+            "is_new": pa.array((gmin >= own).astype(np.int64)),
+        })
+
+    return joined.map_batches(fin, batch_format="pyarrow")
+
+
+def logodds_terms(ds, group_col: str, text_col: str,
+                  group_a: str, group_b: str, alpha: float = 0.5,
+                  min_count: int = 5):
+    """Weighted log-odds-ratio with an informative Dirichlet prior
+    (Monroe, Colaresi & Quinn 2008, the "fightin' words" statistic):
+    which terms distinguish corpus slice A from slice B,
+
+      delta_t = ln((y_at + a)/(n_a + aV - y_at - a))
+              - ln((y_bt + a)/(n_b + aV - y_bt - a)),
+      z_t = delta_t / sqrt(1/(y_at + a) + 1/(y_bt + a)).
+
+    One tagged per-batch count combiner + one vocab-sized groupby; the
+    z computation runs on the dim-sized count table. Output: (term,
+    cnt_a, cnt_b, z_e4) for terms with cnt_a + cnt_b >= min_count."""
+    from ray.data.aggregate import Sum
+
+    def counts(batch: pa.Table) -> pa.Table:
+        keep = pc.is_in(batch[group_col],
+                        value_set=pa.array([group_a, group_b]))
+        b = batch.filter(keep)
+        flat, par = _tokenize_lower(b[text_col])
+        grp = b[group_col].take(par)
+        is_a = pc.equal(grp, group_a).to_numpy(zero_copy_only=False)
+        t = pa.table({
+            "term": flat,
+            "_ca": pa.array(is_a.astype(np.int64)),
+            "_cb": pa.array((~is_a).astype(np.int64)),
+        })
+        g = t.group_by(["term"]).aggregate(
+            [("_ca", "sum"), ("_cb", "sum")])
+        return g.rename_columns(["term", "_ca", "_cb"])
+
+    dim = (ds.select_columns([group_col, text_col])
+           .map_batches(counts, batch_format="pyarrow")
+           .groupby("term")
+           .aggregate(Sum("_ca", alias_name="cnt_a"),
+                      Sum("_cb", alias_name="cnt_b"))
+           .materialize())
+    n_a = int(dim.sum("cnt_a") or 0)
+    n_b = int(dim.sum("cnt_b") or 0)
+    v = dim.count()
+
+    def fin(b: pa.Table) -> pa.Table:
+        ya = b["cnt_a"].to_numpy(zero_copy_only=False).astype(
+            np.float64)
+        yb = b["cnt_b"].to_numpy(zero_copy_only=False).astype(
+            np.float64)
+        keep = (ya + yb) >= min_count
+        ya, yb = ya[keep], yb[keep]
+        a0 = alpha * v
+        delta = (np.log((ya + alpha) / (n_a + a0 - ya - alpha))
+                 - np.log((yb + alpha) / (n_b + a0 - yb - alpha)))
+        z = delta / np.sqrt(1.0 / (ya + alpha) + 1.0 / (yb + alpha))
+        out = b.filter(pa.array(keep))
+        return pa.table({
+            "term": out["term"],
+            "cnt_a": out["cnt_a"], "cnt_b": out["cnt_b"],
+            "z_e4": pa.array(np.floor(z * 1e4 + 0.5).astype(np.int64)),
+        })
+
+    return dim.map_batches(fin, batch_format="pyarrow")
