@@ -976,3 +976,44 @@ def test_grouped_mode_tie_break(ray_session):
     # a: x and y tie at 2 -> smallest value 'x' wins; b: p/q tie -> p
     assert got["mode_val"].tolist() == ["x", "p"]
     assert got["n"].tolist() == [2, 1]
+
+
+def test_kfold_assign_deterministic_and_balanced(ray_session):
+    import ray.data as rd
+
+    from wned_ray.pipelines.analytics import kfold_assign
+
+    df = pd.DataFrame({"id": np.arange(1000), "y": np.arange(1000) % 3})
+    a = (kfold_assign(rd.from_pandas(df), "id", "y", k=5).to_pandas()
+         .sort_values("id").reset_index(drop=True))
+    b = (kfold_assign(rd.from_pandas(df).repartition(7), "id", "y",
+                      k=5).to_pandas()
+         .sort_values("id").reset_index(drop=True))
+    assert a["fold"].tolist() == b["fold"].tolist()
+    # balanced within ~20% of n/k
+    counts = a["fold"].value_counts()
+    assert len(counts) == 5
+    assert counts.min() > 0.8 * 200 and counts.max() < 1.2 * 200
+    # different seed -> different assignment
+    c = kfold_assign(rd.from_pandas(df), "id", "y", k=5,
+                     seed=99).to_pandas().sort_values("id")
+    assert c["fold"].tolist() != a["fold"].tolist()
+
+
+def test_term_chi2_separating_term_scores_highest(ray_session):
+    import ray.data as rd
+
+    from wned_ray.pipelines.analytics import term_chi2_class
+
+    # 'foo' appears only in class x docs, 'shared' everywhere
+    df = pd.DataFrame({
+        "cls": ["x"] * 6 + ["y"] * 6,
+        "text": ["foo shared"] * 6 + ["bar shared"] * 6,
+    })
+    got = (term_chi2_class(rd.from_pandas(df), "cls", "text",
+                           min_df=1).to_pandas().set_index("term"))
+    # perfectly separating terms: chi2 == N == 12; shared term: 0
+    assert got.loc["foo", "chi2_e4"] == 120_000
+    assert got.loc["bar", "chi2_e4"] == 120_000
+    assert got.loc["shared", "chi2_e4"] == 0
+    assert got.loc["foo", "df"] == 6

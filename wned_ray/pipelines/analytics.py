@@ -1813,3 +1813,98 @@ def grouped_mode(ds, key_col: str, val_col: str):
 
     return counts.groupby(key_col).map_groups(pick,
                                               batch_format="pandas")
+
+
+def kfold_assign(ds, id_col: str, label_col: str, k: int = 5,
+                 seed: int = 7):
+    """Deterministic k-fold cross-validation split assignment — the
+    leakage-free ML-data-prep splitter: fold is a pure function of
+    (id, seed) via the same Knuth multiplicative hash as hash_sample
+    (SQL-exact integer arithmetic, no RNG, no state), so any worker,
+    any partitioning and any rerun agree. Stateless single pass.
+
+    Output: (id, label, fold) rows — stratification quality is then
+    checkable as the (fold, label) histogram."""
+    def assign(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_numpy(zero_copy_only=False).astype(
+            np.uint64)
+        h = ((ids + np.uint64(seed)) % np.uint64(2**32)
+             * np.uint64(2654435761)) % np.uint64(2**32)
+        return pa.table({
+            id_col: batch[id_col],
+            label_col: batch[label_col],
+            "fold": pa.array((h % np.uint64(k)).astype(np.int64)),
+        })
+
+    return (ds.select_columns([id_col, label_col])
+            .map_batches(assign, batch_format="pyarrow"))
+
+
+def term_chi2_class(ds, class_col: str, text_col: str,
+                    min_df: int = 5):
+    """Per-term chi-square feature-selection score against a class
+    column (the sklearn ``chi2`` / Yang-Pedersen 1997 statistic) over
+    DOCUMENT-LEVEL term presence: for each term, the 2 x |classes|
+    contingency of (docs containing t, docs not containing t) per
+    class, chi2 = sum (o - e)^2 / e.
+
+    Shape: one distinct (doc, term, class) explode -> (term, class)
+    presence counts (vocab x classes dim) -> vectorized chi2 on the
+    dim table with broadcast class totals. Output: (term, df, chi2_e4)
+    for terms present in >= min_df docs."""
+    import ray
+    from ray.data.aggregate import Count, Sum
+
+    n_docs = ds.count()
+    class_tot = (ds.groupby(class_col)
+                 .aggregate(Count(alias_name="n")).to_pandas())
+    classes = sorted(class_tot[class_col])
+    totals = class_tot.set_index(class_col).loc[classes, "n"].to_numpy(
+        np.int64)
+    cref = ray.put((classes, totals))
+
+    def presence(batch: pa.Table) -> pa.Table:
+        lists = pc.split_pattern(pc.utf8_lower(batch[text_col]),
+                                 pattern=" ")
+        flat = pc.list_flatten(lists)
+        par = pc.list_parent_indices(lists)
+        keep = pc.not_equal(flat, "")
+        flat, par = flat.filter(keep), par.filter(keep)
+        t = pa.table({"_r": par, "term": flat}).group_by(
+            ["_r", "term"]).aggregate([])
+        cls = batch[class_col].take(t["_r"])
+        g = pa.table({"term": t["term"], class_col: cls}).group_by(
+            ["term", class_col]).aggregate([([], "count_all")])
+        return g.rename_columns(["term", class_col, "_n"])
+
+    dim = (ds.select_columns([class_col, text_col])
+           .map_batches(presence, batch_format="pyarrow")
+           .groupby(["term", class_col])
+           .aggregate(Sum("_n", alias_name="n_tc")))
+
+    def chi2(g: pd.DataFrame) -> pd.DataFrame:
+        cls, tot = ray.get(cref)
+        obs = np.zeros(len(cls), np.float64)
+        lut = dict(zip(g[class_col], g["n_tc"]))
+        for i, c in enumerate(cls):
+            obs[i] = lut.get(c, 0)
+        df_t = obs.sum()
+        if df_t < min_df:
+            return pd.DataFrame({"term": pd.Series([], dtype=object),
+                                 "df": pd.Series([], dtype=np.int64),
+                                 "chi2_e4": pd.Series([],
+                                                      dtype=np.int64)})
+        tot = tot.astype(np.float64)
+        absent = tot - obs
+        e_p = tot * df_t / n_docs
+        e_a = tot * (n_docs - df_t) / n_docs
+        stat = (((obs - e_p) ** 2 / e_p).sum()
+                + ((absent - e_a) ** 2 / np.maximum(e_a, 1e-300)).sum())
+        return pd.DataFrame({
+            "term": [g["term"].iloc[0]],
+            "df": np.array([df_t], np.int64),
+            "chi2_e4": np.array(
+                [np.floor(stat * 1e4 + 0.5)], np.int64),
+        })
+
+    return dim.groupby("term").map_groups(chi2, batch_format="pandas")
