@@ -3137,6 +3137,49 @@ def _q_term_chi2_lang(sf_dir: str):
     return term_chi2_class(ds, "lang", "text")
 
 
+def _q_winsorized_mean_events(sf_dir: str):
+    """Per-type winsorized mean (clamped to [p10, p90] quantile_cont
+    bounds) — analytics.winsorized_mean, the outlier-robust
+    aggregate."""
+    from wned_ray.pipelines.analytics import winsorized_mean
+
+    ds = _rd().read_parquet(f"{sf_dir}/events.parquet",
+                            columns=["event_type", "value"])
+    return winsorized_mean(ds, "event_type", "value", lo=0.1, hi=0.9)
+
+
+def _q_dq_checks_events(sf_dir: str):
+    """Declarative data-quality expectations over events
+    (analytics.dq_checks): not-null, uniqueness, numeric range and
+    categorical domain rules in one streaming pass — rules chosen so
+    the range and domain rows have REAL nonzero violation counts (a
+    discriminating artifact, not an all-zeros echo)."""
+    from wned_ray.pipelines.analytics import dq_checks
+
+    ds = _rd().read_parquet(f"{sf_dir}/events.parquet",
+                            columns=["event_id", "user_id",
+                                     "event_type", "value"])
+    return dq_checks(ds, "event_id", {
+        "not_null": ["user_id"],
+        "unique": ["event_id"],
+        "range": {"value": (0.0, 200.0)},
+        "domain": {"event_type": ["click", "view", "purchase",
+                                  "signup"]},
+    })
+
+
+def _q_time_weighted_avg_users(sf_dir: str):
+    """Per-user time-weighted average event value
+    (analytics.time_weighted_avg): each value holds until the next
+    event — the correct mean for irregular gauge series."""
+    from wned_ray.pipelines.analytics import time_weighted_avg
+
+    ds = _rd().read_parquet(f"{sf_dir}/events.parquet",
+                            columns=["user_id", "ts", "value",
+                                     "event_id"])
+    return time_weighted_avg(ds, "user_id", "ts", "value", "event_id")
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # ORDER MATTERS: the round driver sweeps this dict in insertion order
     # and records the FIRST 50 entries (round-3 CORRECTNESS captured
@@ -3291,6 +3334,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "logodds_en_de": _q_logodds_en_de,
         "kfold_embeddings": _q_kfold_embeddings,
         "term_chi2_lang": _q_term_chi2_lang,
+        "winsorized_mean_events": _q_winsorized_mean_events,
+        "dq_checks_events": _q_dq_checks_events,
+        "time_weighted_avg_users": _q_time_weighted_avg_users,
     }
 
 
@@ -4111,6 +4157,41 @@ def oracle_sql() -> dict[str, str]:
             "FROM cats c CROSS JOIN days d "
             "LEFT JOIN cnts n ON n.event_type = c.event_type "
             "AND n.day = d.day"
+        ),
+        "winsorized_mean_events": (
+            "WITH q AS (SELECT event_type, "
+            "quantile_cont(value, 0.1) AS ql, "
+            "quantile_cont(value, 0.9) AS qh FROM events "
+            "GROUP BY event_type) "
+            "SELECT e.event_type, count(*) AS n, "
+            "CAST(floor(avg(least(greatest(e.value, q.ql), q.qh)) "
+            "* 1e4 + 0.5) AS BIGINT) AS wmean_e4 "
+            "FROM events e JOIN q USING (event_type) "
+            "GROUP BY e.event_type"
+        ),
+        "dq_checks_events": (
+            "SELECT 'not_null:user_id' AS rule, "
+            "count(*) - count(user_id) AS violations FROM events "
+            "UNION ALL SELECT 'unique:event_id', "
+            "count(*) - count(DISTINCT event_id) FROM events "
+            "UNION ALL SELECT 'range:value', "
+            "count(CASE WHEN value < 0 OR value > 200 THEN 1 END) "
+            "FROM events "
+            "UNION ALL SELECT 'domain:event_type', "
+            "count(CASE WHEN event_type NOT IN "
+            "('click', 'view', 'purchase', 'signup') THEN 1 END) "
+            "FROM events"
+        ),
+        "time_weighted_avg_users": (
+            "WITH w AS (SELECT user_id, value, epoch_us(ts) AS t, "
+            "lead(epoch_us(ts)) OVER (PARTITION BY user_id "
+            "ORDER BY ts, event_id) AS nt FROM events), "
+            "s AS (SELECT user_id, "
+            "sum(CASE WHEN nt IS NOT NULL THEN value * (nt - t) END) "
+            "AS num, max(t) - min(t) AS span FROM w GROUP BY user_id) "
+            "SELECT user_id, "
+            "CAST(floor(num / span * 1e4 + 0.5) AS BIGINT) AS twa_e4 "
+            "FROM s WHERE span > 0"
         ),
         "kfold_embeddings": (
             "SELECT vec_id, label, "

@@ -1017,3 +1017,62 @@ def test_term_chi2_separating_term_scores_highest(ray_session):
     assert got.loc["bar", "chi2_e4"] == 120_000
     assert got.loc["shared", "chi2_e4"] == 0
     assert got.loc["foo", "df"] == 6
+
+
+def test_winsorized_mean_hand_example(ray_session):
+    import ray.data as rd
+
+    from wned_ray.pipelines.analytics import winsorized_mean
+
+    # one wild outlier must be clamped to the p90 bound
+    vals = list(np.arange(1.0, 10.0)) + [1000.0]
+    df = pd.DataFrame({"k": ["a"] * 10, "v": vals})
+    got = winsorized_mean(rd.from_pandas(df), "k", "v",
+                          lo=0.1, hi=0.9).to_pandas()
+    ql, qh = np.quantile(np.array(vals), [0.1, 0.9])
+    want = int(np.floor(np.clip(vals, ql, qh).mean() * 1e4 + 0.5))
+    assert got["wmean_e4"].tolist() == [want]
+    assert got["n"].tolist() == [10]
+
+
+def test_dq_checks_planted_violations(ray_session):
+    import ray.data as rd
+
+    from wned_ray.pipelines.analytics import dq_checks
+
+    df = pd.DataFrame({
+        "id": [1, 2, 2, 4],                      # one dup
+        "x": [5.0, -1.0, 50.0, 200.0],           # one below range
+        "s": ["a", "b", "zz", "a"],              # one off-domain
+        "n": pd.array([1, None, 3, 4], dtype="Int64"),  # one null
+    })
+    got = (dq_checks(rd.from_pandas(df), "id", {
+        "not_null": ["n"], "unique": ["id"],
+        "range": {"x": (0.0, 100.0)}, "domain": {"s": ["a", "b"]}})
+        .to_pandas().set_index("rule")["violations"])
+    assert got["not_null:n"] == 1
+    assert got["unique:id"] == 1
+    assert got["range:x"] == 2          # -1 below, 200 above
+    assert got["domain:s"] == 1
+
+
+def test_time_weighted_avg_hand_example(ray_session):
+    import ray.data as rd
+
+    from wned_ray.pipelines.analytics import time_weighted_avg
+
+    # value 10 holds 1s, value 20 holds 3s -> twa = (10+60)/4 = 17.5
+    df = pd.DataFrame({
+        "k": ["u"] * 3 + ["single"],
+        "ts": pd.to_datetime(["2024-01-01 00:00:00",
+                              "2024-01-01 00:00:01",
+                              "2024-01-01 00:00:04",
+                              "2024-01-01 00:00:00"]),
+        "v": [10.0, 20.0, 99.0, 5.0],
+        "id": [1, 2, 3, 4],
+    })
+    got = time_weighted_avg(rd.from_pandas(df), "k", "ts", "v",
+                            "id").to_pandas()
+    # single-event key has zero span -> dropped
+    assert got["k"].tolist() == ["u"]
+    assert got["twa_e4"].tolist() == [175_000]

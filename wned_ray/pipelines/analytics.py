@@ -1908,3 +1908,113 @@ def term_chi2_class(ds, class_col: str, text_col: str,
         })
 
     return dim.groupby("term").map_groups(chi2, batch_format="pandas")
+
+
+def winsorized_mean(ds, key_col: str, val_col: str,
+                    lo: float = 0.1, hi: float = 0.9):
+    """Per-key winsorized mean: values clamped to the key's [lo, hi]
+    continuous quantiles (type-7 interpolation — the quantile_cont
+    convention the exact-quantile operator already oracles) before
+    averaging — the standard outlier-robust aggregate.
+
+    One hash shuffle by key; bounds + clamped mean in a single
+    per-group vectorized kernel. Partitioning assumption: one key's
+    rows fit a worker (the per-key window contract; the t-digest
+    sketch is the documented alternative past it).
+    Output: (key, n, wmean_e4)."""
+    def kern(g: pd.DataFrame) -> pd.DataFrame:
+        v = g[val_col].to_numpy(np.float64)
+        ql, qh = np.quantile(v, [lo, hi], method="linear")
+        w = np.clip(v, ql, qh)
+        return pd.DataFrame({
+            key_col: [g[key_col].iloc[0]],
+            "n": np.array([len(v)], np.int64),
+            "wmean_e4": np.array(
+                [np.floor(w.mean() * 1e4 + 0.5)], np.int64),
+        })
+
+    return (ds.select_columns([key_col, val_col])
+            .groupby(key_col).map_groups(kern, batch_format="pandas"))
+
+
+def dq_checks(ds, id_col: str, rules: dict):
+    """Declarative data-quality expectation checks (the Deequ /
+    Great-Expectations shape): one streaming pass computes per-batch
+    violation partials for every rule at once; uniqueness adds one
+    distinct groupby over the id. Supported rules:
+    ``{"not_null": [cols], "unique": [cols], "range": {col: (lo,
+    hi)}, "domain": {col: [allowed...]}}``.
+
+    Output: (rule, violations) — one row per rule, zero included, so
+    a green run is a checkable artifact, not an absence."""
+    from ray.data.aggregate import Count, Sum
+
+    rule_names = ([f"not_null:{c}" for c in rules.get("not_null", [])]
+                  + [f"range:{c}" for c in rules.get("range", {})]
+                  + [f"domain:{c}" for c in rules.get("domain", {})])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        names, viol = [], []
+        for c in rules.get("not_null", []):
+            names.append(f"not_null:{c}")
+            viol.append(batch[c].null_count)
+        for c, (vlo, vhi) in rules.get("range", {}).items():
+            x = batch[c].to_numpy(zero_copy_only=False)
+            names.append(f"range:{c}")
+            viol.append(int(((x < vlo) | (x > vhi)).sum()))
+        for c, allowed in rules.get("domain", {}).items():
+            ok = pc.is_in(batch[c], value_set=pa.array(allowed))
+            names.append(f"domain:{c}")
+            viol.append(int(batch.num_rows
+                            - pc.sum(pc.cast(ok, pa.int8())).as_py()))
+        return pa.table({"rule": pa.array(names),
+                         "_v": pa.array(np.asarray(viol, np.int64))})
+
+    out = (ds.map_batches(partial, batch_format="pyarrow")
+           .groupby("rule").aggregate(Sum("_v", alias_name="violations")))
+
+    uniq_tables = []
+    for c in rules.get("unique", []):
+        n_total = ds.count()
+        n_distinct = (ds.select_columns([c]).groupby(c)
+                      .aggregate(Count(alias_name="_c")).count())
+        uniq_tables.append(pa.table({
+            "rule": pa.array([f"unique:{c}"]),
+            "violations": pa.array([n_total - n_distinct], pa.int64()),
+        }))
+    if uniq_tables:
+        import ray.data as rd
+
+        out = out.union(rd.from_arrow(pa.concat_tables(uniq_tables)))
+    return out
+
+
+def time_weighted_avg(ds, key_col: str, ts_col: str, val_col: str,
+                      id_col: str):
+    """Per-key time-weighted average over an irregular event series:
+    each value holds until the next event, so
+
+        twa = sum_i v_i * (t_{i+1} - t_i) / (t_last - t_first)
+
+    — the right mean for sampled gauges/metrics where arithmetic mean
+    over-weights bursts. One hash shuffle by key + a vectorized
+    per-group kernel; keys with zero time span are dropped (no
+    interval to average over). Output: (key, twa_e4)."""
+    def kern(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([ts_col, id_col])
+        t = g[ts_col].astype("datetime64[us]").astype(np.int64).to_numpy()
+        v = g[val_col].to_numpy(np.float64)
+        span = t[-1] - t[0]
+        if span <= 0:
+            return pd.DataFrame({key_col: pd.Series([], dtype=g[
+                key_col].dtype), "twa_e4": pd.Series([],
+                                                     dtype=np.int64)})
+        num = float((v[:-1] * np.diff(t)).sum())
+        return pd.DataFrame({
+            key_col: [g[key_col].iloc[0]],
+            "twa_e4": np.array(
+                [np.floor(num / span * 1e4 + 0.5)], np.int64),
+        })
+
+    return (ds.select_columns([key_col, ts_col, val_col, id_col])
+            .groupby(key_col).map_groups(kern, batch_format="pandas"))
