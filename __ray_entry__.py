@@ -3180,6 +3180,45 @@ def _q_time_weighted_avg_users(sf_dir: str):
     return time_weighted_avg(ds, "user_id", "ts", "value", "event_id")
 
 
+def _q_hll_users_setops(sf_dir: str):
+    """Sketch set algebra (datawork.hll_set_ops): HLL union via
+    register max, intersection via inclusion-exclusion, over click-
+    vs view-user sets — md5 mode makes all three sketches (and hence
+    all four estimates) bit-reproducible in SQL; exact sides ride
+    along."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from wned_ray.pipelines.datawork import hll_set_ops
+
+    ev = _rd().read_parquet(f"{sf_dir}/events.parquet",
+                            columns=["event_type", "user_id"])
+
+    def pick(t):
+        def f(b):
+            m = pc.equal(b["event_type"], t)
+            return pa.table({"v": pc.cast(b["user_id"],
+                                          pa.string())}).filter(m)
+        return f
+
+    a = ev.map_batches(pick("click"), batch_format="pyarrow")
+    b = ev.map_batches(pick("view"), batch_format="pyarrow")
+    return hll_set_ops(a, b, "v", hash_mode="md5")
+
+
+def _q_corr_matrix_lineitem(sf_dir: str):
+    """Full pairwise Pearson correlation matrix over four lineitem
+    measures in one moment-partials pass (datawork.corr_matrix) —
+    constant-size shuffle, input never moves."""
+    from wned_ray.pipelines.datawork import corr_matrix
+
+    ds = _rd().read_parquet(f"{sf_dir}/lineitem.parquet",
+                            columns=["l_quantity", "l_extendedprice",
+                                     "l_discount", "l_tax"])
+    return corr_matrix(ds, ["l_quantity", "l_extendedprice",
+                            "l_discount", "l_tax"])
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # ORDER MATTERS: the round driver sweeps this dict in insertion order
     # and records the FIRST 50 entries (round-3 CORRECTNESS captured
@@ -3337,6 +3376,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "winsorized_mean_events": _q_winsorized_mean_events,
         "dq_checks_events": _q_dq_checks_events,
         "time_weighted_avg_users": _q_time_weighted_avg_users,
+        "hll_users_setops": _q_hll_users_setops,
+        "corr_matrix_lineitem": _q_corr_matrix_lineitem,
     }
 
 
@@ -4157,6 +4198,69 @@ def oracle_sql() -> dict[str, str]:
             "FROM cats c CROSS JOIN days d "
             "LEFT JOIN cnts n ON n.event_type = c.event_type "
             "AND n.day = d.day"
+        ),
+        # three md5 HLL sketches (a, b, union-multiset) threaded through
+        # one grp-labeled register pipeline; intersection by
+        # inclusion-exclusion — identical arithmetic to the Ray side
+        "hll_users_setops": (
+            "WITH va AS (SELECT DISTINCT CAST(user_id AS VARCHAR) AS v "
+            "FROM events WHERE event_type = 'click'), "
+            "vb AS (SELECT DISTINCT CAST(user_id AS VARCHAR) AS v "
+            "FROM events WHERE event_type = 'view'), "
+            "u AS (SELECT 'a' AS grp, v FROM va "
+            "UNION ALL SELECT 'b', v FROM vb "
+            "UNION ALL SELECT 'u', v FROM "
+            "(SELECT v FROM va UNION SELECT v FROM vb)), "
+            "h AS (SELECT grp, ('0x' || substr(md5(v), 1, 16))::UBIGINT "
+            "AS hv FROM u), "
+            "parts AS (SELECT grp, "
+            "hv // (4503599627370496)::UBIGINT AS idx, "
+            "hv % (4503599627370496)::UBIGINT AS payload FROM h), "
+            "regs AS (SELECT grp, idx, max(CASE WHEN payload = 0 "
+            "THEN 53 ELSE 53 - length(bin(payload)) END) AS r "
+            "FROM parts GROUP BY grp, idx), "
+            "agg AS (SELECT grp, sum(power(2.0, -r)) AS s, "
+            "count(*) AS nz FROM regs GROUP BY grp), "
+            "est AS (SELECT grp, (0.7213 / (1 + 1.079 / 4096.0)) * "
+            "4096.0 * 4096.0 / (s + (4096 - nz)) AS raw, "
+            "(4096 - nz) AS zeros FROM agg), "
+            "fin AS (SELECT grp, CAST(round(CASE WHEN raw <= 2.5 * "
+            "4096 AND zeros > 0 THEN 4096.0 * ln(4096.0 / zeros) "
+            "ELSE raw END) AS BIGINT) AS e FROM est), "
+            "ex AS (SELECT (SELECT count(*) FROM va) AS xa, "
+            "(SELECT count(*) FROM vb) AS xb, "
+            "(SELECT count(*) FROM (SELECT v FROM va UNION "
+            "SELECT v FROM vb)) AS xu) "
+            "SELECT max(CASE WHEN grp = 'a' THEN e END) AS est_a, "
+            "max(CASE WHEN grp = 'b' THEN e END) AS est_b, "
+            "max(CASE WHEN grp = 'u' THEN e END) AS est_union, "
+            "max(CASE WHEN grp = 'a' THEN e END) + "
+            "max(CASE WHEN grp = 'b' THEN e END) - "
+            "max(CASE WHEN grp = 'u' THEN e END) AS est_intersect, "
+            "ex.xa AS exact_a, ex.xb AS exact_b, "
+            "ex.xu AS exact_union, ex.xa + ex.xb - ex.xu "
+            "AS exact_intersect FROM fin, ex "
+            "GROUP BY ex.xa, ex.xb, ex.xu"
+        ),
+        "corr_matrix_lineitem": (
+            "SELECT 'l_quantity' AS col_a, 'l_extendedprice' AS col_b, "
+            "CAST(floor(corr(l_quantity, l_extendedprice) * 1e6 + 0.5) "
+            "AS BIGINT) AS corr_e6 FROM lineitem "
+            "UNION ALL SELECT 'l_quantity', 'l_discount', "
+            "CAST(floor(corr(l_quantity, l_discount) * 1e6 + 0.5) "
+            "AS BIGINT) FROM lineitem "
+            "UNION ALL SELECT 'l_quantity', 'l_tax', "
+            "CAST(floor(corr(l_quantity, l_tax) * 1e6 + 0.5) "
+            "AS BIGINT) FROM lineitem "
+            "UNION ALL SELECT 'l_extendedprice', 'l_discount', "
+            "CAST(floor(corr(l_extendedprice, l_discount) * 1e6 + 0.5) "
+            "AS BIGINT) FROM lineitem "
+            "UNION ALL SELECT 'l_extendedprice', 'l_tax', "
+            "CAST(floor(corr(l_extendedprice, l_tax) * 1e6 + 0.5) "
+            "AS BIGINT) FROM lineitem "
+            "UNION ALL SELECT 'l_discount', 'l_tax', "
+            "CAST(floor(corr(l_discount, l_tax) * 1e6 + 0.5) "
+            "AS BIGINT) FROM lineitem"
         ),
         "winsorized_mean_events": (
             "WITH q AS (SELECT event_type, "

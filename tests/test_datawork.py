@@ -1826,3 +1826,46 @@ def test_logodds_direction_and_symmetry(ray_session):
     ba = (logodds_terms(rd.from_pandas(df), "g", "text", "b", "a",
                         min_count=1).to_pandas().set_index("term"))
     assert ba.loc["cat", "z_e4"] == -ab.loc["cat", "z_e4"]
+
+
+def test_hll_set_ops_accuracy(ray_session):
+    """Planted overlap: |A|=600, |B|=500, |A∩B|=100 — estimates must
+    land within the compounded sketch error of the exact values (the
+    exact columns in the same row make the check self-contained)."""
+    import ray.data as rd
+
+    from wned_ray.pipelines.datawork import hll_set_ops
+
+    a = rd.from_items([{"v": f"x{i}"} for i in range(600)])
+    b = rd.from_items([{"v": f"x{i}"} for i in range(500, 1000)])
+    t = hll_set_ops(a, b, "v", hash_mode="fast").to_pylist()[0]
+    assert t["exact_a"] == 600 and t["exact_b"] == 500
+    assert t["exact_union"] == 1000 and t["exact_intersect"] == 100
+    assert abs(t["est_a"] - 600) / 600 < 0.05
+    assert abs(t["est_union"] - 1000) / 1000 < 0.05
+    # intersection error compounds through inclusion-exclusion: allow
+    # the union+both-sides error budget (3 sketches x ~1.6% x scale)
+    assert abs(t["est_intersect"] - 100) < 100
+
+
+def test_corr_matrix_matches_numpy(ray_session):
+    import ray.data as rd
+
+    from wned_ray.pipelines.datawork import corr_matrix
+
+    rng = np.random.RandomState(5)
+    x = rng.standard_normal(800)
+    df = pd.DataFrame({
+        "a": x, "b": 2 * x + 0.1 * rng.standard_normal(800),
+        "c": rng.standard_normal(800),
+    })
+    got = (corr_matrix(rd.from_pandas(df).repartition(5),
+                       ["a", "b", "c"]).to_pandas()
+           .set_index(["col_a", "col_b"])["corr_e6"])
+    want = np.corrcoef(df.values.T)
+    assert abs(got[("a", "b")] - int(np.floor(
+        want[0, 1] * 1e6 + 0.5))) <= 1
+    assert abs(got[("a", "c")] - int(np.floor(
+        want[0, 2] * 1e6 + 0.5))) <= 1
+    assert got[("a", "b")] > 990_000       # strongly correlated pair
+    assert abs(got[("a", "c")]) < 100_000  # independent pair

@@ -1867,7 +1867,8 @@ def _md5_hashes64(strings) -> np.ndarray:
 
 
 def hll_count_distinct(ds, col: str, p: int = 12,
-                       hash_mode: str = "fast") -> dict:
+                       hash_mode: str = "fast",
+                       return_registers: bool = False) -> dict:
     """Approximate COUNT(DISTINCT col) via mergeable HyperLogLog
     sketches: each batch emits its 2^p-byte register blob, the driver
     max-merges (register traffic = n_batches x 4 KB — never the values).
@@ -1911,7 +1912,10 @@ def hll_count_distinct(ds, col: str, p: int = 12,
             other = HyperLogLog(p)
             other.registers = np.frombuffer(blob, np.uint8).copy()
             merged.merge(other)
-    return {"estimate": merged.estimate(), "p": p}
+    out = {"estimate": merged.estimate(), "p": p}
+    if return_registers:
+        out["registers"] = merged.registers
+    return out
 
 
 def distinct_count(ds, col: str) -> int:
@@ -3808,3 +3812,104 @@ def logodds_terms(ds, group_col: str, text_col: str,
         })
 
     return dim.map_batches(fin, batch_format="pyarrow")
+
+
+def hll_set_ops(ds_a, ds_b, col: str, p: int = 12,
+                hash_mode: str = "md5") -> "pa.Table":
+    """Sketch set algebra over two HyperLogLog sketches: the UNION
+    estimate is native (register max — HLLs are a monoid under union);
+    the INTERSECTION estimate falls out of inclusion-exclusion,
+    |A ∩ B| ≈ |A| + |B| - |A ∪ B|. The std error compounds through
+    the subtraction (well-known inclusion-exclusion caveat), so the
+    exact sides ship alongside for the oracle and for honest reporting.
+
+    In md5 hash mode every register — and hence all three estimates —
+    is bit-reproducible in SQL (the hll_distinct_terms discipline).
+    Returns a one-row Arrow table: (est_a, est_b, est_union,
+    est_intersect, exact_a, exact_b, exact_union, exact_intersect)."""
+    import ray.data as rd
+
+    def _sketch(ds):
+        out = hll_count_distinct(ds, col, p=p, hash_mode=hash_mode,
+                                 return_registers=True)
+        return out
+
+    ra = _sketch(ds_a)
+    rb = _sketch(ds_b)
+    ha, hb = HyperLogLog(p), HyperLogLog(p)
+    ha.registers = ra["registers"]
+    hb.registers = rb["registers"]
+    hu = HyperLogLog(p)
+    hu.registers = np.maximum(ha.registers, hb.registers)
+    est_a, est_b, est_u = (ha.estimate(), hb.estimate(), hu.estimate())
+    est_i = est_a + est_b - est_u
+
+    exact_a = distinct_count(ds_a, col)
+    exact_b = distinct_count(ds_b, col)
+    exact_u = distinct_count(ds_a.select_columns([col]).union(
+        ds_b.select_columns([col])), col)
+    exact_i = exact_a + exact_b - exact_u
+    return pa.table({
+        "est_a": pa.array([int(round(est_a))], pa.int64()),
+        "est_b": pa.array([int(round(est_b))], pa.int64()),
+        "est_union": pa.array([int(round(est_u))], pa.int64()),
+        "est_intersect": pa.array([int(round(est_i))], pa.int64()),
+        "exact_a": pa.array([exact_a], pa.int64()),
+        "exact_b": pa.array([exact_b], pa.int64()),
+        "exact_union": pa.array([exact_u], pa.int64()),
+        "exact_intersect": pa.array([exact_i], pa.int64()),
+    })
+
+
+def corr_matrix(ds, num_cols: list):
+    """Full pairwise Pearson correlation matrix over the numeric
+    columns in ONE streaming pass: per-batch moment partials (sums,
+    squares and every cross product — k(k+1)/2 scalars per batch) ride
+    a constant-size shuffle; correlations compute on the tiny reduced
+    table. The matrix generalization of grouped_corr; input never
+    reshuffles. Output: (col_a, col_b, corr_e6) for a < b."""
+    from ray.data.aggregate import Sum
+
+    k = len(num_cols)
+    pairs = [(i, j) for i in range(k) for j in range(i + 1, k)]
+
+    def partial(batch: pa.Table) -> pa.Table:
+        x = np.stack([batch[c].to_numpy(zero_copy_only=False)
+                      .astype(np.float64) for c in num_cols])
+        names = ["_n"] + [f"_s{i}" for i in range(k)] \
+            + [f"_q{i}" for i in range(k)] \
+            + [f"_p{i}_{j}" for i, j in pairs]
+        vals = [float(x.shape[1])] \
+            + [float(x[i].sum()) for i in range(k)] \
+            + [float((x[i] * x[i]).sum()) for i in range(k)] \
+            + [float((x[i] * x[j]).sum()) for i, j in pairs]
+        return pa.table({"_g": pa.array([0], pa.int64()),
+                         **{n: pa.array([v], pa.float64())
+                            for n, v in zip(names, vals)}})
+
+    aggs = [Sum(n, alias_name=n) for n in
+            (["_n"] + [f"_s{i}" for i in range(k)]
+             + [f"_q{i}" for i in range(k)]
+             + [f"_p{i}_{j}" for i, j in pairs])]
+    red = (ds.select_columns(list(num_cols))
+           .map_batches(partial, batch_format="pyarrow")
+           .groupby("_g").aggregate(*aggs).to_pandas().iloc[0]) 
+    n = red["_n"]
+    rows = []
+    for i, j in pairs:
+        si, sj = red[f"_s{i}"], red[f"_s{j}"]
+        qi, qj = red[f"_q{i}"], red[f"_q{j}"]
+        pij = red[f"_p{i}_{j}"]
+        cov = pij / n - (si / n) * (sj / n)
+        vi = qi / n - (si / n) ** 2
+        vj = qj / n - (sj / n) ** 2
+        r = cov / np.sqrt(max(vi, 1e-300) * max(vj, 1e-300))
+        rows.append((num_cols[i], num_cols[j],
+                     int(np.floor(r * 1e6 + 0.5))))
+    import ray.data as rd
+
+    return rd.from_arrow(pa.table({
+        "col_a": pa.array([r[0] for r in rows]),
+        "col_b": pa.array([r[1] for r in rows]),
+        "corr_e6": pa.array([r[2] for r in rows], pa.int64()),
+    }))
