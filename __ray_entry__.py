@@ -3219,6 +3219,29 @@ def _q_corr_matrix_lineitem(sf_dir: str):
                             "l_discount", "l_tax"])
 
 
+def _q_pseudonymize_events(sf_dir: str):
+    """Keyed pseudonymization of user ids (analytics.pseudonymize) —
+    consistent, key-dependent replacement ids; joins keep working,
+    raw ids never leave."""
+    from wned_ray.pipelines.analytics import pseudonymize
+
+    ds = _rd().read_parquet(f"{sf_dir}/events.parquet",
+                            columns=["event_id", "user_id"])
+    return pseudonymize(ds, "user_id")
+
+
+def _q_dp_counts_events(sf_dir: str):
+    """Differentially-private per-type counts (analytics.dp_counts,
+    Laplace mechanism, epsilon=1, seeded md5 noise) — the noisy
+    release is deterministic, so the SQL twin reproduces it bit-for-
+    bit."""
+    from wned_ray.pipelines.analytics import dp_counts
+
+    ds = _rd().read_parquet(f"{sf_dir}/events.parquet",
+                            columns=["event_type"])
+    return dp_counts(ds, "event_type", epsilon=1.0, seed=11)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # ORDER MATTERS: the round driver sweeps this dict in insertion order
     # and records the FIRST 50 entries (round-3 CORRECTNESS captured
@@ -3378,6 +3401,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "time_weighted_avg_users": _q_time_weighted_avg_users,
         "hll_users_setops": _q_hll_users_setops,
         "corr_matrix_lineitem": _q_corr_matrix_lineitem,
+        "pseudonymize_events": _q_pseudonymize_events,
+        "dp_counts_events": _q_dp_counts_events,
     }
 
 
@@ -4198,6 +4223,23 @@ def oracle_sql() -> dict[str, str]:
             "FROM cats c CROSS JOIN days d "
             "LEFT JOIN cnts n ON n.event_type = c.event_type "
             "AND n.day = d.day"
+        ),
+        "pseudonymize_events": (
+            "SELECT event_id, "
+            "CAST(((CAST((user_id + 2654435769) % 4294967296 "
+            "AS HUGEINT) * 2654435761) % 4294967296) AS BIGINT) "
+            "AS pseudo_id FROM events"
+        ),
+        "dp_counts_events": (
+            "WITH c AS (SELECT event_type, count(*) AS n FROM events "
+            "GROUP BY event_type), "
+            "u AS (SELECT event_type, n, "
+            "('0x' || substr(md5('11|' || event_type), 1, 16))"
+            "::UBIGINT / power(2.0, 64) AS uu FROM c) "
+            "SELECT event_type, "
+            "CAST(floor(n - sign(uu - 0.5) * "
+            "ln(1.0 - 2.0 * abs(uu - 0.5)) + 0.5) AS BIGINT) "
+            "AS noisy_n FROM u"
         ),
         # three md5 HLL sketches (a, b, union-multiset) threaded through
         # one grp-labeled register pipeline; intersection by

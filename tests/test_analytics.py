@@ -1076,3 +1076,42 @@ def test_time_weighted_avg_hand_example(ray_session):
     # single-event key has zero span -> dropped
     assert got["k"].tolist() == ["u"]
     assert got["twa_e4"].tolist() == [175_000]
+
+
+def test_pseudonymize_consistent_and_collision_free(ray_session):
+    import ray.data as rd
+
+    from wned_ray.pipelines.analytics import pseudonymize
+
+    df = pd.DataFrame({"id": np.arange(6), "user": [1, 2, 1, 3, 2, 1]})
+    got = pseudonymize(rd.from_pandas(df), "user").to_pandas()
+    # same input id -> same pseudo id; distinct ids stay distinct
+    m = got.groupby(df["user"].values)["pseudo_id"].nunique()
+    assert (m == 1).all()
+    assert got["pseudo_id"].nunique() == 3
+    assert "user" not in got.columns          # raw id removed
+    # different key -> different mapping
+    other = pseudonymize(rd.from_pandas(df), "user",
+                         key=12345).to_pandas()
+    assert got["pseudo_id"].tolist() != other["pseudo_id"].tolist()
+
+
+def test_dp_counts_noise_properties(ray_session):
+    import ray.data as rd
+
+    from wned_ray.pipelines.analytics import dp_counts
+
+    df = pd.DataFrame({"g": ["a"] * 100 + ["b"] * 50})
+    a1 = (dp_counts(rd.from_pandas(df), "g", epsilon=1.0, seed=3)
+          .to_pandas().set_index("g")["noisy_n"])
+    a2 = (dp_counts(rd.from_pandas(df).repartition(4), "g",
+                    epsilon=1.0, seed=3)
+          .to_pandas().set_index("g")["noisy_n"])
+    # deterministic release: partitioning cannot change the noise
+    assert a1.tolist() == a2.tolist()
+    # noise is bounded w.h.p. at eps=1: within ~15 of truth here
+    assert abs(a1["a"] - 100) < 15 and abs(a1["b"] - 50) < 15
+    # a different seed (release id) draws different noise
+    b1 = (dp_counts(rd.from_pandas(df), "g", epsilon=1.0, seed=4)
+          .to_pandas().set_index("g")["noisy_n"])
+    assert (a1.tolist() != b1.tolist())

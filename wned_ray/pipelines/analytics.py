@@ -2018,3 +2018,62 @@ def time_weighted_avg(ds, key_col: str, ts_col: str, val_col: str,
 
     return (ds.select_columns([key_col, ts_col, val_col, id_col])
             .groupby(key_col).map_groups(kern, batch_format="pandas"))
+
+
+def pseudonymize(ds, col: str, key: int = 0x9E3779B9,
+                 out_col: str = "pseudo_id"):
+    """Keyed pseudonymization of an id column: a Knuth-style keyed
+    multiplicative hash over the 32-bit ring gives a CONSISTENT,
+    non-reversible-without-key replacement id (the GDPR
+    "pseudonymisation" primitive that keeps joins/groupbys working
+    across tables when every producer applies the same key).
+    Stateless single pass; same integer arithmetic as hash_sample so
+    the SQL twin is bit-exact."""
+    def f(batch: pa.Table) -> pa.Table:
+        ids = batch[col].to_numpy(zero_copy_only=False).astype(
+            np.uint64)
+        h = ((ids + np.uint64(key)) % np.uint64(2**32)
+             * np.uint64(2654435761)) % np.uint64(2**32)
+        out = {c: batch[c] for c in batch.column_names if c != col}
+        out[out_col] = pa.array(h.astype(np.int64))
+        return pa.table(out)
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+def dp_counts(ds, group_col: str, epsilon: float = 1.0,
+              seed: int = 11):
+    """Differentially-private group counts via the Laplace mechanism
+    (sensitivity 1, scale b = 1/epsilon) with DETERMINISTIC seeded
+    noise: the uniform draw is the md5 of (seed, group) — every rerun,
+    every worker and the SQL twin produce the identical noisy release.
+    (Deterministic per-release noise is standard practice: the seed is
+    the release id, so repeated queries can't average the noise away.)
+
+    One count shuffle; noise applied to the dim-sized result.
+    Output: (group, noisy_n) — true counts never leave the job."""
+    import hashlib
+
+    from ray.data.aggregate import Count
+
+    counts = ds.groupby(group_col).aggregate(Count(alias_name="_n"))
+
+    def noise(batch: pa.Table) -> pa.Table:
+        groups = batch[group_col].to_pylist()
+        n = batch["_n"].to_numpy(zero_copy_only=False).astype(
+            np.float64)
+        u = np.array([
+            int.from_bytes(hashlib.md5(
+                f"{seed}|{g}".encode()).digest()[:8], "big") / 2.0**64
+            for g in groups])
+        # inverse-CDF Laplace from the uniform, centered at 0.5
+        b = 1.0 / epsilon
+        lap = -b * np.sign(u - 0.5) * np.log(1.0 - 2.0 * np.abs(
+            u - 0.5))
+        return pa.table({
+            group_col: batch[group_col],
+            "noisy_n": pa.array(np.floor(n + lap + 0.5).astype(
+                np.int64)),
+        })
+
+    return counts.map_batches(noise, batch_format="pyarrow")
