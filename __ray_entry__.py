@@ -3242,6 +3242,48 @@ def _q_dp_counts_events(sf_dir: str):
     return dp_counts(ds, "event_type", epsilon=1.0, seed=11)
 
 
+def _q_sortmerge_join_orders(sf_dir: str):
+    """The range-partitioned sort-merge join strategy
+    (analytics.sort_merge_join) on the orders x customer shape —
+    result-identical to the hash join, so it shares
+    join_orders_customers' oracle byte-for-byte."""
+    import pyarrow as pa
+    from ray.data.aggregate import Count, Sum
+
+    from wned_ray.pipelines.analytics import sort_merge_join
+
+    od = _rd().read_parquet(f"{sf_dir}/orders.parquet",
+                            columns=["o_custkey", "o_totalprice"])
+    cu = (_rd().read_parquet(f"{sf_dir}/customer.parquet",
+                             columns=["c_custkey", "c_mktsegment"])
+          .map_batches(lambda b: pa.table({
+              "o_custkey": b["c_custkey"],
+              "c_mktsegment": b["c_mktsegment"]}),
+              batch_format="pyarrow"))
+    joined = sort_merge_join(od, cu, "o_custkey",
+                             ["o_custkey", "o_totalprice"],
+                             ["o_custkey", "c_mktsegment"])
+
+    def pre(b):
+        return pa.table({"c_mktsegment": b["c_mktsegment"],
+                         "_p": b["o_totalprice"]})
+
+    agg = (joined.map_batches(pre, batch_format="pyarrow")
+           .groupby("c_mktsegment")
+           .aggregate(Count(alias_name="n_orders"),
+                      Sum("_p", alias_name="_sp")))
+
+    def fin(b):
+        import pyarrow.compute as pc
+        return pa.table({
+            "c_mktsegment": b["c_mktsegment"],
+            "n_orders": b["n_orders"],
+            "total_price_usd": pc.cast(pc.round(b["_sp"]), pa.int64()),
+        })
+
+    return agg.map_batches(fin, batch_format="pyarrow")
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # ORDER MATTERS: the round driver sweeps this dict in insertion order
     # and records the FIRST 50 entries (round-3 CORRECTNESS captured
@@ -3403,6 +3445,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "corr_matrix_lineitem": _q_corr_matrix_lineitem,
         "pseudonymize_events": _q_pseudonymize_events,
         "dp_counts_events": _q_dp_counts_events,
+        "sortmerge_join_orders": _q_sortmerge_join_orders,
     }
 
 
@@ -4223,6 +4266,15 @@ def oracle_sql() -> dict[str, str]:
             "FROM cats c CROSS JOIN days d "
             "LEFT JOIN cnts n ON n.event_type = c.event_type "
             "AND n.day = d.day"
+        ),
+        # the sort-merge strategy must be result-identical to the hash
+        # join: same SQL as join_orders_customers
+        "sortmerge_join_orders": (
+            "SELECT c_mktsegment, count(*) AS n_orders, "
+            "CAST(round(sum(o_totalprice)) AS BIGINT) "
+            "AS total_price_usd "
+            "FROM orders JOIN customer ON o_custkey = c_custkey "
+            "GROUP BY c_mktsegment"
         ),
         "pseudonymize_events": (
             "SELECT event_id, "

@@ -1115,3 +1115,41 @@ def test_dp_counts_noise_properties(ray_session):
     b1 = (dp_counts(rd.from_pandas(df), "g", epsilon=1.0, seed=4)
           .to_pandas().set_index("g")["noisy_n"])
     assert (a1.tolist() != b1.tolist())
+
+
+def test_sort_merge_join_equals_hash_join(ray_session):
+    """Row-multiset equality with Dataset.join on a many-to-many key
+    (dup keys on both sides) across several partitionings."""
+    import ray.data as rd
+
+    from wned_ray.pipelines.analytics import sort_merge_join
+
+    rng = np.random.RandomState(2)
+    a = pd.DataFrame({"k": rng.randint(0, 40, 300),
+                      "va": np.arange(300)})
+    b = pd.DataFrame({"k": rng.randint(0, 40, 120),
+                      "vb": np.arange(120) * 10})
+    got = (sort_merge_join(rd.from_pandas(a).repartition(5),
+                           rd.from_pandas(b).repartition(3),
+                           "k", ["k", "va"], ["k", "vb"],
+                           n_buckets=8, sample_mod=3)
+           .to_pandas().astype(np.int64)
+           .sort_values(["k", "va", "vb"]).reset_index(drop=True))
+    want = (a.merge(b, on="k").astype(np.int64)
+            .sort_values(["k", "va", "vb"]).reset_index(drop=True))
+    assert got.values.tolist() == want[got.columns].values.tolist()
+
+
+def test_sort_merge_join_tiny_sample_degenerate(ray_session):
+    """Fewer sampled keys than buckets -> single range bucket; the
+    join must still be exact."""
+    import ray.data as rd
+
+    from wned_ray.pipelines.analytics import sort_merge_join
+
+    a = pd.DataFrame({"k": [1, 2, 3], "va": [10, 20, 30]})
+    b = pd.DataFrame({"k": [2, 3, 4], "vb": [200, 300, 400]})
+    got = (sort_merge_join(rd.from_pandas(a), rd.from_pandas(b), "k",
+                           ["k", "va"], ["k", "vb"])
+           .to_pandas().astype(np.int64).sort_values("k"))
+    assert got.values.tolist() == [[2, 20, 200], [3, 30, 300]]
