@@ -427,6 +427,22 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
     entry_mod._q_time_decay_users(sf_dir).count()
     queries["time_decay_users"] = round(time.time() - t0, 3)
 
+    t0 = time.time()
+    entry_mod._q_tfidf_cosine_join(sf_dir).count()
+    queries["tfidf_cosine_join"] = round(time.time() - t0, 3)
+
+    t0 = time.time()
+    entry_mod._q_edit_distance_join(sf_dir).count()
+    queries["edit_distance_join"] = round(time.time() - t0, 3)
+
+    t0 = time.time()
+    entry_mod._q_graph_components_parts(sf_dir).count()
+    queries["graph_components_parts"] = round(time.time() - t0, 3)
+
+    t0 = time.time()
+    entry_mod._q_sortmerge_join_orders(sf_dir).count()
+    queries["sortmerge_join_orders"] = round(time.time() - t0, 3)
+
     ray.shutdown()
     return {
         "metric": "er_linkage_wall_sec",
