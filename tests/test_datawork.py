@@ -1765,6 +1765,52 @@ def test_tfidf_cosine_join_partition_invariant(ray_session):
     assert (np.abs(a["cos_e6"] - b["cos_e6"]) <= 1).all()
 
 
+def test_tfidf_cosine_join_sparse_path_bruteforce(ray_session):
+    """Vocab > 4096 forces the prefix-filter (All-Pairs) path — the sf
+    corpora's 31-term vocab always takes the dense-matmul branch, so
+    this is the sparse path's correctness gate: planted dup / near-dup
+    pairs over a 5k-term vocab must match a brute-force dense cosine
+    over the same tf-idf math exactly (e6-rounded)."""
+    import ray.data as rd
+
+    from wned_ray.pipelines.datawork import tfidf_cosine_join
+
+    rng = np.random.default_rng(7)
+    vocab = np.array([f"t{i:05d}" for i in range(5000)], object)
+    docs = [" ".join(vocab[rng.integers(0, 5000,
+                                        size=rng.integers(20, 60))])
+            for _ in range(60)]
+    docs.append(docs[0])                       # exact dup pair
+    docs.append(docs[1] + " t04999 t04998")    # near dup pair
+    df = pd.DataFrame({"doc_id": range(len(docs)), "text": docs})
+
+    got = (tfidf_cosine_join(rd.from_pandas(df).repartition(5),
+                             threshold=0.4)
+           .to_pandas().sort_values(["id_a", "id_b"])
+           .reset_index(drop=True))
+
+    # brute force: same tokenizer/tf-idf/threshold, dense all-pairs
+    toks = [d.split() for d in docs]
+    terms = sorted({t for d in toks for t in d})
+    tix = {t: i for i, t in enumerate(terms)}
+    m = np.zeros((len(docs), len(terms)))
+    for r, d in enumerate(toks):
+        for t in d:
+            m[r, tix[t]] += 1
+    dfv = (m > 0).sum(0)
+    m *= np.log(len(docs) / dfv)
+    m /= np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-300)
+    s = m @ m.T
+    want = [[i, j, int(np.floor(s[i, j] * 1e6 + 0.5))]
+            for i in range(len(docs)) for j in range(i + 1, len(docs))
+            if s[i, j] >= 0.4]
+    assert [[int(a), int(b)] for a, b, _ in want] == \
+        got[["id_a", "id_b"]].values.tolist()
+    assert (np.abs(got["cos_e6"].to_numpy()
+                   - np.array([c for _, _, c in want])) <= 1).all()
+    assert len(want) >= 2    # both planted pairs found
+
+
 def test_incremental_dedup_planted(ray_session):
     """Planted fates: a delta doc duplicating a BASE doc points at the
     base id; a delta-internal dup points at the smaller delta id; a

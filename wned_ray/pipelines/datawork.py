@@ -3571,6 +3571,75 @@ def edit_distance_join(ds, id_col: str, name_col: str,
     return cands.map_batches(verify, batch_format="pyarrow")
 
 
+def _tfidf_cosine_dense(ds, id_col, text_col, threshold, V, doc_weights,
+                        block_rows: int = 8192):
+    """Small-vocabulary path of ``tfidf_cosine_join``: dense blocked
+    A·Bᵀ over per-block packed doc×V matrices (see the caller's
+    branch comment for why).  Exact — same ŵ math, full dot."""
+    import ray
+    import ray.data as rd
+
+    def densify(batch: pa.Table) -> pa.Table:
+        r, tid, what = doc_weights(batch)
+        m = np.zeros((batch.num_rows, V), np.float64)
+        m[r, tid] = what
+        ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({
+            "ids": pa.array([ids.tobytes()], pa.binary()),
+            "mat": pa.array([m.tobytes()], pa.binary()),
+            "n": pa.array([batch.num_rows], pa.int64()),
+        })
+
+    blocks = (ds.select_columns([id_col, text_col])
+              .map_batches(densify, batch_format="pyarrow",
+                           batch_size=block_rows)
+              .materialize())
+    refs = blocks.to_arrow_refs()
+
+    def _unpack(t: pa.Table):
+        out = []
+        for i in range(t.num_rows):
+            n = t["n"][i].as_py()
+            ids = np.frombuffer(t["ids"][i].as_py(), np.int64)
+            m = (np.frombuffer(t["mat"][i].as_py(), np.float64)
+                 .reshape(n, V) if n else np.zeros((0, V)))
+            out.append((ids, m))
+        return out
+
+    @ray.remote(num_returns=1)
+    def pairblock(ta: pa.Table, tb: pa.Table, same: bool) -> pa.Table:
+        la, lb, lc = [], [], []
+        A, B = _unpack(ta), (_unpack(tb) if not same else _unpack(ta))
+        for ai, (ia, ma) in enumerate(A):
+            for bi, (ib, mb) in enumerate(B):
+                if same and bi < ai:
+                    continue
+                s = ma @ mb.T
+                if same and ai == bi:
+                    s = np.triu(s, 1)     # drop self + one triangle
+                ii, jj = np.nonzero(s >= threshold)
+                if not len(ii):
+                    continue
+                a, b = ia[ii], ib[jj]
+                la.append(np.minimum(a, b))
+                lb.append(np.maximum(a, b))
+                lc.append(np.floor(s[ii, jj] * 1e6 + 0.5)
+                          .astype(np.int64))
+        if not la:
+            return pa.table({"id_a": pa.array([], pa.int64()),
+                             "id_b": pa.array([], pa.int64()),
+                             "cos_e6": pa.array([], pa.int64())})
+        return pa.table({"id_a": pa.array(np.concatenate(la)),
+                         "id_b": pa.array(np.concatenate(lb)),
+                         "cos_e6": pa.array(np.concatenate(lc))})
+
+    futs = []
+    for i in range(len(refs)):
+        for j in range(i, len(refs)):
+            futs.append(pairblock.remote(refs[i], refs[j], i == j))
+    return rd.from_arrow_refs(futs)
+
+
 def tfidf_cosine_join(ds, id_col: str = "doc_id", text_col: str = "text",
                       threshold: float = 0.5, num_partitions: int = 16):
     """All-pairs document cosine similarity over L2-normalized TF-IDF
@@ -3578,18 +3647,38 @@ def tfidf_cosine_join(ds, id_col: str = "doc_id", text_col: str = "text",
     of the text family (bm25 is query->doc, this is doc<->doc; the
     sparse-vector analog of embedding_near_dup).
 
-    Sparse formulation: cos(a, b) = Σ_t ŵ(a,t)·ŵ(b,t) over SHARED
-    terms only, so the all-to-all is a self-join on the term of
-    (doc, term, ŵ) rows — weights ride the join, text never does.
-    idf = ln(N / df) broadcast from one vocab-sized count pass;
-    per-doc L2 norms fold into ŵ inside the same batch (a doc's rows
-    are batch-local). Per-batch pair-partial combiner compresses the
-    product shuffle exactly like ngram_jaccard's.
+    Prefix-filtered (All-Pairs / Bayardo et al., WWW'07): the naive
+    shape — a raw self-join of (doc, term, ŵ) rows on term — is
+    quadratic in document frequency (a stopword-grade term in d docs
+    contributes d² join rows; measured 736 s at sf0.1, round-4
+    VERDICT #1).  Instead:
+
+    1. vocab pass: df per term; term ids assigned in (df asc, term
+       asc) order, so ascending tid IS the canonical All-Pairs
+       feature order (rarest first); idf = ln(N/df).  Vocab dims
+       (name->tid, idf) broadcast once via ``ray.put`` —
+       vocabulary-sized driver state, same bound class as
+       ``idf_table``.
+    2. maxw pass: per-term max normalized weight, per-batch combined
+       then a vocab-sized groupby-max; broadcast dense.
+    3. vector pass: each doc's sorted sparse vector packed into ONE
+       binary blob (tids int64 ++ ŵ float64) plus its prefix length
+       npfx = the minimal head such that Σ_{suffix} ŵ_j·maxw(t_j) <
+       threshold.  A pair with cos >= t must therefore share a term
+       inside at least one member's prefix, so candidate generation
+       joins prefix postings (tiny: high-df terms have low idf, low
+       ŵ, and fall in the excluded suffix) against full postings —
+       NOT full × full.
+    4. verify: distinct candidate pairs join their two packed vectors
+       and the exact dot is computed per pair over the sorted-tid
+       intersection.  Exactness is unchanged — the filter only
+       prunes pairs provably below threshold — so the DuckDB oracle
+       is the same full quadratic SQL.
 
     Output: (id_a, id_b, cos_e6), id_a < id_b."""
     import ray
     import ray.data as rd
-    from ray.data.aggregate import Count, Sum
+    from ray.data.aggregate import Count, Max
 
     from wned_ray.util import safe_partitions
 
@@ -3603,71 +3692,188 @@ def tfidf_cosine_join(ds, id_col: str = "doc_id", text_col: str = "text",
         return pa.table({
             id_col: batch[id_col].take(pa.array(r)),
             "term": t["term"],
-            "tf": t["count_all"],
         })
 
     tf_rows = (ds.select_columns([id_col, text_col])
-               .map_batches(tf, batch_format="pyarrow").materialize())
+               .map_batches(tf, batch_format="pyarrow"))
     dfs = (tf_rows.groupby("term")
            .aggregate(Count(alias_name="df")).to_pandas())
-    terms_sorted = np.sort(dfs["term"].to_numpy(object))
-    idf = np.log(n_docs / dfs.set_index("term")
-                 .loc[terms_sorted, "df"].to_numpy(np.float64))
-    idf_ref = ray.put((terms_sorted, idf))
+    names = dfs["term"].to_numpy(object)
+    df_cnt = dfs["df"].to_numpy(np.int64)
+    name_order = np.argsort(names)
+    names_sorted = names[name_order]
+    df_by_name = df_cnt[name_order]
+    # global feature order = (df asc, name asc); tid = rank in that order
+    rank_order = np.lexsort((names_sorted, df_by_name))
+    tid_by_name = np.empty(len(names), np.int64)
+    tid_by_name[rank_order] = np.arange(len(names))
+    idf_by_tid = np.log(
+        n_docs / df_by_name[rank_order].astype(np.float64))
+    vocab_ref = ray.put((names_sorted, tid_by_name, idf_by_tid))
+    V = len(names)
 
-    def weigh(batch: pa.Table) -> pa.Table:
-        # recompute tf from the ORIGINAL doc rows: a document is one
-        # input row here, so its weight vector and L2 norm are always
-        # whole — immune to dynamic block splitting of the tf table
-        tk, iv = ray.get(idf_ref)
+    def _doc_weights(batch: pa.Table):
+        """(row idx r, tid, ŵ) for a batch of ORIGINAL doc rows — a
+        doc is one input row, so its vector and L2 norm are whole."""
+        names_s, tid_n, idf_t = ray.get(vocab_ref)
         flat, par = _tokenize_lower(batch[text_col])
         t = pa.table({"_r": par, "term": flat}).group_by(
             ["_r", "term"]).aggregate([([], "count_all")])
         r = t["_r"].to_numpy(zero_copy_only=False).astype(np.int64)
-        terms = np.asarray(t["term"])
+        tid = tid_n[np.searchsorted(names_s, np.asarray(t["term"]))]
         w = (t["count_all"].to_numpy(zero_copy_only=False)
-             * iv[np.searchsorted(tk, terms)])
+             * idf_t[tid])
         norms = np.sqrt(np.bincount(r, weights=w * w,
                                     minlength=batch.num_rows))
         what = w / np.maximum(norms[r], 1e-300)
+        return r, tid, what
+
+    if V <= 4096:
+        # Degenerate / tiny vocabulary (e.g. the synthetic corpus: 31
+        # terms, df ~ 0.8N): EVERY doc pair shares terms, prefix
+        # filtering prunes nothing, and any posting-list join is
+        # Σ df² ≈ quadratic.  Dense blocked matmul is the right
+        # kernel: docs become dense V-dim vectors packed per ~8k-doc
+        # block; each block-pair task computes one vectorized A·Bᵀ
+        # and emits only the >= threshold pairs.  Block-pair tasks
+        # are raw @ray.remote (the one shape Dataset can't express:
+        # a self-cross-product of materialized blocks); blocks stay
+        # in the object store, tasks read them zero-copy, and the
+        # result returns as a Dataset via from_arrow_refs.  All-pairs
+        # cosine with a vocab this small is inherently O(n²·V) work —
+        # distributed over B(B+1)/2 tasks, not a single join wave.
+        return _tfidf_cosine_dense(
+            ds, id_col, text_col, threshold, V, _doc_weights)
+
+    def maxw_partial(batch: pa.Table) -> pa.Table:
+        _, tid, what = _doc_weights(batch)
+        o = np.argsort(tid, kind="stable")
+        ut, start = np.unique(tid[o], return_index=True)
+        mx = (np.maximum.reduceat(what[o], start) if len(ut)
+              else np.empty(0, np.float64))
+        return pa.table({"tid": pa.array(ut, pa.int64()),
+                         "mw": pa.array(mx, pa.float64())})
+
+    mwp = (ds.select_columns([id_col, text_col])
+           .map_batches(maxw_partial, batch_format="pyarrow")
+           .groupby("tid").aggregate(Max("mw", alias_name="mw"))
+           .to_pandas())
+    maxw = np.zeros(len(names), np.float64)
+    maxw[mwp["tid"].to_numpy(np.int64)] = mwp["mw"].to_numpy(np.float64)
+    maxw_ref = ray.put(maxw)
+
+    def vecs(batch: pa.Table) -> pa.Table:
+        mw = ray.get(maxw_ref)
+        r, tid, what = _doc_weights(batch)
+        o = np.lexsort((tid, r))
+        r, tid, what = r[o], tid[o], what[o]
+        counts = np.bincount(r, minlength=batch.num_rows)
+        ends = np.cumsum(counts)
+        starts = ends - counts
+        contrib = what * mw[tid]
+        cum = np.cumsum(contrib)
+        tot = np.bincount(r, weights=contrib, minlength=batch.num_rows)
+        doc_cum_start = np.concatenate(([0.0], cum))[starts]
+        within_excl = (cum - contrib) - doc_cum_start[r]
+        # position j stays in the prefix iff the bound over j..end can
+        # still certify a match on its own side
+        in_prefix = (tot[r] - within_excl) >= threshold
+        npfx = np.bincount(r[in_prefix], minlength=batch.num_rows)
+        ids_np = batch[id_col].to_numpy(zero_copy_only=False)
+        present = np.nonzero(counts)[0]
+        blobs = [tid[s:e].tobytes() + what[s:e].tobytes()
+                 for s, e in zip(starts[present], ends[present])]
         return pa.table({
-            id_col: batch[id_col].take(pa.array(r)),
-            "term": t["term"],
-            "w": pa.array(what, pa.float64()),
+            id_col: pa.array(ids_np[present]),
+            "nt": pa.array(counts[present].astype(np.int64)),
+            "npfx": pa.array(npfx[present].astype(np.int64)),
+            "blob": pa.array(blobs, pa.binary()),
         })
 
-    weighted = (ds.select_columns([id_col, text_col])
-                .map_batches(weigh, batch_format="pyarrow"))
-    np_ = safe_partitions(num_partitions, rows=tf_rows.count())
-    left = weighted.rename_columns({id_col: "id_a", "w": "w_a"})
-    right = weighted.rename_columns({id_col: "id_b", "w": "w_b"})
+    vectors = (ds.select_columns([id_col, text_col])
+               .map_batches(vecs, batch_format="pyarrow").materialize())
 
-    def partial(batch: pa.Table) -> pa.Table:
-        b = batch.filter(pc.less(batch["id_a"], batch["id_b"]))
-        prod = (b["w_a"].to_numpy(zero_copy_only=False)
-                * b["w_b"].to_numpy(zero_copy_only=False))
-        t = pa.table({"id_a": b["id_a"], "id_b": b["id_b"],
-                      "_p": pa.array(prod, pa.float64())})
-        return t.group_by(["id_a", "id_b"]).aggregate(
-            [("_p", "sum")]).rename_columns(["id_a", "id_b", "_p"])
+    def explode(pfx_only: bool):
+        def f(batch: pa.Table) -> pa.Table:
+            nt = batch["nt"].to_numpy(zero_copy_only=False)
+            k = (batch["npfx"].to_numpy(zero_copy_only=False)
+                 if pfx_only else nt)
+            ids = batch[id_col].to_numpy(zero_copy_only=False)
+            blobs = batch["blob"].to_pylist()
+            tids = (np.concatenate(
+                [np.frombuffer(b[:8 * n], np.int64)[:kk]
+                 for b, n, kk in zip(blobs, nt, k)])
+                if len(blobs) else np.empty(0, np.int64))
+            return pa.table({
+                "tid": pa.array(tids),
+                "_id": pa.array(np.repeat(ids, k)),
+            })
+        return f
 
-    sims = (left.join(right, join_type="inner", num_partitions=np_,
-                      on=("term",))
-            .map_batches(partial, batch_format="pyarrow")
-            .groupby(["id_a", "id_b"])
-            .aggregate(Sum("_p", alias_name="cos")))
+    posting = vectors.map_batches(explode(False), batch_format="pyarrow")
+    prefix = vectors.map_batches(explode(True), batch_format="pyarrow")
+    np_ = safe_partitions(num_partitions)
 
-    def fin(batch: pa.Table) -> pa.Table:
-        c = batch["cos"].to_numpy(zero_copy_only=False)
-        keep = c >= threshold
-        out = batch.filter(pa.array(keep))
+    def canon(batch: pa.Table) -> pa.Table:
+        a = batch["id_a"].to_numpy(zero_copy_only=False)
+        b = batch["id_b"].to_numpy(zero_copy_only=False)
+        keep = a != b
+        lo = np.minimum(a, b)[keep]
+        hi = np.maximum(a, b)[keep]
+        t = pa.table({"id_a": pa.array(lo), "id_b": pa.array(hi)})
+        # per-batch dedup combiner ahead of the global distinct
+        return t.group_by(["id_a", "id_b"]).aggregate([])
+
+    cand = (prefix.rename_columns({"_id": "id_a"})
+            .join(posting.rename_columns({"_id": "id_b"}),
+                  join_type="inner", num_partitions=np_, on=("tid",))
+            .map_batches(canon, batch_format="pyarrow")
+            .groupby(["id_a", "id_b"]).aggregate(Count(alias_name="_c"))
+            .select_columns(["id_a", "id_b"])
+            .materialize())
+    n_cand = cand.count()
+    empty = pa.table({"id_a": pa.array([], pa.int64()),
+                      "id_b": pa.array([], pa.int64()),
+                      "cos_e6": pa.array([], pa.int64())})
+    if n_cand == 0:
+        return rd.from_arrow(empty)
+
+    np2 = safe_partitions(num_partitions, rows=n_cand)
+    va = (vectors.select_columns([id_col, "blob"])
+          .rename_columns({id_col: "id_a", "blob": "blob_a"}))
+    vb = (vectors.select_columns([id_col, "blob"])
+          .rename_columns({id_col: "id_b", "blob": "blob_b"}))
+    pairs = (cand.join(va, join_type="inner", num_partitions=np2,
+                       on=("id_a",))
+             .join(vb, join_type="inner", num_partitions=np2,
+                   on=("id_b",)))
+
+    def dot(batch: pa.Table) -> pa.Table:
+        ids_a = batch["id_a"].to_numpy(zero_copy_only=False)
+        ids_b = batch["id_b"].to_numpy(zero_copy_only=False)
+        ba = batch["blob_a"].to_pylist()
+        bb = batch["blob_b"].to_pylist()
+        cos = np.empty(len(ba), np.float64)
+        for i, (xa, xb) in enumerate(zip(ba, bb)):
+            na, nb_ = len(xa) // 16, len(xb) // 16
+            ta = np.frombuffer(xa[:8 * na], np.int64)
+            tb = np.frombuffer(xb[:8 * nb_], np.int64)
+            _, ia, ib = np.intersect1d(ta, tb, assume_unique=True,
+                                       return_indices=True)
+            cos[i] = np.dot(
+                np.frombuffer(xa[8 * na:], np.float64)[ia],
+                np.frombuffer(xb[8 * nb_:], np.float64)[ib])
+        keep = cos >= threshold
+        if not keep.any():
+            return empty
         return pa.table({
-            "id_a": out["id_a"], "id_b": out["id_b"],
+            "id_a": pa.array(ids_a[keep]),
+            "id_b": pa.array(ids_b[keep]),
             "cos_e6": pa.array(np.floor(
-                c[keep] * 1e6 + 0.5).astype(np.int64)),
+                cos[keep] * 1e6 + 0.5).astype(np.int64)),
         })
 
-    return sims.map_batches(fin, batch_format="pyarrow")
+    return pairs.map_batches(dot, batch_format="pyarrow")
 
 
 def incremental_dedup(base, delta, id_col: str = "doc_id",
