@@ -1393,63 +1393,55 @@ def connected_components(edges, src_col: str = "src",
 
     Output: (node, component) with component = min node id reachable.
     Isolated nodes (present as self-loops or absent-from-edges ids fed
-    via the edge list) label themselves."""
+    via the edge list) label themselves.
+
+    Execution reuses the linkage pipeline's clustering fast path
+    (stages/cluster.py, round-4 VERDICT #2 — the old per-round
+    two-join BSP here spent 65.9 s at bench tier on a graph whose
+    contracted forest union-finds in seconds): iterated per-batch
+    spanning-forest contraction (``contract_to_cap``) collapses the
+    edge list to near the nodes−components floor, then either a
+    driver union-find (Arrow-native, below ``cc_driver_max_pairs``)
+    or distributed min-label propagation over the ~star forest.
+    Works for int or string node ids (the contraction is
+    dictionary-encode-generic; min = numeric for ints,
+    lexicographic for strings — matching the SQL oracle's MIN)."""
     import ray.data as rd
-    from ray.data.aggregate import Min, Sum
+    from ray.data.aggregate import Min
 
-    from wned_ray.util import safe_partitions
+    from wned_ray.config import PipelineConfig
+    from wned_ray.stages.cluster import (_collect_union_find,
+                                         _distributed_cc, contract_to_cap)
 
-    def sym(b: pa.Table) -> pa.Table:
-        s = b[src_col].combine_chunks()
-        d = b[dst_col].combine_chunks()
-        return pa.table({"src": pa.concat_arrays([s, d]),
-                         "dst": pa.concat_arrays([d, s])})
-
-    sym_edges = edges.map_batches(sym, batch_format="pyarrow").materialize()
-    n_edges = sym_edges.count()
-    np_ = safe_partitions(16, rows=n_edges)
-
-    from ray.data.aggregate import Count
-
-    labels = (sym_edges
-              .map_batches(lambda b: pa.table({"node": b["src"]}),
-                           batch_format="pyarrow")
-              .groupby("node").aggregate(Count(alias_name="_c"))
-              .map_batches(lambda b: pa.table({
-                  "node": b["node"], "lbl": b["node"]}),
-                  batch_format="pyarrow")
-              .materialize())
-    prev_sum = None
-    for _ in range(max_rounds):
-        prop = (sym_edges
-                .join(labels.map_batches(lambda b: pa.table({
-                    "src": b["node"], "_l": b["lbl"]}),
-                    batch_format="pyarrow"),
-                    join_type="inner", num_partitions=np_, on=("src",))
-                .map_batches(lambda b: pa.table({
-                    "node": b["dst"], "lbl": b["_l"]}),
-                    batch_format="pyarrow"))
-        labels = (prop.union(labels.select_columns(["node", "lbl"]))
-                  .groupby("node").aggregate(Min("lbl", alias_name="lbl"))
-                  .materialize())
-        # pointer jump: node -> label-of-label (label[l] <= l, so this
-        # only ever decreases; halves remaining path length per round)
-        lut = labels.map_batches(lambda b: pa.table({
-            "lbl": b["node"], "_l2": b["lbl"]}), batch_format="pyarrow")
-        labels = (labels.join(lut, join_type="inner",
-                              num_partitions=np_, on=("lbl",))
-                  .map_batches(lambda b: pa.table({
-                      "node": b["node"], "lbl": b["_l2"]}),
-                      batch_format="pyarrow")
-                  .materialize())
-        s = labels.sum("lbl")
-        if s == prev_sum:
-            break
-        prev_sum = s
-
-    return labels.map_batches(lambda b: pa.table({
-        "node": b["node"], "component": b["lbl"]}),
+    cfg = PipelineConfig(cc_max_rounds=max_rounds)
+    e = edges.map_batches(
+        lambda b: pa.table({"id_a": b[src_col], "id_b": b[dst_col]}),
         batch_format="pyarrow")
+
+    # contraction drops nodes whose only incidences are self-loops
+    # (a one-node forest has no star edges); rescue them separately —
+    # the self-loop node set is tiny and distinct-ed before the union
+    loops = (e.map_batches(
+        lambda b: pa.table({"node": b["id_a"].filter(
+            pc.equal(b["id_a"], b["id_b"]))}),
+        batch_format="pyarrow")
+        .groupby("node").aggregate(Min("node", alias_name="component"))
+        .materialize())
+
+    contracted, count = contract_to_cap(e, cfg)
+    if count == 0:
+        return loops       # self-loop-only graph (or no edges at all)
+    if count <= cfg.cc_driver_max_pairs:
+        lab = rd.from_arrow(_collect_union_find(contracted))
+    else:
+        lab = _distributed_cc(contracted, cfg)
+    lab = lab.rename_columns(
+        {"mention_id": "node", "cluster_id": "component"})
+    if loops.count() > 0:
+        lab = (lab.union(loops)
+               .groupby("node")
+               .aggregate(Min("component", alias_name="component")))
+    return lab
 
 
 def cumulative_new_users(ds, type_col: str, user_col: str, ts_col: str):

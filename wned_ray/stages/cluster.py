@@ -119,8 +119,10 @@ def _forest_batch(batch: pa.Table) -> pa.Table:
     nodes = enc.dictionary
     n = len(nodes)
     if n == 0:
-        empty = pa.array([], pa.string())
-        return pa.table({"id_a": empty, "id_b": empty})
+        # type-preserving empty (int edge lists from the standalone CC
+        # must not union a string-typed empty block into the forest)
+        return pa.table({"id_a": batch["id_a"].slice(0, 0),
+                         "id_b": batch["id_b"].slice(0, 0)})
     label = _scatter_min_labels(codes.astype(np.int64), n, batch.num_rows)
     keep = label != np.arange(n, dtype=np.int64)   # drop root self-edges
     return pa.table({
@@ -203,7 +205,16 @@ def _label_hash_sum(labels_ds) -> int:
     from wned_ray.functions.minhash import whole_string_hashes
 
     def h(batch: pa.Table) -> pa.Table:
-        h32 = whole_string_hashes(batch["cluster_id"]) & np.uint64(0xFFFFFFFF)
+        col = batch["cluster_id"]
+        if pa.types.is_string(col.type) or pa.types.is_large_string(col.type):
+            h32 = whole_string_hashes(col) & np.uint64(0xFFFFFFFF)
+        else:
+            # integer labels (standalone CC over int node ids):
+            # splitmix64 finalizer, same 32-bit fold
+            x = col.to_numpy(zero_copy_only=False).astype(np.uint64)
+            x = (x ^ (x >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+            x = (x ^ (x >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+            h32 = (x ^ (x >> np.uint64(31))) & np.uint64(0xFFFFFFFF)
         lo = int((h32 & np.uint64(0xFFFF)).sum(dtype=np.uint64))
         hi = int((h32 >> np.uint64(16)).sum(dtype=np.uint64))
         return pa.table({"lo": pa.array([lo], pa.int64()),
