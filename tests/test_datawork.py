@@ -1727,6 +1727,39 @@ def test_edit_distance_join_complete_vs_bruteforce(ray_session):
     assert len(want) >= 4
 
 
+def test_edit_distance_join_d2_bruteforce(ray_session):
+    """max_dist=2 (chained deletions): every pair within Levenshtein
+    distance 2 must be found — fixture covers double-substitution,
+    substitution+insert, double-delete, transposed-ish pairs, and
+    far-apart strings that must NOT match."""
+    import ray.data as rd
+
+    from wned_ray.pipelines.datawork import edit_distance_join
+
+    names = ["martha", "martba", "marhta", "mart", "marthaxy",
+             "m", "xy", "", "zzzzz", "martha", "abcdef", "abXdYf"]
+    df = pd.DataFrame({"id": range(len(names)), "name": names})
+    got = (edit_distance_join(rd.from_pandas(df).repartition(4),
+                              "id", "name", max_dist=2).to_pandas()
+           .sort_values(["id_a", "id_b"]).reset_index(drop=True))
+
+    def lev(a, b):
+        dp = np.arange(len(b) + 1)
+        for i, ca in enumerate(a, 1):
+            prev = dp.copy()
+            dp[0] = i
+            for j, cb in enumerate(b, 1):
+                dp[j] = min(prev[j] + 1, dp[j - 1] + 1,
+                            prev[j - 1] + (ca != cb))
+        return dp[len(b)]
+
+    want = [[i, j, names[i], names[j], lev(names[i], names[j])]
+            for i in range(len(names)) for j in range(i + 1, len(names))
+            if lev(names[i], names[j]) <= 2]
+    assert got.values.tolist() == want
+    assert any(w[4] == 2 for w in want)   # d=2 pairs actually exercised
+
+
 def test_tfidf_cosine_join_hand_example(ray_session):
     """3 docs over a 3-term vocab with hand-computable tf-idf: the
     identical pair scores cos=1; the disjoint-content pair falls below
