@@ -159,6 +159,36 @@ def test_increment_distributed_merge_path(ray_session, split_corpus):
     assert diff.empty, diff.head(20)
 
 
+def test_increment_semi_join_fallback_path(ray_session, split_corpus):
+    """Exact-agreement gate with the keep-set BROADCASTS disabled
+    (increment_broadcast_max_rows=0 forces the distributed marker
+    semi-join fallback for every membership filter — delta norms,
+    delta/dirty mention ids, dirty base-edge drop — and
+    blocking_merge_driver_max_rows=0 keeps us off the driver-merge
+    branch that owns its own cap). max_block_size=10 forces hot flips
+    so the DIRTY side of the fallback is exercised too, not just the
+    delta side."""
+    corpus, base_path, delta_path = split_corpus
+    cfg = PipelineConfig(global_promote=False, max_block_size=10,
+                         blocking_merge_driver_max_rows=0,
+                         increment_broadcast_max_rows=0)
+
+    full = run_linkage(corpus["transcripts"], corpus["aliases"],
+                       corpus["graph_edges"], cfg,
+                       redirects_path=corpus["redirects"])
+    base = run_linkage(base_path, corpus["aliases"],
+                       corpus["graph_edges"], cfg,
+                       redirects_path=corpus["redirects"])
+    inc = run_linkage_increment(base, delta_path, corpus["aliases"],
+                                corpus["graph_edges"], cfg,
+                                redirects_path=corpus["redirects"])
+    got = _assign_df(inc["clusters"])
+    want = _assign_df(full["clusters"])
+    merged = got.merge(want, on="mention_id", suffixes=("_inc", "_full"))
+    diff = merged[merged["cluster_id_inc"] != merged["cluster_id_full"]]
+    assert diff.empty, diff.head(20)
+
+
 def test_increment_chain_three_deltas(ray_session, t1_corpus,
                                       tmp_path_factory):
     """Append-mostly usage: three sequential deltas chained through

@@ -235,6 +235,14 @@ class PipelineConfig:
     # ~16M distinct surface×band rows — the 100 TB regime) the
     # distributed merge plan runs.
     blocking_merge_driver_max_rows: int = 16_000_000
+    # Increment keep-set broadcast cap (rows across delta norms + dirty
+    # norms + delta/dirty mention ids). The sets are delta-sized by
+    # contract, but a TB-scale delta would break the driver; past the
+    # cap the increment's membership filters switch to distributed
+    # marker semi-joins (util.semi_join_or_filter) and nothing is
+    # collected — same cap-with-fallback discipline as every other
+    # broadcast site.
+    increment_broadcast_max_rows: int = 20_000_000
     # Relatedness precompute: below this many unique in-graph entity
     # pairs AND with the graph in dense mode (<= SMALL_GRAPH_LIMIT nodes,
     # where signatures are memoized per entity and shared across pairs),

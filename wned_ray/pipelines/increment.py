@@ -210,10 +210,13 @@ def run_linkage_increment(base: dict, delta_transcripts_path: str,
     ``run_linkage_increment(prev["state"], next_delta, ...)``.
 
     Driver-state bounds: the delta's distinct norms and mention ids are
-    broadcast via ``ray.put`` (delta-vocab- / delta-sized — the increment
-    unit a caller chooses; for a delta too large to broadcast, run the
-    full pipeline instead: past ~10% of the corpus the full rerun's
-    simpler plan wins anyway).
+    broadcast via ``ray.put`` only below
+    ``cfg.increment_broadcast_max_rows``; past the cap every membership
+    filter switches to a distributed marker semi-join
+    (``util.semi_join_or_filter``) and nothing delta-sized touches the
+    driver. (Past ~10% of the corpus the full rerun's simpler plan wins
+    anyway — the cap keeps the increment CORRECT, not optimal, for
+    oversized deltas.)
     """
     import ray
     import ray.data as rd
@@ -239,7 +242,8 @@ def run_linkage_increment(base: dict, delta_transcripts_path: str,
         cfg).materialize()
     _prof("prepared", t0)
 
-    if delta_prepared.count() == 0:
+    n_delta = delta_prepared.count()
+    if n_delta == 0:
         # empty delta: the merged assignment IS the base assignment
         # (an empty dataset has no schema to shuffle/groupby on)
         return {"prepared": delta_prepared, "scores": None,
@@ -259,6 +263,8 @@ def run_linkage_increment(base: dict, delta_transcripts_path: str,
         touched_blocking = _driver_backed(touched_t)
         touched_norms = pc.unique(touched_t["norm_mention"])
         merged_blocking = _driver_backed(merged_t)   # chain state
+        use_broadcast = True       # already under the driver-merge cap
+        keep_norms_ds = keep_ids_ds = dirty_ids_ds = None
     else:
         combined_blocking = merge_blocking(
             base["blocking"], delta_blocking).materialize()
@@ -276,8 +282,9 @@ def run_linkage_increment(base: dict, delta_transcripts_path: str,
         # whole norms over-drops multi-band pairs (0.2%).
         hot_base = hot_block_keys(base["blocking"], cfg)
         flipped = hot - hot_base
-        dirty_norms_t = pa.table(
-            {"norm_mention": pa.array([], pa.string())})
+        delta_norms_ds = (delta_blocking.groupby("norm_mention").count()
+                          .select_columns(["norm_mention"]).materialize())
+        dirty_norms_ds = None
         if flipped:
             flipped_arr = pa.array(sorted(flipped), pa.int64())
 
@@ -285,26 +292,52 @@ def run_linkage_increment(base: dict, delta_transcripts_path: str,
                 return batch.filter(
                     pc.is_in(batch["block_key"], value_set=flipped_arr))
 
-            dirty_norms_t = pa.Table.from_pandas(
-                combined_blocking.map_batches(_in_flipped,
-                                              batch_format="pyarrow")
-                .groupby("norm_mention").count()
-                .select_columns(["norm_mention"]).to_pandas())
+            dnd = (combined_blocking.map_batches(_in_flipped,
+                                                 batch_format="pyarrow")
+                   .groupby("norm_mention").count()
+                   .select_columns(["norm_mention"]).materialize())
+            if dnd.count() > 0:
+                dirty_norms_ds = dnd
+
+        # Keep-set cap (round-4 VERDICT #4): the delta norm / mention-id
+        # sets are delta-sized BY CONTRACT but were uncapped — past
+        # cfg.increment_broadcast_max_rows nothing is collected to the
+        # driver and every membership filter below switches to a
+        # distributed marker semi-join (util.semi_join_or_filter).
+        n_keep = (delta_norms_ds.count() + n_delta
+                  + (dirty_norms_ds.count() if dirty_norms_ds else 0))
+        use_broadcast = n_keep <= cfg.increment_broadcast_max_rows
+
+        dirty_norms_t = pa.table(
+            {"norm_mention": pa.array([], pa.string())})
+        if dirty_norms_ds is not None and use_broadcast:
+            dirty_norms_t = pa.concat_tables(
+                [t for t in ray.get(dirty_norms_ds.to_arrow_refs())
+                 if t.num_rows > 0]).combine_chunks()
 
         # prune the pair self-join to block keys the delta (or a dirty
         # norm) actually touches
         delta_keys = (delta_blocking.groupby("block_key").count()
                       .select_columns(["block_key"]))
-        if len(dirty_norms_t):
-            dn_arr = dirty_norms_t["norm_mention"].combine_chunks()
+        if dirty_norms_ds is not None:
+            if use_broadcast:
+                dn_arr = dirty_norms_t["norm_mention"].combine_chunks()
 
-            def _of_dirty(batch: pa.Table) -> pa.Table:
-                return batch.filter(
-                    pc.is_in(batch["norm_mention"], value_set=dn_arr))
+                def _of_dirty(batch: pa.Table) -> pa.Table:
+                    return batch.filter(
+                        pc.is_in(batch["norm_mention"], value_set=dn_arr))
 
-            dirty_keys = (combined_blocking
-                          .map_batches(_of_dirty, batch_format="pyarrow")
-                          .select_columns(["block_key"]))
+                dirty_sel = combined_blocking.map_batches(
+                    _of_dirty, batch_format="pyarrow")
+            else:
+                from wned_ray.util import semi_join_or_filter
+
+                dirty_sel = semi_join_or_filter(
+                    combined_blocking.select_columns(
+                        ["norm_mention", "block_key"]),
+                    ["norm_mention"], dirty_norms_ds, "norm_mention",
+                    num_partitions=num_partitions)
+            dirty_keys = dirty_sel.select_columns(["block_key"])
             delta_keys = (delta_keys.union(dirty_keys)
                           .groupby("block_key").count()
                           .select_columns(["block_key"]))
@@ -316,37 +349,66 @@ def run_linkage_increment(base: dict, delta_transcripts_path: str,
         touched_blocking = combined_blocking.join(
             delta_keys, join_type="inner", num_partitions=num_partitions,
             on=("block_key",)).materialize()
-        delta_norms = pa.Table.from_pandas(
-            delta_blocking.groupby("norm_mention").count()
-            .select_columns(["norm_mention"]).to_pandas())
+        delta_norms = (pa.concat_tables(
+            [t for t in ray.get(delta_norms_ds.to_arrow_refs())
+             if t.num_rows > 0]).combine_chunks()
+            if use_broadcast else None)
         touched_norms = None
         merged_blocking = combined_blocking          # chain state
+        if not use_broadcast:
+            # distributed keep sets: distinct-norm union and the dirty
+            # mention ids stay Datasets; consumers semi-join them
+            from wned_ray.util import semi_join_or_filter
+
+            keep_norms_ds = delta_norms_ds
+            dirty_ids_ds = None
+            if dirty_norms_ds is not None:
+                keep_norms_ds = (delta_norms_ds.union(dirty_norms_ds)
+                                 .groupby("norm_mention").count()
+                                 .select_columns(["norm_mention"])
+                                 .materialize())
+                dirty_ids_ds = (semi_join_or_filter(
+                    base["prepared"].select_columns(
+                        ["mention_id", "norm_mention"]),
+                    ["norm_mention"], dirty_norms_ds, "norm_mention",
+                    num_partitions=num_partitions)
+                    .select_columns(["mention_id"]).materialize())
+            keep_ids_ds = delta_prepared.select_columns(["mention_id"])
+            if dirty_ids_ds is not None:
+                keep_ids_ds = keep_ids_ds.union(dirty_ids_ds)
     _prof("blocking", t0)
 
-    # broadcast keep sets (driver-bounded: delta-sized + dirty-norm-sized;
+    # broadcast keep sets (driver-bounded below
+    # cfg.increment_broadcast_max_rows: delta-sized + dirty-norm-sized;
     # dirty norms cluster near the hot cap, a small set by construction)
     t0 = time.time()
-    keep_norms = pa.concat_tables(
-        [delta_norms, dirty_norms_t]).combine_chunks()
-    norm_keep_ref = ray.put(keep_norms["norm_mention"].combine_chunks())
-    delta_ids = pa.Table.from_pandas(
-        delta_prepared.select_columns(["mention_id"]).to_pandas())
-    dirty_ids_t = pa.table({"mention_id": pa.array([], pa.string())})
-    if len(dirty_norms_t):
-        dn_arr = dirty_norms_t["norm_mention"].combine_chunks()
+    norm_keep_ref = None
+    delta_ids_ref = None
+    dirty_ids_arr = pa.array([], pa.string())
+    if use_broadcast:
+        keep_norms = pa.concat_tables(
+            [delta_norms, dirty_norms_t]).combine_chunks()
+        norm_keep_ref = ray.put(keep_norms["norm_mention"].combine_chunks())
+        delta_ids = pa.Table.from_pandas(
+            delta_prepared.select_columns(["mention_id"]).to_pandas())
+        dirty_ids_t = pa.table({"mention_id": pa.array([], pa.string())})
+        if len(dirty_norms_t):
+            dn_arr = dirty_norms_t["norm_mention"].combine_chunks()
 
-        def _mention_of_dirty(batch: pa.Table) -> pa.Table:
-            return (batch.filter(pc.is_in(batch["norm_mention"],
-                                          value_set=dn_arr))
-                    .select(["mention_id"]))
+            def _mention_of_dirty(batch: pa.Table) -> pa.Table:
+                return (batch.filter(pc.is_in(batch["norm_mention"],
+                                              value_set=dn_arr))
+                        .select(["mention_id"]))
 
-        dirty_ids_t = pa.Table.from_pandas(
-            base["prepared"].select_columns(["mention_id", "norm_mention"])
-            .map_batches(_mention_of_dirty, batch_format="pyarrow")
-            .to_pandas())
-    keep_ids = pa.concat_tables([delta_ids, dirty_ids_t]).combine_chunks()
-    delta_ids_ref = ray.put(keep_ids["mention_id"].combine_chunks())
-    dirty_ids_arr = dirty_ids_t["mention_id"].combine_chunks()
+            dirty_ids_t = pa.Table.from_pandas(
+                base["prepared"]
+                .select_columns(["mention_id", "norm_mention"])
+                .map_batches(_mention_of_dirty, batch_format="pyarrow")
+                .to_pandas())
+        keep_ids = pa.concat_tables(
+            [delta_ids, dirty_ids_t]).combine_chunks()
+        delta_ids_ref = ray.put(keep_ids["mention_id"].combine_chunks())
+        dirty_ids_arr = dirty_ids_t["mention_id"].combine_chunks()
 
     import pyarrow.parquet as pq
 
@@ -382,9 +444,17 @@ def run_linkage_increment(base: dict, delta_transcripts_path: str,
     pairs = gen_pairs(mentions, touched_blocking, hot, cfg,
                       num_partitions=num_partitions,
                       alias_ref=alias_ref, graph_ref=graph_ref,
-                      norm_keep_ref=norm_keep_ref)
-    pairs = pairs.map_batches(_keep_touching_ids(delta_ids_ref),
-                              batch_format="pyarrow")
+                      norm_keep_ref=norm_keep_ref,
+                      norm_keep_ds=None if use_broadcast else keep_norms_ds)
+    if use_broadcast:
+        pairs = pairs.map_batches(_keep_touching_ids(delta_ids_ref),
+                                  batch_format="pyarrow")
+    else:
+        from wned_ray.util import semi_join_or_filter
+
+        pairs = semi_join_or_filter(pairs, ["id_a", "id_b"], keep_ids_ds,
+                                    "mention_id",
+                                    num_partitions=num_partitions)
     scores = finalize_scores(pairs, cfg).materialize()
     _prof("scores", t0)
 
@@ -406,6 +476,12 @@ def run_linkage_increment(base: dict, delta_transcripts_path: str,
 
         base_edges = base_edges.map_batches(_drop_dirty,
                                             batch_format="pyarrow")
+    elif not use_broadcast and dirty_ids_ds is not None:
+        from wned_ray.util import semi_join_or_filter
+
+        base_edges = semi_join_or_filter(
+            base_edges, ["id_a", "id_b"], dirty_ids_ds, "mention_id",
+            num_partitions=num_partitions, keep=False)
 
     # CC over the SLIM matched-edge union (|matched| = O(mentions) after
     # blocking + threshold prune — the cheap stage of a full run), then
@@ -440,6 +516,12 @@ def run_linkage_increment(base: dict, delta_transcripts_path: str,
 
         state_scores = state_scores.map_batches(_drop_dirty_rows,
                                                 batch_format="pyarrow")
+    elif not use_broadcast and dirty_ids_ds is not None:
+        from wned_ray.util import semi_join_or_filter
+
+        state_scores = semi_join_or_filter(
+            state_scores, ["id_a", "id_b"], dirty_ids_ds, "mention_id",
+            num_partitions=num_partitions, keep=False)
     state = {"prepared": full_prepared, "blocking": merged_blocking,
              "scores": state_scores.union(scores), "clusters": clusters}
 

@@ -581,7 +581,8 @@ def _keep_touching_norms(keep_ref):
 
 def gen_pairs(prepared_ds, norm_blocks_ds, hot_keys: set[int],
               cfg: PipelineConfig, num_partitions: int = 16,
-              alias_ref=None, graph_ref=None, norm_keep_ref=None):
+              alias_ref=None, graph_ref=None, norm_keep_ref=None,
+              norm_keep_ds=None):
     """prepared + norm blocking -> canonical, unique candidate mention
     pairs (the composition used by pipelines/link.py).
 
@@ -592,7 +593,10 @@ def gen_pairs(prepared_ds, norm_blocks_ds, hot_keys: set[int],
 
     ``norm_keep_ref`` (incremental runs, pipelines/increment.py): a
     ``ray.put`` Arrow string array; norm pairs touching NO kept norm are
-    dropped before scoring/expansion."""
+    dropped before scoring/expansion. ``norm_keep_ds`` is the
+    past-the-broadcast-cap twin: a distinct (norm_mention) Dataset
+    applied as a distributed marker semi-join instead
+    (cfg.increment_broadcast_max_rows discipline)."""
     import sys
     import time
 
@@ -602,6 +606,12 @@ def gen_pairs(prepared_ds, norm_blocks_ds, hot_keys: set[int],
     if norm_keep_ref is not None:
         np_ds = np_ds.map_batches(_keep_touching_norms(norm_keep_ref),
                                   batch_format="pyarrow")
+    elif norm_keep_ds is not None:
+        from wned_ray.util import semi_join_or_filter
+
+        np_ds = semi_join_or_filter(np_ds, ["norm_a", "norm_b"],
+                                    norm_keep_ds, "norm_mention",
+                                    num_partitions=num_partitions)
     if (cfg.pair_mode == "star"
             and not getattr(np_ds, "_wned_driver_backed", False)):
         # pin the raw pair set FIRST (vocab-sized): the scorer's
