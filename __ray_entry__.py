@@ -3286,13 +3286,13 @@ def _q_sortmerge_join_orders(sf_dir: str):
 
 def queries() -> dict[str, Callable[[str], Any]]:
     # ORDER MATTERS: the round driver sweeps this dict in insertion order
-    # and records the FIRST 50 entries (round-3 CORRECTNESS captured
-    # exactly positions 1-50 of 64), so 50 SQL-oracled queries are
-    # registered first and fill the window exactly; the flagship
-    # rows-only ER gates come right after it, then the remaining
-    # coverage queries (each pytest-gated and/or SQL-oracled, all swept
-    # locally by scripts/check_all.py).
-    return {
+    # and records the FIRST 50 entries, so the window is rotated each
+    # round (round-4 VERDICT #5): oracled queries NOT driver-checked in
+    # round 4 are moved to the head below, so the union of r4+r5 driver
+    # rows certifies every oracled query; the rest keep their original
+    # order (each pytest-gated and/or SQL-oracled, all swept locally by
+    # scripts/check_all.py).
+    q = {
         # relational / operator coverage (SQL-checked)
         "normalize_text": _q_normalize_text,
         "filter_events": _q_filter_events,
@@ -3447,6 +3447,35 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dp_counts_events": _q_dp_counts_events,
         "sortmerge_join_orders": _q_sortmerge_join_orders,
     }
+    # Window rotation: every oracled query the round-4 driver did NOT
+    # check moves to the head (CORRECTNESS_r04.json recorded these 50).
+    r4_checked = {
+        "normalize_text", "filter_events", "edge_aggregate",
+        "alias_prior", "topk_parts", "join_orders_customers",
+        "left_join_customers_orders", "customers_without_orders",
+        "distinct_sources", "exact_dedup_docs", "token_count_docs",
+        "doc_quality", "cooccur_pairs", "grouped_norm",
+        "knn_embeddings", "idf_terms", "tfidf_top_terms",
+        "abbrev_tokens", "per_user_top_event",
+        "lineitem_pricing_summary", "events_daily",
+        "union_region_nation", "sessionize_events",
+        "asof_click_before_purchase", "windowed_events",
+        "sliding_window_events", "range_join_clicks",
+        "hash_sample_docs", "stratified_sample_docs", "bm25_docs",
+        "corr_lineitem", "event_value_quantiles", "heavy_hitter_terms",
+        "window_funcs_events", "bloom_semi_join_orders",
+        "rollup_events", "cube_events", "pivot_events",
+        "row_number_events", "hll_distinct_terms", "curated_docs_sql",
+        "alias_redirect_resolved", "anchor_aliases",
+        "ngram_jaccard_dedup", "lang_id_docs", "embedding_near_dup",
+        "hll_group_distinct_users", "salted_join_orders",
+        "weighted_sample_docs", "scrub_pii_docs",
+    }
+    oracled = set(oracle_sql())
+    head = [k for k in q if k in oracled and k not in r4_checked]
+    head_set = set(head)
+    return {k: q[k] for k in
+            head + [k for k in q if k not in head_set]}
 
 
 def oracle_sql() -> dict[str, str]:
@@ -4239,13 +4268,18 @@ def oracle_sql() -> dict[str, str]:
             "ELSE 0 END) > 3.0"
         ),
         "orders_above_cust_avg": (
-            "WITH a AS (SELECT o_custkey, avg(o_totalprice) AS av "
-            "FROM orders GROUP BY o_custkey) "
+            # exact-cents mean (sum of round(v*100) + count): the float
+            # avg's last ulp depends on accumulation order and flipped
+            # the e2 rounding vs the Ray side — 1.3*sc/c over the same
+            # two integers is bit-identical in both engines
+            "WITH a AS (SELECT o_custkey, "
+            "sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS sc, "
+            "count(*) AS c FROM orders GROUP BY o_custkey) "
             "SELECT o.o_orderkey, o.o_custkey, o.o_totalprice, "
-            "CAST(floor(a.av * 1.3 * 100 + 0.5) AS BIGINT) "
+            "CAST(floor(1.3 * a.sc / a.c + 0.5) AS BIGINT) "
             "AS threshold_e2 "
             "FROM orders o JOIN a USING (o_custkey) "
-            "WHERE o.o_totalprice > a.av * 1.3"
+            "WHERE round(o.o_totalprice * 100) > 1.3 * a.sc / a.c"
         ),
         "topn_events_ties": (
             "SELECT user_id, event_id, value, rnk FROM ("

@@ -141,3 +141,51 @@ def test_score_pairs_defaults_to_precompute(ray_session, t1_corpus):
                 "matched"]) <= set(got.columns)
     np.testing.assert_allclose(got["sem_sim"], want_norm["sem_sim"])
     np.testing.assert_allclose(got["prior"], want_norm["prior"])
+
+
+def test_scorer_rel_mode_config(ray_session, t1_corpus):
+    """cfg.rel_mode selects the Milne-Witten kernel end-to-end on the
+    er_scores path: scorer state carries the DirectedCSR twin for a
+    directed mode, the scorer's sem_sim equals milne_witten_mode over
+    the same pair, and a different mode produces a different (valid)
+    feature column — the K7 surface is config-reachable, not just a
+    kernel unit."""
+    import pyarrow.parquet as pq
+
+    from wned_ray.stages.scoring import NormPairScorer, build_scorer_state
+    from wned_ray.state.graph import CSRGraph, DirectedCSR, milne_witten_mode
+
+    alias_t = pq.read_table(t1_corpus["aliases"])
+    graph_t = pq.read_table(t1_corpus["graph_edges"])
+    sems = {}
+    for mode in ("in_count", "undirect", "ppr"):
+        cfg = PipelineConfig(rel_mode=mode)
+        state = build_scorer_state(alias_t, graph_t, cfg)
+        if mode in ("in_count",):
+            assert state["graph_directed"] is not None
+        tbl = _norm_pair_table(state)
+        scorer = NormPairScorer(cfg=cfg, state_ref=state)
+        out = scorer(tbl)
+        sem = out["sem_sim"].to_numpy(zero_copy_only=False)
+        assert np.isfinite(sem).all() and (sem >= 0).all()
+        sems[mode] = sem
+
+        if mode == "in_count":
+            # spot-check: scorer's semantic feature IS the MW kernel
+            g = CSRGraph(*state["graph"])
+            d = DirectedCSR(*state["graph_directed"])
+            na = out["norm_a"].to_pylist()
+            nb = out["norm_b"].to_pylist()
+            gids = {}
+            for nm, gid in zip(state["alias_names"], state["top_gid"]):
+                gids[str(nm)] = int(gid)
+            found = 0
+            for i, (x, y) in enumerate(zip(na, nb)):
+                ga, gb = gids.get(x, -1), gids.get(y, -1)
+                if ga >= 0 and gb >= 0:
+                    want = milne_witten_mode("in_count", ga, gb,
+                                             undirected=g, directed=d)
+                    assert sem[i] == pytest.approx(want), (x, y)
+                    found += 1
+            assert found >= 3
+    assert not np.allclose(sems["in_count"], sems["ppr"])

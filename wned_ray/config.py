@@ -235,6 +235,15 @@ class PipelineConfig:
     # ~16M distinct surface×band rows — the 100 TB regime) the
     # distributed merge plan runs.
     blocking_merge_driver_max_rows: int = 16_000_000
+    # Relatedness kernel selection (K7/K8 surface,
+    # RelatednessMeasureWebGraph.java:31-62): "ppr" (default — ZeroKL
+    # over PPR signatures, the reference's shipped configuration) or
+    # one of the ten Milne-Witten link-set modes: in / in_count / out /
+    # out_count / both / both_count (directed graph), undirect /
+    # undirect_count / undirect_link_count / direct_count. The last two
+    # keep the reference's quirks verbatim: direct_count always scores
+    # 0.0; undirect_link_count returns the raw edge weight.
+    rel_mode: str = "ppr"
     # Increment keep-set broadcast cap (rows across delta norms + dirty
     # norms + delta/dirty mention ids). The sets are delta-sized by
     # contract, but a TB-scale delta would break the driver; past the

@@ -138,7 +138,11 @@ def build_scorer_state(alias_table: pa.Table, graph_table: pa.Table | None,
     symmetrized CSR graph arrays + factorized alias-candidate arrays.
     ``ray.put`` the result and pass as ``state_ref`` — each actor then
     wires zero-copy numpy views instead of repeating the
-    vocabulary-sized pandas/CSR builds per actor per run."""
+    vocabulary-sized pandas/CSR builds per actor per run. When
+    ``cfg.rel_mode`` selects a directed Milne-Witten mode, the
+    DirectedCSR twin's arrays ride along as ``graph_directed``."""
+    from wned_ray.state.graph import DIRECTED_MW_MODES, DirectedCSR
+
     if graph_table is not None and graph_table.num_rows > 0:
         g = CSRGraph.from_edges(
             graph_table["src"].to_pylist(),
@@ -150,7 +154,44 @@ def build_scorer_state(alias_table: pa.Table, graph_table: pa.Table | None,
         gstate = None
     st = _candidate_csr_arrays(alias_table, cfg, g)
     st["graph"] = gstate
+    st["graph_directed"] = None
+    if (gstate is not None
+            and getattr(cfg, "rel_mode", "ppr") in DIRECTED_MW_MODES):
+        d = DirectedCSR.from_edges(
+            graph_table["src"].to_pylist(),
+            graph_table["dst"].to_pylist(),
+            graph_table["weight"].to_numpy(zero_copy_only=False))
+        st["graph_directed"] = (d.out_indptr, d.out_indices,
+                                d.out_counts, d.in_indptr,
+                                d.in_indices, d.in_counts, d.names)
     return st
+
+
+def _make_kernel(graph: CSRGraph, cfg: PipelineConfig,
+                 st: dict | None = None,
+                 graph_table: pa.Table | None = None) -> "SignatureKernel":
+    """SignatureKernel wired from cfg — the single construction point
+    for the scorer pool, the relatedness precompute actors and the
+    driver fast path, so ``cfg.rel_mode`` (K7: PPR default or any of
+    the ten Milne-Witten link-set modes) applies everywhere the
+    semantic feature is computed. Directed modes get a DirectedCSR
+    from the prebuilt state arrays or the raw edge table."""
+    from wned_ray.state.graph import DIRECTED_MW_MODES, DirectedCSR
+
+    mode = getattr(cfg, "rel_mode", "ppr")
+    directed = None
+    if mode in DIRECTED_MW_MODES:
+        if st is not None and st.get("graph_directed") is not None:
+            directed = DirectedCSR(*st["graph_directed"])
+        elif graph_table is not None:
+            directed = DirectedCSR.from_edges(
+                graph_table["src"].to_pylist(),
+                graph_table["dst"].to_pylist(),
+                graph_table["weight"].to_numpy(zero_copy_only=False))
+    return SignatureKernel(graph, cfg.ppr_alpha, cfg.ppr_max_iter,
+                           cfg.ppr_tol, cfg.kl_gamma, cfg.kl_eps,
+                           cfg.hub_degree_threshold,
+                           rel_mode=mode, directed=directed)
 
 
 class NormPairScorer:
@@ -190,10 +231,7 @@ class NormPairScorer:
                 else state_ref
             if st["graph"] is not None:
                 self.graph = CSRGraph(*st["graph"])   # name2id stays lazy
-                self.kernel = SignatureKernel(
-                    self.graph, cfg.ppr_alpha, cfg.ppr_max_iter,
-                    cfg.ppr_tol, cfg.kl_gamma, cfg.kl_eps,
-                    cfg.hub_degree_threshold)
+                self.kernel = _make_kernel(self.graph, cfg, st=st)
             else:
                 self.graph = None
                 self.kernel = None
@@ -212,9 +250,8 @@ class NormPairScorer:
                 graph_table["src"].to_pylist(),
                 graph_table["dst"].to_pylist(),
                 graph_table["weight"].to_numpy(zero_copy_only=False))
-            self.kernel = SignatureKernel(
-                self.graph, cfg.ppr_alpha, cfg.ppr_max_iter, cfg.ppr_tol,
-                cfg.kl_gamma, cfg.kl_eps, cfg.hub_degree_threshold)
+            self.kernel = _make_kernel(self.graph, cfg,
+                                       graph_table=graph_table)
         else:
             self.graph = None
             self.kernel = None
@@ -341,9 +378,7 @@ class RelCalc:
         st = ray.get(state_ref) if not isinstance(state_ref, dict) \
             else state_ref
         self.graph = CSRGraph(*st["graph"])
-        self.kernel = SignatureKernel(
-            self.graph, cfg.ppr_alpha, cfg.ppr_max_iter, cfg.ppr_tol,
-            cfg.kl_gamma, cfg.kl_eps, cfg.hub_degree_threshold)
+        self.kernel = _make_kernel(self.graph, cfg, st=st)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         ga = batch["ga"].to_numpy(zero_copy_only=False)
@@ -491,9 +526,7 @@ def _precompute_rel(norm_pairs_ds, state, state_ref, cfg: PipelineConfig):
         # serial scores wall on the 16-CPU leg, 2.25x stage scaling vs
         # 3.4x with the pool) — embarrassingly parallel work stays in
         # the pool there.
-        kernel = SignatureKernel(
-            CSRGraph(*state["graph"]), cfg.ppr_alpha, cfg.ppr_max_iter,
-            cfg.ppr_tol, cfg.kl_gamma, cfg.kl_eps, cfg.hub_degree_threshold)
+        kernel = _make_kernel(CSRGraph(*state["graph"]), cfg, st=state)
         ksort = np.sort(keys)
         rel = np.array([kernel.relatedness(int(k // n_nodes),
                                            int(k % n_nodes))

@@ -229,11 +229,19 @@ class SignatureKernel:
     def __init__(self, graph: CSRGraph, alpha: float = 0.85, max_iter: int = 3,
                  tol: float = 1e-5, gamma: float = 10.0, eps: float = 1e-6,
                  hub_threshold: int = 200,
-                 small_graph_limit: int = SMALL_GRAPH_LIMIT):
+                 small_graph_limit: int = SMALL_GRAPH_LIMIT,
+                 rel_mode: str = "ppr",
+                 directed: "DirectedCSR | None" = None):
         self.g = graph
         self.alpha, self.max_iter, self.tol = alpha, max_iter, tol
         self.gamma, self.eps = gamma, eps
         self.hub_threshold = hub_threshold
+        # K7 surface: "ppr" = ZeroKL over PPR signatures (default), else
+        # one of the ten Milne-Witten link-set modes (milne_witten_mode)
+        self.rel_mode = rel_mode
+        self.directed = directed
+        if rel_mode != "ppr" and rel_mode not in MW_MODES:
+            raise ValueError(f"unknown rel_mode {rel_mode!r}")
         self._cache: dict[int, np.ndarray] = {}
         # small graphs: dense full-graph signatures, memoized per entity.
         # Large graphs: per-PAIR joint-subgraph signatures (K1 discipline —
@@ -336,7 +344,11 @@ class SignatureKernel:
         key = (a, b) if a < b else (b, a)
         v = self._rel_cache.get(key)
         if v is None:
-            if self._global:
+            if self.rel_mode != "ppr":
+                v = milne_witten_mode(self.rel_mode, key[0], key[1],
+                                      undirected=self.g,
+                                      directed=self.directed)
+            elif self._global:
                 kl = zero_kl_divergence(self.signature(key[0]),
                                         self.signature(key[1]),
                                         self.gamma, self.eps)
@@ -345,6 +357,203 @@ class SignatureKernel:
                 v = self._relatedness_subgraph(key[0], key[1])
             self._rel_cache[key] = v
         return v
+
+
+class DirectedCSR:
+    """Directed counted graph: out-CSR + in-CSR over ONE id space — the
+    analog of the reference's DirectedGraph in/outLinks(2) accessors
+    (``…/graph/DirectedGraph.java``), needed by the directed
+    Milne-Witten link-set modes. Ids are assigned with the SAME
+    first-seen-over-src-then-dst factorization as ``CSRGraph.from_edges``
+    so both structures built from one edge table share the id space.
+    Duplicate (src, dst) edges SUM their counts (the aggregated edge
+    TSV is already unique per pair; summing keeps this robust)."""
+
+    def __init__(self, out_indptr, out_indices, out_counts,
+                 in_indptr, in_indices, in_counts, names):
+        self.out_indptr = out_indptr
+        self.out_indices = out_indices
+        self.out_counts = out_counts
+        self.in_indptr = in_indptr
+        self.in_indices = in_indices
+        self.in_counts = in_counts
+        self.names = names
+
+    @property
+    def num_nodes(self) -> int:
+        return len(self.names)
+
+    @classmethod
+    def from_edges(cls, src, dst, weight) -> "DirectedCSR":
+        import pandas as pd
+
+        src = np.asarray(src, dtype=object)
+        dst = np.asarray(dst, dtype=object)
+        w = np.asarray(weight, dtype=np.float64)
+        codes, uniques = pd.factorize(np.concatenate([src, dst]))
+        names = np.asarray(uniques, dtype=object)
+        n = len(names)
+        s = codes[: len(src)].astype(np.int64)
+        d = codes[len(src):].astype(np.int64)
+        key = s * n + d
+        order = np.argsort(key, kind="stable")
+        key_s, w_s = key[order], w[order]
+        uniq, first = np.unique(key_s, return_index=True)
+        wsum = np.add.reduceat(w_s, first) if len(w_s) else w_s
+        su = (uniq // n).astype(np.int64)
+        du = (uniq % n).astype(np.int64)
+
+        def csr(rows, cols, ws):
+            o = np.argsort(rows, kind="stable")
+            rows, cols, ws = rows[o], cols[o], ws[o]
+            indptr = np.zeros(n + 1, np.int64)
+            np.cumsum(np.bincount(rows, minlength=n), out=indptr[1:])
+            return indptr, cols.astype(np.int32), ws.astype(np.float64)
+
+        oi, oc, ow = csr(su, du, wsum)
+        ii, ic, iw = csr(du, su, wsum)
+        return cls(oi, oc, ow, ii, ic, iw, names)
+
+    def out_links(self, node: int):
+        s, e = self.out_indptr[node], self.out_indptr[node + 1]
+        return self.out_indices[s:e], self.out_counts[s:e]
+
+    def in_links(self, node: int):
+        s, e = self.in_indptr[node], self.in_indptr[node + 1]
+        return self.in_indices[s:e], self.in_counts[s:e]
+
+
+#: modes that need the DirectedCSR twin beside the symmetrized CSRGraph
+DIRECTED_MW_MODES = frozenset(
+    ("in", "in_count", "out", "out_count", "both", "both_count"))
+#: every selectable non-PPR relatedness mode, reference enum -> ours
+#: (RelatednessMeasureWebGraph.java:31-62):
+#:   pageLinksIn->in  pageCountLinksIn->in_count  pageLinksOut->out
+#:   pageCountLinksOut->out_count  pageLinks->both
+#:   pageCountLinks->both_count  directLinkCounts->direct_count
+#:   undirectLinkCounts->undirect_link_count
+#:   undirectPageLinks->undirect  undirectPageCountLinks->undirect_count
+MW_MODES = DIRECTED_MW_MODES | frozenset(
+    ("direct_count", "undirect_link_count", "undirect", "undirect_count"))
+
+
+def _mw_binary(l1: np.ndarray, l2: np.ndarray, n_nodes: int) -> float:
+    """Set-based Milne-Witten with the reference's exact clip chain
+    (``RelatednessMeasureWebGraph.java:116-152``): empty side or empty
+    intersection => sr 1.0 => clipped to 0; sr<0 or sr>=1 => 0;
+    else 1-sr."""
+    if len(l1) == 0 or len(l2) == 0:
+        return 0.0
+    common = len(np.intersect1d(l1, l2))
+    if common == 0:
+        return 0.0
+    hi, lo = max(len(l1), len(l2)), min(len(l1), len(l2))
+    denom = np.log(n_nodes) - np.log(lo)
+    if denom <= 0:
+        return 0.0
+    sr = (np.log(hi) - np.log(common)) / denom
+    if sr < 0.0 or sr >= 1.0:
+        return 0.0
+    return float(1.0 - sr)
+
+
+def _mw_counted(ids1, c1, ids2, c2, n_nodes: int) -> float:
+    """Counted Milne-Witten (``:165-193``): sizes become count sums and
+    the intersection becomes Σ min(count1, count2) over shared
+    neighbors; same clip chain."""
+    if len(ids1) == 0 or len(ids2) == 0:
+        return 0.0
+    num1 = float(c1.sum())
+    num2 = float(c2.sum())
+    _, i1, i2 = np.intersect1d(ids1, ids2, assume_unique=True,
+                               return_indices=True)
+    common = float(np.minimum(c1[i1], c2[i2]).sum())
+    if common <= 0 or num1 <= 0 or num2 <= 0:
+        return 0.0
+    denom = np.log(n_nodes) - np.log(min(num1, num2))
+    if denom <= 0:
+        return 0.0
+    sr = (np.log(max(num1, num2)) - np.log(common)) / denom
+    if sr < 0.0 or sr >= 1.0:
+        return 0.0
+    return float(1.0 - sr)
+
+
+def milne_witten_mode(mode: str, a: int, b: int,
+                      undirected: CSRGraph | None = None,
+                      directed: "DirectedCSR | None" = None) -> float:
+    """All ten link-set relatedness modes of
+    ``RelatednessMeasureWebGraph.java:83-353`` over the CSR pair
+    (K7 full surface, round-4 VERDICT #6), including the reference's
+    quirks: a==b => 1.0 before any mode dispatch; ``direct_count``
+    always returns 0.0 (the reference's switch arm, :102-103);
+    ``undirect_link_count`` returns the RAW edge weight between the
+    two nodes (not clamped to [0,1], :346-352). The undirected modes
+    run over the max-weight-symmetrized ``CSRGraph`` (the repo's
+    undirected artifact); directed modes need the ``DirectedCSR``
+    twin built from the same edge table."""
+    if a == b:
+        return 1.0
+    if mode in DIRECTED_MW_MODES:
+        if directed is None:
+            raise ValueError(f"rel_mode={mode!r} needs a DirectedCSR")
+        n = directed.num_nodes
+        if mode == "in":
+            return _mw_binary(directed.in_links(a)[0],
+                              directed.in_links(b)[0], n)
+        if mode == "out":
+            return _mw_binary(directed.out_links(a)[0],
+                              directed.out_links(b)[0], n)
+        if mode == "in_count":
+            i1, c1 = directed.in_links(a)
+            i2, c2 = directed.in_links(b)
+            return _mw_counted(i1, c1, i2, c2, n)
+        if mode == "out_count":
+            i1, c1 = directed.out_links(a)
+            i2, c2 = directed.out_links(b)
+            return _mw_counted(i1, c1, i2, c2, n)
+        if mode == "both":
+            s1 = np.union1d(directed.in_links(a)[0],
+                            directed.out_links(a)[0])
+            s2 = np.union1d(directed.in_links(b)[0],
+                            directed.out_links(b)[0])
+            return _mw_binary(s1, s2, n)
+        # both_count: merge the in/out maps SUMMING counts per neighbor
+        # (:265-283), then the counted formula
+        def merged(node):
+            ii, ic = directed.in_links(node)
+            oi, oc = directed.out_links(node)
+            ids = np.concatenate([ii, oi])
+            cs = np.concatenate([ic, oc])
+            o = np.argsort(ids, kind="stable")
+            u, first = np.unique(ids[o], return_index=True)
+            return u, (np.add.reduceat(cs[o], first) if len(u)
+                       else cs)
+        i1, c1 = merged(a)
+        i2, c2 = merged(b)
+        return _mw_counted(i1, c1, i2, c2, n)
+    if mode == "direct_count":
+        return 0.0
+    if undirected is None:
+        raise ValueError(f"rel_mode={mode!r} needs the undirected CSR")
+    if mode == "undirect_link_count":
+        s, e = undirected.indptr[a], undirected.indptr[a + 1]
+        nbrs = undirected.indices[s:e]
+        hit = np.nonzero(nbrs == b)[0]
+        return float(undirected.weights[s:e][hit[0]]) if len(hit) else 0.0
+    if mode == "undirect":
+        return _mw_binary(undirected.neighbors(a),
+                          undirected.neighbors(b), undirected.num_nodes)
+    if mode == "undirect_count":
+        sa, ea = undirected.indptr[a], undirected.indptr[a + 1]
+        sb, eb = undirected.indptr[b], undirected.indptr[b + 1]
+        return _mw_counted(
+            undirected.indices[sa:ea],
+            undirected.weights[sa:ea].astype(np.float64),
+            undirected.indices[sb:eb],
+            undirected.weights[sb:eb].astype(np.float64),
+            undirected.num_nodes)
+    raise ValueError(f"unknown Milne-Witten mode {mode!r}")
 
 
 def milne_witten(graph: CSRGraph, a: int, b: int) -> float:
