@@ -885,27 +885,84 @@ def _q_er_resolve_prior_vs_full(sf_dir: str):
 
 
 def _q_er_fit_weights(sf_dir: str):
-    """A5 learned ranker through the driver: fit the LINEAR fusion
-    weights + threshold from the hard tier's labeled pairs x scored
-    pairs (fusion.fit_config — the L2RPredictor training analog) and
-    report them with the training-pair count. The pytest twin re-runs
-    the pipeline under the fitted config and asserts the F1 gate."""
+    """A5 learned ranker through the driver: fit BOTH ranker analogs
+    from the hard tier's labeled pairs x scored pairs — the pointwise
+    least-squares fit (fusion.fit_config) and the RankNet-style
+    pairwise logistic fit (fusion.fit_config_pairwise, the honest
+    L2RPredictor training analog: the reference trains a RankLib
+    learning-to-rank model) — one row each, with the training-pair
+    count. The pytest twins re-run the pipeline under each fitted
+    config and assert the F1 gate."""
     import pandas as pd
 
-    from wned_ray.functions.fusion import fit_config
+    from wned_ray.functions.fusion import fit_config, fit_config_pairwise
 
     corpus, cfg, out = _hard_linkage()
     labels_df = _rd().read_parquet(corpus["labels"]).to_pandas()
     scores_df = out["scores"].to_pandas()
-    fitted = fit_config(scores_df, labels_df, cfg)
     n = len(labels_df.merge(scores_df[["id_a", "id_b"]],
                             on=["id_a", "id_b"]))
+    rows = []
+    for fitter, name in ((fit_config, "pointwise_lstsq"),
+                         (fit_config_pairwise, "pairwise_ranknet")):
+        fitted = fitter(scores_df, labels_df, cfg)
+        rows.append({
+            "fit": name,
+            "train_pairs": n,
+            "prior_weight_e4": int(round(fitted.prior_weight * 10000)),
+            "local_weight_e4": int(round(fitted.local_weight * 10000)),
+            "name_weight_e4": int(round(fitted.name_weight * 10000)),
+            "threshold_e4": int(round(fitted.match_threshold * 10000)),
+        })
+    return pd.DataFrame(rows)
+
+
+def _q_er_nil_accuracy(sf_dir: str):
+    """Model-based NIL decision (K12, NILPredictor.java:26-62 analog):
+    fit the calibrated logistic over the 4-feature vector on the hard
+    tier's labeled x scored pairs, re-run the linkage with
+    cfg.nil_model set (matched = P(match) >= 0.5 instead of the
+    score threshold), and report (a) pairwise micro-F1 under the
+    model decision and (b) NIL accuracy proper — the fraction of
+    gold-NIL mentions (synth's no-entity turns, entity_id == 'NIL'
+    in expected_clusters) left as singletons by the model-decided
+    clustering."""
+    import pandas as pd
+
+    from wned_ray.functions.fusion import fit_nil_model
+    from wned_ray.pipelines.link import run_linkage
+    from wned_ray.stages.evaluate import pairwise_metrics
+
+    corpus, cfg, out = _hard_linkage()
+    labels_df = _rd().read_parquet(corpus["labels"]).to_pandas()
+    scores_df = out["scores"].to_pandas()
+    d = labels_df.merge(
+        scores_df[["id_a", "id_b", "prior", "local", "sem_sim",
+                   "name_sim"]], on=["id_a", "id_b"], how="inner")
+    model = fit_nil_model(
+        d[["prior", "local", "sem_sim", "name_sim"]].to_numpy(),
+        d["is_match"].to_numpy())
+    from dataclasses import replace
+    nil_cfg = replace(cfg, nil_model=model)
+    rerun = run_linkage(corpus["transcripts"], corpus["aliases"],
+                        corpus["graph_edges"], nil_cfg,
+                        redirects_path=corpus.get("redirects"))
+    m = pairwise_metrics(_rd().read_parquet(corpus["labels"]),
+                         rerun["clusters"])
+    exp = _rd().read_parquet(corpus["expected_clusters"]).to_pandas()
+    got = rerun["clusters"].to_pandas()
+    sizes = got.groupby("cluster_id")["mention_id"].transform("size")
+    got["singleton"] = sizes == 1
+    nil = exp[exp["entity_id"] == "NIL"].merge(
+        got[["mention_id", "singleton"]], on="mention_id", how="left")
+    # gold-NIL turns have no mention surface, so absence from the
+    # clustering output also counts as (vacuously) singleton
+    nil_ok = nil["singleton"].fillna(True).mean() if len(nil) else 1.0
     return pd.DataFrame([{
-        "train_pairs": n,
-        "prior_weight_e4": int(round(fitted.prior_weight * 10000)),
-        "local_weight_e4": int(round(fitted.local_weight * 10000)),
-        "name_weight_e4": int(round(fitted.name_weight * 10000)),
-        "threshold_e4": int(round(fitted.match_threshold * 10000)),
+        "train_pairs": len(d),
+        "micro_f1_e6": int(round(m["micro_f1"] * 1e6)),
+        "gold_nil_mentions": len(nil),
+        "nil_singleton_rate_e6": int(round(float(nil_ok) * 1e6)),
     }])
 
 
@@ -3363,6 +3420,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "er_resolve": _q_er_resolve,
         "er_resolve_strategies": _q_er_resolve_strategies,
         "er_fit_weights": _q_er_fit_weights,
+        "er_nil_accuracy": _q_er_nil_accuracy,
         "er_increment": _q_er_increment,
         "curated_docs": _q_curated_docs,
         "minhash_dedup_docs": _q_minhash_dedup,

@@ -238,3 +238,69 @@ def test_fitted_weights_match_hand_tuned_f1(hard_run):
                                        "local": fitted.local_weight,
                                        "name": fitted.name_weight,
                                        "thr": fitted.match_threshold})
+
+
+def test_pairwise_fitted_weights_match_f1(hard_run):
+    """The RankNet-style pairwise ranker (fit_config_pairwise — the
+    honest L2RPredictor analog) must reach the same F1 gate as the
+    pointwise fit on the adversarial tier."""
+    import ray.data as rd
+
+    from wned_ray.functions.fusion import fit_config_pairwise
+    from wned_ray.pipelines.link import run_linkage
+    from wned_ray.stages.evaluate import pairwise_metrics
+
+    corpus, cfg, result = hard_run
+    labels_df = rd.read_parquet(corpus["labels"]).to_pandas()
+    scores_df = result["scores"].to_pandas()
+    fitted = fit_config_pairwise(scores_df, labels_df, cfg)
+    assert fitted.rank_scheme == "LINEAR"
+
+    refit = run_linkage(corpus["transcripts"], corpus["aliases"],
+                        corpus["graph_edges"], fitted,
+                        redirects_path=corpus["redirects"])
+    m = pairwise_metrics(rd.read_parquet(corpus["labels"]),
+                         refit["clusters"])
+    assert m["micro_f1"] >= 0.99, (m, {"prior": fitted.prior_weight,
+                                       "local": fitted.local_weight,
+                                       "name": fitted.name_weight,
+                                       "thr": fitted.match_threshold})
+
+
+def test_nil_model_e2e(hard_run):
+    """Model-based NIL (cfg.nil_model, NILPredictor analog): the
+    calibrated logistic decision must hold the pairwise F1 gate on the
+    adversarial tier AND leave every gold-NIL mention a singleton."""
+    from dataclasses import replace
+
+    import ray.data as rd
+
+    from wned_ray.functions.fusion import fit_nil_model
+    from wned_ray.pipelines.link import run_linkage
+    from wned_ray.stages.evaluate import pairwise_metrics
+
+    corpus, cfg, result = hard_run
+    labels_df = rd.read_parquet(corpus["labels"]).to_pandas()
+    scores_df = result["scores"].to_pandas()
+    d = labels_df.merge(
+        scores_df[["id_a", "id_b", "prior", "local", "sem_sim",
+                   "name_sim"]], on=["id_a", "id_b"], how="inner")
+    model = fit_nil_model(
+        d[["prior", "local", "sem_sim", "name_sim"]].to_numpy(),
+        d["is_match"].to_numpy())
+    rerun = run_linkage(corpus["transcripts"], corpus["aliases"],
+                        corpus["graph_edges"],
+                        replace(cfg, nil_model=model),
+                        redirects_path=corpus["redirects"])
+    m = pairwise_metrics(rd.read_parquet(corpus["labels"]),
+                         rerun["clusters"])
+    assert m["micro_f1"] >= 0.99, m
+
+    exp = rd.read_parquet(corpus["expected_clusters"]).to_pandas()
+    got = rerun["clusters"].to_pandas()
+    sizes = got.groupby("cluster_id")["mention_id"].transform("size")
+    got["singleton"] = sizes == 1
+    nil = exp[exp["entity_id"] == "NIL"].merge(
+        got[["mention_id", "singleton"]], on="mention_id", how="left")
+    assert len(nil) > 0, "hard tier must plant gold-NIL turns"
+    assert nil["singleton"].fillna(True).all()

@@ -244,6 +244,13 @@ class PipelineConfig:
     # keep the reference's quirks verbatim: direct_count always scores
     # 0.0; undirect_link_count returns the raw edge weight.
     rel_mode: str = "ppr"
+    # Model-based NIL decision (K12, NILPredictor.java:26-62 analog): a
+    # (w_prior, w_local, w_sem, w_name, bias) 5-tuple from
+    # fusion.fit_nil_model. When set, matched = sigmoid(w·f + bias) >=
+    # 0.5 replaces the score >= match_threshold rule; None (default)
+    # keeps the threshold rule — the reference also ships with the
+    # simple rule and trains the classifier offline.
+    nil_model: "tuple | None" = None
     # Increment keep-set broadcast cap (rows across delta norms + dirty
     # norms + delta/dirty mention ids). The sets are delta-sized by
     # contract, but a TB-scale delta would break the driver; past the

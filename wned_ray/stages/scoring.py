@@ -612,6 +612,14 @@ def _finalize_batch(batch: pa.Table, cfg: PipelineConfig) -> pa.Table:
     name_sim = batch["name_sim"].to_numpy(zero_copy_only=False)
     score = fusion.fuse(cfg.rank_scheme, prior, local, sem, name_sim,
                         cfg.prior_weight, cfg.local_weight, cfg.name_weight)
+    if cfg.nil_model is not None:
+        # model-based NIL (K12): calibrated logistic over the 4-feature
+        # vector replaces the fused-score threshold rule
+        matched = fusion.nil_predict(
+            cfg.nil_model,
+            np.column_stack([prior, local, sem, name_sim])) >= 0.5
+    else:
+        matched = score >= cfg.match_threshold
     return pa.table({
         "id_a": batch["id_a"], "id_b": batch["id_b"],
         "block_key": batch["block_key"],
@@ -619,7 +627,7 @@ def _finalize_batch(batch: pa.Table, cfg: PipelineConfig) -> pa.Table:
         "sem_sim": batch["sem_sim"], "name_sim": batch["name_sim"],
         "lev_sim": batch["lev_sim"],
         "score": pa.array(score),
-        "matched": pa.array(score >= cfg.match_threshold),
+        "matched": pa.array(matched),
     })
 
 
