@@ -101,3 +101,31 @@ def test_linkage_with_anchor_mining(ray_session, t1_corpus):
     labels = rd.read_parquet(t1_corpus["labels"])
     m = pairwise_metrics(labels, out["clusters"])
     assert m["micro_f1"] >= 0.99, m
+
+
+def test_linkage_anchor_mining_past_cap(ray_session, t1_corpus):
+    """Past cfg.alias_mined_max_rows the mined table truncates to the
+    top-cap pairs by freq (warned, distributed sort+limit) instead of
+    an unbounded driver collect; with a cap of 1 the pipeline must
+    still run end to end and the dim must gain at most one mined row."""
+    import warnings
+
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from wned_ray.config import PipelineConfig
+    from wned_ray.pipelines.link import run_linkage
+    from wned_ray.stages.aliases import mine_anchor_aliases
+
+    mined_full = mine_anchor_aliases(
+        rd.read_parquet(t1_corpus["transcripts"], columns=["text"]))
+    assert mined_full.count() > 1, "fixture must mine several anchor rows"
+
+    cfg = PipelineConfig(mine_anchor_aliases=True, alias_mined_max_rows=1)
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        out = run_linkage(t1_corpus["transcripts"], t1_corpus["aliases"],
+                          t1_corpus["graph_edges"], cfg,
+                          redirects_path=t1_corpus["redirects"])
+    assert any("alias_mined_max_rows" in str(x.message) for x in w)
+    assert out["clusters"].count() > 0

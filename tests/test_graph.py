@@ -199,3 +199,40 @@ def test_milne_witten_modes_vs_naive():
     # the raw-weight quirk actually returns a weight, not a similarity
     assert milne_witten_mode("undirect_link_count", n2i["e"], n2i["a"],
                              undirected=und) == 4.0
+
+
+def test_ppr_gauss_seidel_matches_power_iteration():
+    """The Gauss-Seidel unit-weight solver (K3 second solver) must agree
+    with the converged power-iteration kernel on the same unit-weight
+    graph, and reach a tolerance in no MORE sweeps than Jacobi needs
+    iterations (the in-place update propagates within a sweep)."""
+    from wned_ray.state.graph import ppr, ppr_gauss_seidel
+
+    g = toy_graph()
+    ones = np.ones_like(g.weights)
+    for seed in range(g.num_nodes):
+        r = np.zeros(g.num_nodes)
+        r[seed] = 1.0
+        want = ppr(g.indptr, g.indices, ones, r,
+                   alpha=0.85, max_iter=200, tol=1e-12)
+        got = ppr_gauss_seidel(g.indptr, g.indices, r,
+                               alpha=0.85, max_iter=200, tol=1e-12)
+        assert np.allclose(got, want, atol=1e-6), seed
+        assert got.sum() == pytest.approx(1.0, abs=1e-6)
+
+
+def test_ppr_gauss_seidel_dangling_and_zero_restart():
+    from wned_ray.state.graph import ppr_gauss_seidel
+
+    # node 2 dangling (no out-edges in the directed interpretation):
+    # a chain 0 -> 1 -> 2
+    indptr = np.array([0, 1, 2, 2])
+    indices = np.array([1, 2])
+    r = np.zeros(3)
+    r[0] = 1.0
+    x = ppr_gauss_seidel(indptr, indices, r, max_iter=100, tol=1e-12)
+    assert x.sum() == pytest.approx(1.0, abs=1e-9)
+    assert x[0] > x[1] > x[2] > 0
+    # zero restart falls back to uniform, no NaNs
+    x2 = ppr_gauss_seidel(indptr, indices, np.zeros(3))
+    assert np.isfinite(x2).all()

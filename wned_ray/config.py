@@ -251,6 +251,12 @@ class PipelineConfig:
     # keeps the threshold rule — the reference also ships with the
     # simple rule and trains the classifier offline.
     nil_model: "tuple | None" = None
+    # Mined-anchor-alias driver cap: the mined (entity, alias, freq)
+    # table is vocabulary-sized by argument, but past this many rows
+    # only the top-cap pairs by freq merge into the alias dim (the dim
+    # must fit the ray.put broadcast budget regardless) — truncation is
+    # warned, not silent.
+    alias_mined_max_rows: int = 8_000_000
     # Increment keep-set broadcast cap (rows across delta norms + dirty
     # norms + delta/dirty mention ids). The sets are delta-sized by
     # contract, but a TB-scale delta would break the driver; past the

