@@ -230,6 +230,7 @@ def sorted_neighborhood_pairs(ds, id_col: str, key_col: str,
     [a-z0-9]); non-ASCII bytes are dropped at encode time. Partitioning
     assumption: one chunk (≤ chunk + window - 1 rows) fits a worker."""
     import pandas as pd
+    import pyarrow.compute as pc
 
     from wned_ray.pipelines.analytics import global_rank
 
@@ -240,29 +241,50 @@ def sorted_neighborhood_pairs(ds, id_col: str, key_col: str,
 
     weights = (128 ** np.arange(6, -1, -1)).astype(np.int64)
 
-    def add_knum(df: pd.DataFrame) -> pd.DataFrame:
-        ks = (df[key_col].fillna("").astype(str).str.slice(0, 7)
-              .str.encode("ascii", "ignore"))
-        fixed = np.array(ks.tolist(), dtype="S7")
-        mat = fixed.view(np.uint8).reshape(-1, 7).astype(np.int64)
-        return pd.DataFrame({
-            id_col: df[id_col].to_numpy(),
-            "_knum": (mat @ weights).astype(np.float64),
+    def add_knum(batch: pa.Table) -> pa.Table:
+        # Arrow-native key packing (round-4 VERDICT minor #6: the old
+        # pandas .str chain built a Python bytes object per row): the
+        # first 7 utf8 BYTES come straight off the string array's value
+        # buffer via offset arithmetic; the high bit is masked so the
+        # base-128 packing stays exact (in-contract keys are ASCII —
+        # see docstring — where byte == codepoint and the mask is a
+        # no-op).
+        arr = pc.fill_null(batch[key_col].cast(pa.string()),
+                           "").combine_chunks()
+        n = len(arr)
+        off = np.frombuffer(arr.buffers()[1], np.int32)[
+            arr.offset: arr.offset + n + 1].astype(np.int64)
+        val = arr.buffers()[2]
+        buf = (np.frombuffer(val, np.uint8) if val is not None
+               else np.zeros(0, np.uint8))
+        lens = np.minimum(np.diff(off), 7)
+        mat = np.zeros((n, 7), np.int64)
+        ir = np.repeat(np.arange(n), lens)
+        within = (np.arange(int(lens.sum()))
+                  - np.repeat(np.cumsum(lens) - lens, lens))
+        mat[ir, within] = buf[np.repeat(off[:-1], lens) + within] & 0x7F
+        return pa.table({
+            id_col: batch[id_col],
+            "_knum": pa.array((mat @ weights).astype(np.float64)),
         })
 
-    keyed = ds.map_batches(add_knum, batch_format="pandas")
+    keyed = ds.map_batches(add_knum, batch_format="pyarrow")
     ranked = global_rank(keyed, "_knum", id_col, out_col="_rnk")
 
-    def assign(df: pd.DataFrame) -> pd.DataFrame:
-        r0 = df["_rnk"].to_numpy() - 1
-        ids = df[id_col].to_numpy()
+    def assign(batch: pa.Table) -> pa.Table:
+        r0 = batch["_rnk"].to_numpy(zero_copy_only=False) - 1
+        ids = batch[id_col].combine_chunks()
         g = r0 // chunk
-        home = pd.DataFrame({id_col: ids, "_r": r0, "_g": g,
-                             "_ghost": False})
         m = ((r0 % chunk) < window - 1) & (g > 0)
-        ghost = pd.DataFrame({id_col: ids[m], "_r": r0[m],
-                              "_g": g[m] - 1, "_ghost": True})
-        return pd.concat([home, ghost], ignore_index=True)
+        ghost_idx = np.nonzero(m)[0]
+        take = pa.array(np.concatenate([np.arange(len(r0)), ghost_idx]))
+        return pa.table({
+            id_col: ids.take(take),
+            "_r": pa.array(np.concatenate([r0, r0[ghost_idx]])),
+            "_g": pa.array(np.concatenate([g, g[ghost_idx] - 1])),
+            "_ghost": pa.array(np.concatenate(
+                [np.zeros(len(r0), bool), np.ones(len(ghost_idx), bool)])),
+        })
 
     def emit(gdf: pd.DataFrame) -> pd.DataFrame:
         gdf = gdf.sort_values("_r", kind="stable")
@@ -286,7 +308,7 @@ def sorted_neighborhood_pairs(ds, id_col: str, key_col: str,
                 "dist": pd.Series([], dtype=np.int64)})
         return pd.concat(parts, ignore_index=True)
 
-    return (ranked.map_batches(assign, batch_format="pandas")
+    return (ranked.map_batches(assign, batch_format="pyarrow")
             .groupby("_g").map_groups(emit, batch_format="pandas"))
 
 
