@@ -2917,6 +2917,45 @@ def _q_graph_components_parts(sf_dir: str):
     return connected_components(edges, "src", "dst")
 
 
+def _q_leakage_safe_split_docs(sf_dir: str):
+    """Group-aware train/val/test split (datawork.leakage_safe_split):
+    exact-duplicate documents always land in the SAME split — the
+    representative (min doc id per text group) draws one keyed
+    multiplicative hash and the whole group inherits it. SQL twin
+    repeats the 32-bit-ring arithmetic bit-exactly (HUGEINT
+    intermediate for the multiply)."""
+    from wned_ray.pipelines.datawork import leakage_safe_split
+
+    ds = _rd().read_parquet(f"{sf_dir}/documents.parquet",
+                            columns=["doc_id", "text"])
+    return leakage_safe_split(ds)
+
+
+def _q_token_budget_chunks_docs(sf_dir: str):
+    """Contiguous token-budget chunking (datawork.token_budget_chunks):
+    docs in id order pack into ~512-token context windows via a
+    distributed prefix-sum (global rank -> bucket sums -> driver
+    offsets -> per-bucket cumsum); SQL twin is one window cumsum."""
+    from wned_ray.pipelines.datawork import token_budget_chunks
+
+    ds = _rd().read_parquet(f"{sf_dir}/documents.parquet",
+                            columns=["doc_id", "text"])
+    return token_budget_chunks(ds, budget=512)
+
+
+def _q_mix_lang_docs(sf_dir: str):
+    """Deterministic weighted source interleave (datawork.mix_sources):
+    'en' at weight 3 emits three docs for every one of each other
+    language, merged on virtual time (r-0.5)/w — the data-mixture
+    order as a first-class column; SQL twin is two window
+    row_numbers."""
+    from wned_ray.pipelines.datawork import mix_sources
+
+    ds = _rd().read_parquet(f"{sf_dir}/documents.parquet",
+                            columns=["doc_id", "lang"])
+    return mix_sources(ds, "doc_id", "lang", weights={"en": 3.0})
+
+
 def _q_cumulative_new_users(sf_dir: str):
     """Daily new-user counts + running cumulative distinct users per
     event type (analytics.cumulative_new_users): distinctness reduces
@@ -3504,6 +3543,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pseudonymize_events": _q_pseudonymize_events,
         "dp_counts_events": _q_dp_counts_events,
         "sortmerge_join_orders": _q_sortmerge_join_orders,
+        "leakage_safe_split_docs": _q_leakage_safe_split_docs,
+        "token_budget_chunks_docs": _q_token_budget_chunks_docs,
+        "mix_lang_docs": _q_mix_lang_docs,
     }
     # Window rotation: every oracled query the round-4 driver did NOT
     # check moves to the head (CORRECTNESS_r04.json recorded these 50).
@@ -4373,6 +4415,42 @@ def oracle_sql() -> dict[str, str]:
             "CAST(((CAST((user_id + 2654435769) % 4294967296 "
             "AS HUGEINT) * 2654435761) % 4294967296) AS BIGINT) "
             "AS pseudo_id FROM events"
+        ),
+        "leakage_safe_split_docs": (
+            # same 32-bit-ring keyed hash as pseudonymize, drawn once
+            # per text group's min-id representative; thresholds are
+            # floor(0.8 * 2^32) and floor(0.9 * 2^32)
+            "WITH g AS (SELECT doc_id, "
+            "min(doc_id) OVER (PARTITION BY text) AS rep_id "
+            "FROM documents), "
+            "h AS (SELECT doc_id, rep_id, "
+            "CAST(((CAST((rep_id + 2654435769) % 4294967296 "
+            "AS HUGEINT) * 2654435761) % 4294967296) AS BIGINT) AS hv "
+            "FROM g) "
+            "SELECT doc_id, rep_id, "
+            "CASE WHEN hv < 3435973836 THEN 'train' "
+            "WHEN hv < 3865470566 THEN 'val' ELSE 'test' END AS split "
+            "FROM h"
+        ),
+        "token_budget_chunks_docs": (
+            "WITH t AS (SELECT doc_id, "
+            "len(regexp_extract_all(text, '\\S+')) AS ntok "
+            "FROM documents), "
+            "c AS (SELECT doc_id, ntok, COALESCE(sum(ntok) OVER ("
+            "ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND "
+            "1 PRECEDING), 0) AS cb FROM t) "
+            "SELECT doc_id, CAST(ntok AS BIGINT) AS ntok, "
+            "CAST(cb // 512 AS BIGINT) AS chunk_id FROM c"
+        ),
+        "mix_lang_docs": (
+            "WITH r AS (SELECT doc_id, lang, "
+            "row_number() OVER (PARTITION BY lang ORDER BY doc_id) "
+            "AS rr FROM documents), "
+            "p AS (SELECT doc_id, lang, (rr - 0.5) / "
+            "(CASE lang WHEN 'en' THEN 3.0 ELSE 1.0 END) AS pos "
+            "FROM r) "
+            "SELECT doc_id, lang, row_number() OVER ("
+            "ORDER BY pos, doc_id) AS mix_rank FROM p"
         ),
         "dp_counts_events": (
             "WITH c AS (SELECT event_type, count(*) AS n FROM events "

@@ -1948,3 +1948,69 @@ def test_corr_matrix_matches_numpy(ray_session):
         want[0, 2] * 1e6 + 0.5))) <= 1
     assert got[("a", "b")] > 990_000       # strongly correlated pair
     assert abs(got[("a", "c")]) < 100_000  # independent pair
+
+
+def test_leakage_safe_split_groups_stay_together(ray_session):
+    """Planted exact-duplicate groups must land in ONE split each; the
+    split draw is the keyed hash of the group's min id."""
+    import ray.data as rd
+
+    from wned_ray.pipelines.datawork import leakage_safe_split
+
+    rng = np.random.default_rng(3)
+    texts = [f"unique doc {i} {rng.integers(1e9)}" for i in range(200)]
+    # plant 20 dup groups of 3 (ids spread apart)
+    for g in range(20):
+        texts[g + 50] = texts[g]
+        texts[g + 120] = texts[g]
+    df = pd.DataFrame({"doc_id": range(len(texts)), "text": texts})
+    got = (leakage_safe_split(rd.from_pandas(df).repartition(5))
+           .to_pandas())
+    assert len(got) == len(texts)
+    m = got.merge(df, on="doc_id")
+    per_text = m.groupby("text")["split"].nunique()
+    assert (per_text == 1).all()          # no group straddles splits
+    assert set(got["split"]) <= {"train", "val", "test"}
+    assert (got["split"] == "train").mean() > 0.5   # ratios roughly hold
+    # rep_id is the min doc id of the group
+    rep = m.groupby("text")["doc_id"].min().rename("want_rep")
+    chk = m.merge(rep, on="text")
+    assert (chk["rep_id"] == chk["want_rep"]).all()
+
+
+def test_token_budget_chunks_hand_case(ray_session):
+    """Known token counts + budget 10: chunk boundaries are exactly
+    floor(tokens_before / budget), invariant to partitioning."""
+    import ray.data as rd
+
+    from wned_ray.pipelines.datawork import token_budget_chunks
+
+    ntoks = [4, 7, 3, 10, 1, 9, 2, 8]          # cumsum-before: 0 4 11 14 24 25 34 36
+    texts = [" ".join(["w"] * n) for n in ntoks]
+    df = pd.DataFrame({"doc_id": range(len(texts)), "text": texts})
+    want_chunks = [0, 0, 1, 1, 2, 2, 3, 3]
+    for parts in (1, 3):
+        got = (token_budget_chunks(rd.from_pandas(df).repartition(parts),
+                                   budget=10, n_buckets=4)
+               .to_pandas().sort_values("doc_id").reset_index(drop=True))
+        assert got["ntok"].tolist() == ntoks
+        assert got["chunk_id"].tolist() == want_chunks
+
+
+def test_mix_sources_hand_interleave(ray_session):
+    """Weight 2:1 interleave of A(4 docs) and B(2 docs): virtual times
+    A=.25,.75,1.25,1.75 / B=.5,1.5 give the exact merge order
+    A1 B1 A2 A3 B2 A4."""
+    import ray.data as rd
+
+    from wned_ray.pipelines.datawork import mix_sources
+
+    df = pd.DataFrame({
+        "doc_id": [10, 11, 12, 13, 20, 21],
+        "src": ["A", "A", "A", "A", "B", "B"],
+    })
+    got = (mix_sources(rd.from_pandas(df).repartition(3), "doc_id",
+                       "src", weights={"A": 2.0, "B": 1.0})
+           .to_pandas().sort_values("mix_rank"))
+    assert got["doc_id"].tolist() == [10, 20, 11, 12, 21, 13]
+    assert got["mix_rank"].tolist() == [1, 2, 3, 4, 5, 6]

@@ -4279,3 +4279,187 @@ def corr_matrix(ds, num_cols: list):
         "col_b": pa.array([r[1] for r in rows]),
         "corr_e6": pa.array([r[2] for r in rows], pa.int64()),
     }))
+
+
+def leakage_safe_split(ds, id_col: str = "doc_id", text_col: str = "text",
+                       ratios: tuple = (0.8, 0.1, 0.1),
+                       key: int = 0x9E3779B9, num_partitions: int = 16):
+    """Group-aware train/val/test split — the training-data-prep step
+    naive random splits get wrong: EXACT-duplicate documents must land
+    in the SAME split or eval leaks into train. Group = 63-bit content
+    hash (``add_content_hash``); representative = min doc id per
+    group; the split is drawn from the keyed multiplicative hash of
+    the REPRESENTATIVE id (``analytics.pseudonymize``'s 32-bit-ring
+    integer arithmetic — bit-exact in SQL), thresholded at the
+    cumulative ``ratios`` of the 2^32 ring, so every member of a dup
+    group inherits one draw.
+
+    Scale shape: one content-hash groupby (slim: hash + id), one hash
+    join back, stateless assignment — no text ever re-shuffles.
+    Output: (doc_id, rep_id, split) with split in {train, val, test}."""
+    from ray.data.aggregate import Min
+
+    from wned_ray.util import safe_partitions
+
+    hashed = add_content_hash(
+        ds.select_columns([id_col, text_col]), text_col).materialize()
+    reps = (hashed.groupby("content_hash")
+            .aggregate(Min(id_col, alias_name="rep_id")))
+    np_ = safe_partitions(num_partitions)
+    joined = hashed.select_columns([id_col, "content_hash"]).join(
+        reps, join_type="inner", num_partitions=np_,
+        on=("content_hash",))
+    c1 = np.uint64(int(ratios[0] * 2**32))
+    c2 = np.uint64(int((ratios[0] + ratios[1]) * 2**32))
+
+    def assign(b: pa.Table) -> pa.Table:
+        rep = b["rep_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        h = ((rep + np.uint64(key)) % np.uint64(2**32)
+             * np.uint64(2654435761)) % np.uint64(2**32)
+        split = np.where(h < c1, "train",
+                         np.where(h < c2, "val", "test"))
+        return pa.table({
+            id_col: b[id_col], "rep_id": b["rep_id"],
+            "split": pa.array(split.astype(object), pa.string()),
+        })
+
+    return joined.map_batches(assign, batch_format="pyarrow")
+
+
+def token_budget_chunks(ds, id_col: str = "doc_id",
+                        text_col: str = "text", budget: int = 512,
+                        n_buckets: int = 64, num_partitions: int = 16):
+    """Contiguous token-budget chunking — the pretraining shard-packing
+    step: documents in id order are assigned chunk = floor(tokens_before
+    / budget), i.e. consecutive docs pack into ~``budget``-token
+    context windows. Token count = whitespace-run count (one Arrow
+    regex kernel; the SQL twin is len(regexp_extract_all(text,'\\S+'))).
+
+    Distributed SCAN shape (the running total Ray has no operator
+    for): slim (id, ntok) rows -> exact global rank by id
+    (``analytics.global_rank``) -> rank-range buckets -> per-bucket
+    token sums -> driver prefix over n_buckets scalars -> per-bucket
+    sorted cumsum + offset. Nothing document-sized ever sits on the
+    driver. Output: (doc_id, ntok, chunk_id)."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    from wned_ray.pipelines.analytics import global_rank
+    from wned_ray.util import safe_partitions
+
+    def tok(b: pa.Table) -> pa.Table:
+        n = pc.count_substring_regex(b[text_col], r"\S+")
+        # "_ord" mirrors the id: global_rank wants distinct id/val cols
+        return pa.table({id_col: b[id_col], "_ord": b[id_col],
+                         "ntok": n.cast(pa.int64())})
+
+    tokd = (ds.select_columns([id_col, text_col])
+            .map_batches(tok, batch_format="pyarrow").materialize())
+    total = tokd.count()
+    ranked = global_rank(tokd, "_ord", id_col, out_col="_rnk")
+    np_ = safe_partitions(num_partitions, rows=total)
+    j = tokd.join(ranked, join_type="inner", num_partitions=np_,
+                  on=(id_col,))
+    per = max(1, -(-total // n_buckets))
+
+    def bucketize(b: pa.Table) -> pa.Table:
+        r = b["_rnk"].to_numpy(zero_copy_only=False)
+        return b.append_column("_bk", pa.array((r - 1) // per))
+
+    bucketed = j.map_batches(bucketize, batch_format="pyarrow") \
+                .materialize()
+    sums = (bucketed.groupby("_bk")
+            .aggregate(Sum("ntok", alias_name="_s")).to_pandas()
+            .sort_values("_bk"))
+    offs = np.zeros(n_buckets + 1, np.int64)
+    offs[sums["_bk"].to_numpy(np.int64) + 1] = sums["_s"].to_numpy(np.int64)
+    offs = np.cumsum(offs)
+    oref = ray.put(offs)
+
+    def emit(g: pd.DataFrame) -> pd.DataFrame:
+        offsets = ray.get(oref)
+        g = g.sort_values("_rnk", kind="stable")
+        nt = g["ntok"].to_numpy(np.int64)
+        before = offsets[int(g["_bk"].iloc[0])] + np.cumsum(nt) - nt
+        return pd.DataFrame({
+            id_col: g[id_col].to_numpy(),
+            "ntok": nt,
+            "chunk_id": before // budget,
+        })
+
+    return bucketed.groupby("_bk").map_groups(emit,
+                                              batch_format="pandas")
+
+
+def mix_sources(ds, id_col: str = "doc_id", source_col: str = "lang",
+                weights: "dict | None" = None,
+                default_weight: float = 1.0, id_bits: int = 40,
+                num_partitions: int = 16):
+    """Deterministic weighted interleave of data sources into ONE
+    global training order — the data-mixture step of a pretraining
+    pipeline: a source with weight w emits its r-th document at
+    virtual time (r - 0.5) / w, and the mix is the ascending
+    virtual-time merge (row_number over ORDER BY pos, id in SQL).
+    Twice the weight => twice the appearance rate, deterministically
+    interleaved rather than sampled.
+
+    Distributed shape: per-source ranks come from ONE composite
+    global rank (source_idx * 2^id_bits + id — exact in the rank
+    kernel's float64 for ids < 2^id_bits and < 8k sources; ids past
+    the bound raise) minus per-source offsets (a dim-sized driver
+    prefix), then a second global rank over the virtual times.
+    Output: (id, source, mix_rank)."""
+    import ray
+    from ray.data.aggregate import Count
+
+    from wned_ray.pipelines.analytics import global_rank
+    from wned_ray.util import safe_partitions
+
+    weights = weights or {}
+    slim = ds.select_columns([id_col, source_col]).materialize()
+    dim = (slim.groupby(source_col)
+           .aggregate(Count(alias_name="_n")).to_pandas()
+           .sort_values(source_col).reset_index(drop=True))
+    srcs = dim[source_col].to_numpy(object)
+    sidx = {s: i for i, s in enumerate(srcs)}
+    offs = np.concatenate([[0], np.cumsum(dim["_n"].to_numpy(np.int64))])
+    wvec = np.array([float(weights.get(s, default_weight))
+                     for s in srcs])
+    if len(srcs) * (1 << id_bits) >= (1 << 53):
+        raise ValueError("too many sources for exact composite ranks; "
+                         "lower id_bits")
+    smap_ref = ray.put((srcs, wvec, offs))
+
+    def composite(b: pa.Table) -> pa.Table:
+        ss, _, _ = ray.get(smap_ref)
+        ids = b[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        if len(ids) and ids.max() >= (1 << id_bits):
+            raise ValueError(f"{id_col} >= 2^{id_bits}; raise id_bits")
+        si = np.searchsorted(ss, b[source_col].to_numpy(
+            zero_copy_only=False).astype(object))
+        return pa.table({
+            id_col: b[id_col],
+            "_ck": pa.array(si.astype(np.int64) * (1 << id_bits) + ids),
+            "_si": pa.array(si.astype(np.int64)),
+        })
+
+    comp = slim.map_batches(composite, batch_format="pyarrow") \
+               .materialize()
+    ranked = global_rank(comp, "_ck", id_col, out_col="_gr")
+    np_ = safe_partitions(num_partitions, rows=comp.count())
+    j = comp.join(ranked, join_type="inner", num_partitions=np_,
+                  on=(id_col,))
+
+    def virtual(b: pa.Table) -> pa.Table:
+        _, wv, of = ray.get(smap_ref)
+        si = b["_si"].to_numpy(zero_copy_only=False)
+        r = (b["_gr"].to_numpy(zero_copy_only=False) - of[si])
+        pos = (r - 0.5) / wv[si]
+        return pa.table({id_col: b[id_col],
+                         "_pos": pa.array(pos, pa.float64())})
+
+    pos_t = j.map_batches(virtual, batch_format="pyarrow")
+    mixed = global_rank(pos_t, "_pos", id_col, out_col="mix_rank")
+    return (mixed.join(slim, join_type="inner", num_partitions=np_,
+                       on=(id_col,))
+            .select_columns([id_col, source_col, "mix_rank"]))
