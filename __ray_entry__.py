@@ -2956,6 +2956,19 @@ def _q_mix_lang_docs(sf_dir: str):
     return mix_sources(ds, "doc_id", "lang", weights={"en": 3.0})
 
 
+def _q_distinct_ngram_ratio_docs(sf_dir: str):
+    """Corpus distinct-1/2/3 diversity report
+    (datawork.distinct_ngram_ratio): unique / total word n-grams per n
+    — the training-corpus variety monitor (templated or duplicated
+    text drives it to 0). One tokenize pass, per-batch distinct
+    combiner, vocabulary-sized groupby."""
+    from wned_ray.pipelines.datawork import distinct_ngram_ratio
+
+    ds = _rd().read_parquet(f"{sf_dir}/documents.parquet",
+                            columns=["doc_id", "text"])
+    return distinct_ngram_ratio(ds)
+
+
 def _q_cumulative_new_users(sf_dir: str):
     """Daily new-user counts + running cumulative distinct users per
     event type (analytics.cumulative_new_users): distinctness reduces
@@ -3544,6 +3557,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dp_counts_events": _q_dp_counts_events,
         "sortmerge_join_orders": _q_sortmerge_join_orders,
         "leakage_safe_split_docs": _q_leakage_safe_split_docs,
+        "distinct_ngram_ratio_docs": _q_distinct_ngram_ratio_docs,
         "token_budget_chunks_docs": _q_token_budget_chunks_docs,
         "mix_lang_docs": _q_mix_lang_docs,
     }
@@ -4415,6 +4429,26 @@ def oracle_sql() -> dict[str, str]:
             "CAST(((CAST((user_id + 2654435769) % 4294967296 "
             "AS HUGEINT) * 2654435761) % 4294967296) AS BIGINT) "
             "AS pseudo_id FROM events"
+        ),
+        "distinct_ngram_ratio_docs": (
+            r"WITH w AS (SELECT doc_id, string_split(lower(trim("
+            r"regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS ws "
+            "FROM documents), "
+            "g AS (SELECT 1 AS n, unnest([array_to_string(ws[i:i], ' ') "
+            "for i in generate_series(1, len(ws))]) AS gram FROM w "
+            "WHERE len(ws) >= 1 "
+            "UNION ALL "
+            "SELECT 2, unnest([array_to_string(ws[i:i+1], ' ') "
+            "for i in generate_series(1, len(ws)-1)]) FROM w "
+            "WHERE len(ws) >= 2 "
+            "UNION ALL "
+            "SELECT 3, unnest([array_to_string(ws[i:i+2], ' ') "
+            "for i in generate_series(1, len(ws)-2)]) FROM w "
+            "WHERE len(ws) >= 3) "
+            "SELECT n, count(*) AS total_ngrams, "
+            "count(DISTINCT gram) AS distinct_ngrams, "
+            "CAST(floor(count(DISTINCT gram) * 1.0 / count(*) * 1000000 "
+            "+ 0.5) AS BIGINT) AS ratio_e6 FROM g GROUP BY n"
         ),
         "leakage_safe_split_docs": (
             # same 32-bit-ring keyed hash as pseudonymize, drawn once

@@ -443,6 +443,23 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
     entry_mod._q_sortmerge_join_orders(sf_dir).count()
     queries["sortmerge_join_orders"] = round(time.time() - t0, 3)
 
+    # round-5: training-data prep ops (split / packing / mixture / diversity)
+    t0 = time.time()
+    entry_mod._q_leakage_safe_split_docs(sf_dir).count()
+    queries["leakage_safe_split_docs"] = round(time.time() - t0, 3)
+
+    t0 = time.time()
+    entry_mod._q_token_budget_chunks_docs(sf_dir).count()
+    queries["token_budget_chunks_docs"] = round(time.time() - t0, 3)
+
+    t0 = time.time()
+    entry_mod._q_mix_lang_docs(sf_dir).count()
+    queries["mix_lang_docs"] = round(time.time() - t0, 3)
+
+    t0 = time.time()
+    entry_mod._q_distinct_ngram_ratio_docs(sf_dir).count()
+    queries["distinct_ngram_ratio_docs"] = round(time.time() - t0, 3)
+
     ray.shutdown()
     return {
         "metric": "er_linkage_wall_sec",

@@ -2014,3 +2014,26 @@ def test_mix_sources_hand_interleave(ray_session):
            .to_pandas().sort_values("mix_rank"))
     assert got["doc_id"].tolist() == [10, 20, 11, 12, 21, 13]
     assert got["mix_rank"].tolist() == [1, 2, 3, 4, 5, 6]
+
+
+def test_distinct_ngram_ratio_hand_case(ray_session):
+    """Hand-computable distinct-n: corpus of 2 docs, known unigram /
+    bigram / trigram multisets."""
+    import ray.data as rd
+
+    from wned_ray.pipelines.datawork import distinct_ngram_ratio
+
+    df = pd.DataFrame({
+        "doc_id": [0, 1],
+        "text": ["a b a b", "a b c"],
+    })
+    got = (distinct_ngram_ratio(rd.from_pandas(df).repartition(2))
+           .to_pandas().sort_values("n").reset_index(drop=True))
+    # unigrams: a b a b | a b c -> total 7, distinct {a,b,c}=3
+    # bigrams: "a b","b a","a b" | "a b","b c" -> total 5, distinct 3
+    # trigrams: "a b a","b a b" | "a b c" -> total 3, distinct 3
+    assert got["total_ngrams"].tolist() == [7, 5, 3]
+    assert got["distinct_ngrams"].tolist() == [3, 3, 3]
+    assert got["ratio_e6"].tolist() == [
+        int(np.floor(3 / 7 * 1e6 + 0.5)),
+        int(np.floor(3 / 5 * 1e6 + 0.5)), 1_000_000]

@@ -4463,3 +4463,81 @@ def mix_sources(ds, id_col: str = "doc_id", source_col: str = "lang",
     return (mixed.join(slim, join_type="inner", num_partitions=np_,
                        on=(id_col,))
             .select_columns([id_col, source_col, "mix_rank"]))
+
+
+def distinct_ngram_ratio(ds, text_col: str = "text", max_n: int = 3):
+    """Corpus diversity report: distinct-n ratio (unique word n-grams /
+    total word n-grams) for n = 1..``max_n`` — the standard
+    "distinct-1/2/3" diversity metric used to monitor training-corpus
+    variety (high duplication or templated text drives it toward 0).
+
+    Scale shape: ONE tokenize pass emits 63-bit-hashed n-grams for all
+    n (the word-hash rolling combine of ngram_jaccard); per-batch
+    combiner reduces to distinct (n, gram) + a per-batch total count
+    row; one vocabulary-sized groupby per metric row. Output:
+    (n, total_ngrams, distinct_ngrams, ratio_e6)."""
+    from ray.data.aggregate import Count, Sum
+
+    from wned_ray.functions.minhash import (whole_string_hashes,
+                                            word_ngram_hashes)
+
+    def explode(batch: pa.Table) -> pa.Table:
+        x = pc.utf8_lower(batch[text_col])
+        x = pc.replace_substring_regex(x, r"\s+", " ")
+        x = pc.utf8_trim_whitespace(x)
+        toks = pc.split_pattern(x, " ")
+        flat = pc.list_flatten(toks)
+        th = whole_string_hashes(flat)
+        lens = pc.fill_null(pc.list_value_length(toks), 0)
+        lens = lens.to_numpy(zero_copy_only=False).astype(np.int64)
+        row_off = np.zeros(batch.num_rows + 1, np.int64)
+        np.cumsum(lens, out=row_off[1:])
+        ns, grams, tots = [], [], []
+        for n in range(1, max_n + 1):
+            g, _ = word_ngram_hashes(th, row_off, n)
+            tots.append(len(g))
+            ug = np.unique(g)
+            ns.append(np.full(len(ug), n, np.int64))
+            grams.append((ug & np.uint64(0x7FFF_FFFF_FFFF_FFFF))
+                         .astype(np.int64))
+        # batch-distinct gram rows (_t = 0) + one total row per n (_t = 1)
+        return pa.table({
+            "n": pa.array(np.concatenate(
+                ns + [np.arange(1, max_n + 1, dtype=np.int64)])),
+            "gram": pa.array(np.concatenate(
+                grams + [np.full(max_n, -1, np.int64)])),
+            "cnt": pa.array(np.concatenate(
+                [np.zeros(sum(len(x) for x in ns), np.int64),
+                 np.asarray(tots, np.int64)])),
+        })
+
+    rows = ds.select_columns([text_col]).map_batches(
+        explode, batch_format="pyarrow")
+    # totals: sum the per-batch counts; distinct: gram rows dedupe
+    agg = (rows.groupby(["n", "gram"])
+           .aggregate(Sum("cnt", alias_name="tot"),
+                      Count(alias_name="_c")))
+
+    def fin(batch: pa.Table) -> pa.Table:
+        g = batch["gram"].to_numpy(zero_copy_only=False)
+        n = batch["n"].to_numpy(zero_copy_only=False)
+        tot = batch["tot"].to_numpy(zero_copy_only=False)
+        is_total = g == -1
+        return pa.table({
+            "n": pa.array(n),
+            "_total": pa.array(np.where(is_total, tot, 0)),
+            "_distinct": pa.array((~is_total).astype(np.int64)),
+        })
+
+    out = (agg.map_batches(fin, batch_format="pyarrow")
+           .groupby("n")
+           .aggregate(Sum("_total", alias_name="total_ngrams"),
+                      Sum("_distinct", alias_name="distinct_ngrams")))
+
+    def ratio(batch: pa.Table) -> pa.Table:
+        t = batch["total_ngrams"].to_numpy(zero_copy_only=False)
+        d = batch["distinct_ngrams"].to_numpy(zero_copy_only=False)
+        r = np.floor(d / np.maximum(t, 1) * 1e6 + 0.5).astype(np.int64)
+        return batch.append_column("ratio_e6", pa.array(r))
+
+    return out.map_batches(ratio, batch_format="pyarrow")
