@@ -2037,3 +2037,25 @@ def test_distinct_ngram_ratio_hand_case(ray_session):
     assert got["ratio_e6"].tolist() == [
         int(np.floor(3 / 7 * 1e6 + 0.5)),
         int(np.floor(3 / 5 * 1e6 + 0.5)), 1_000_000]
+
+
+def test_near_dup_clusters_planted(ray_session):
+    """Planted near-dup chains cluster transitively to the min doc id;
+    docs with no near-dup partner label themselves."""
+    import ray.data as rd
+
+    from wned_ray.pipelines.datawork import near_dup_clusters
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    docs = {
+        0: base,                         # chain 0-1-2 (transitive)
+        1: base + " extra",
+        2: base + " extra more",
+        3: "totally different words here nothing shared at all okay",
+        4: base,                         # exact dup of 0
+    }
+    df = pd.DataFrame({"doc_id": list(docs), "text": list(docs.values())})
+    got = (near_dup_clusters(rd.from_pandas(df).repartition(3),
+                             threshold=0.5)
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    assert got["cluster_id"].tolist() == [0, 0, 0, 3, 0]

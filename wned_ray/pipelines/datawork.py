@@ -4541,3 +4541,37 @@ def distinct_ngram_ratio(ds, text_col: str = "text", max_n: int = 3):
         return batch.append_column("ratio_e6", pa.array(r))
 
     return out.map_batches(ratio, batch_format="pyarrow")
+
+
+def near_dup_clusters(ds, id_col: str = "doc_id", text_col: str = "text",
+                      n: int = 3, threshold: float = 0.8,
+                      num_partitions: int = 16):
+    """Near-duplicate CLUSTER ids — the composed dedup flagship: exact
+    word-n-gram Jaccard pairs at >= ``threshold``
+    (``ngram_jaccard_dedup``) feed transitive connected components
+    (``analytics.connected_components`` — the contraction +
+    union-find fast path), and every document gets the min reachable
+    doc id as ``cluster_id`` (no near-dup partner => itself). This is
+    the shape a dedup policy consumes ("keep one doc per cluster"),
+    SQL-oracle-able end to end (Jaccard CTE + recursive min-label).
+
+    Output: (doc_id, cluster_id)."""
+    from wned_ray.pipelines.analytics import connected_components
+    from wned_ray.util import safe_partitions
+
+    pairs = ngram_jaccard_dedup(ds, id_col, text_col, n=n,
+                                threshold=threshold,
+                                num_partitions=num_partitions)
+    comp = connected_components(pairs, "id_a", "id_b")
+    np_ = safe_partitions(num_partitions)
+    j = ds.select_columns([id_col]).join(
+        comp.rename_columns({"node": id_col}),
+        join_type="left_outer", num_partitions=np_, on=(id_col,))
+
+    def fin(b: pa.Table) -> pa.Table:
+        return pa.table({
+            id_col: b[id_col],
+            "cluster_id": pc.coalesce(b["component"], b[id_col]),
+        })
+
+    return j.map_batches(fin, batch_format="pyarrow")
