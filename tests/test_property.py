@@ -71,3 +71,41 @@ def test_hash_sample_matches_sql_arithmetic(ids, seed, rate):
     want = np.array([((i + seed) % (1 << 32) * 2654435761) % (1 << 32)
                      < int(rate / 100.0 * (1 << 32)) for i in ids])
     assert (got == want).all()
+
+
+# ---- FastSS deletion-neighborhood completeness (round 5) -------------
+
+def _lev(a: str, b: str) -> int:
+    dp = np.arange(len(b) + 1)
+    for i, ca in enumerate(a, 1):
+        prev = dp.copy()
+        dp[0] = i
+        for j, cb in enumerate(b, 1):
+            dp[j] = min(prev[j] + 1, dp[j - 1] + 1,
+                        prev[j - 1] + (ca != cb))
+    return int(dp[len(b)])
+
+
+_names = st.lists(st.text(alphabet="abc", min_size=0, max_size=8),
+                  min_size=2, max_size=12)
+
+
+@settings(deadline=None, max_examples=60)
+@given(_names, st.integers(min_value=1, max_value=2))
+def test_deletion_hashes_complete(names, d):
+    """COMPLETENESS of the closed-form rolling-hash deletion keys: any
+    two strings within Levenshtein distance d MUST share at least one
+    variant key (the FastSS theorem) — over a tiny alphabet where
+    near pairs are dense. False candidates are fine (verify removes
+    them); a missed true pair is the bug class this hunts."""
+    from wned_ray.pipelines.datawork import _deletion_hashes
+
+    arr = np.asarray(names, object)
+    row, keys = _deletion_hashes(arr, d)
+    key_sets: list[set] = [set() for _ in names]
+    for r, k in zip(row, keys):
+        key_sets[r].add(int(k))
+    for i in range(len(names)):
+        for j in range(i + 1, len(names)):
+            if _lev(names[i], names[j]) <= d:
+                assert key_sets[i] & key_sets[j], (names[i], names[j], d)
