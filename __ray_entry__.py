@@ -917,6 +917,49 @@ def _q_er_fit_weights(sf_dir: str):
     return pd.DataFrame(rows)
 
 
+def _q_er_rel_modes(sf_dir: str):
+    """K7 full surface through the scorer: score one deterministic
+    all-pairs sample of in-graph alias surfaces under the PPR kernel
+    and EVERY Milne-Witten link-set mode (cfg.rel_mode — in/out/both x
+    binary/counted, undirect pair, the two reference quirk modes); one
+    row per mode with the mean semantic feature. Falsifiable surface
+    check: the directed modes require the DirectedCSR twin in scorer
+    state, and a mode that silently fell back to PPR would duplicate
+    its row."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from wned_ray.stages.scoring import NormPairScorer, build_scorer_state
+    from wned_ray.state.graph import MW_MODES
+    from wned_ray.synth import HARD, config_for, ensure_corpus
+
+    corpus = ensure_corpus(HARD)
+    alias_t = pq.read_table(corpus["aliases"])
+    graph_t = pq.read_table(corpus["graph_edges"])
+    rows = []
+    for mode in ["ppr"] + sorted(MW_MODES):
+        cfg = config_for(HARD, rel_mode=mode)
+        state = build_scorer_state(alias_t, graph_t, cfg)
+        names = [str(a) for a, g in zip(state["alias_names"],
+                                        state["top_gid"]) if g >= 0][:40]
+        na, nb = zip(*[(x, y) for i, x in enumerate(names)
+                       for y in names[i + 1:]])
+        tbl = pa.table({
+            "norm_a": pa.array(na, pa.string()),
+            "norm_b": pa.array(nb, pa.string()),
+            "block_key": pa.array([0] * len(na), pa.int64()),
+        })
+        out = NormPairScorer(cfg=cfg, state_ref=state)(tbl)
+        sem = out["sem_sim"].to_numpy(zero_copy_only=False)
+        rows.append({
+            "rel_mode": mode,
+            "pairs": len(na),
+            "mean_sem_e6": int(round(float(sem.mean()) * 1e6)),
+        })
+    return pd.DataFrame(rows)
+
+
 def _q_er_nil_accuracy(sf_dir: str):
     """Model-based NIL decision (K12, NILPredictor.java:26-62 analog):
     fit the calibrated logistic over the 4-feature vector on the hard
@@ -3486,6 +3529,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "er_resolve_strategies": _q_er_resolve_strategies,
         "er_fit_weights": _q_er_fit_weights,
         "er_nil_accuracy": _q_er_nil_accuracy,
+        "er_rel_modes": _q_er_rel_modes,
         "er_increment": _q_er_increment,
         "curated_docs": _q_curated_docs,
         "minhash_dedup_docs": _q_minhash_dedup,
