@@ -3025,6 +3025,63 @@ def _q_near_dup_clusters_docs(sf_dir: str):
     return near_dup_clusters(ds)
 
 
+def _q_media_resample_wav(sf_dir: str):
+    """REAL audio resample (datawork.resample_audio): synthesize
+    deterministic per-doc WAV tones at 4 kHz (same generator as
+    media_wav_features), linear-resample to 8 kHz through the
+    actor-pool stage, and report the doubled frame counts plus the
+    resampled signal's RMS (tone RMS is rate-invariant up to
+    interpolation error, so the rows are a physical check, not just
+    plumbing)."""
+    import io
+    import wave
+
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+
+    from wned_ray.pipelines.datawork import resample_audio
+
+    ds = _rd().read_parquet(f"{sf_dir}/documents.parquet",
+                            columns=["doc_id"]).limit(64)
+
+    def to_wav(batch: pa.Table) -> pa.Table:
+        payloads = []
+        for did in batch["doc_id"].to_pylist():
+            sr = 4000
+            freq = 200 + (int(did) % 17) * 50
+            t = np.arange(sr // 4) / sr
+            pcm = (np.sin(2 * np.pi * freq * t) * 16383).astype(np.int16)
+            buf = io.BytesIO()
+            with wave.open(buf, "wb") as w:
+                w.setnchannels(1)
+                w.setsampwidth(2)
+                w.setframerate(sr)
+                w.writeframes(pcm.tobytes())
+            payloads.append(buf.getvalue())
+        return pa.table({"media_id": batch["doc_id"],
+                         "payload": pa.array(payloads, pa.binary())})
+
+    media = ds.map_batches(to_wav, batch_format="pyarrow")
+    out = resample_audio(media, target_rate=8000)
+
+    def project(batch: pa.Table) -> "pd.DataFrame":
+        rows = []
+        for mid, p, m in zip(batch["media_id"].to_pylist(),
+                             batch["payload"].to_pylist(),
+                             batch["n_frames"].to_pylist()):
+            with wave.open(io.BytesIO(p), "rb") as r:
+                x = np.frombuffer(r.readframes(r.getnframes()),
+                                  np.int16).astype(np.float64)
+            rows.append({"media_id": mid, "n_frames": m,
+                         "rate": 8000,
+                         "rms_e2": int(round(float(
+                             np.sqrt((x ** 2).mean()) * 100)))})
+        return pd.DataFrame(rows)
+
+    return out.map_batches(project, batch_format="pyarrow")
+
+
 def _q_cumulative_new_users(sf_dir: str):
     """Daily new-user counts + running cumulative distinct users per
     event type (analytics.cumulative_new_users): distinctness reduces
@@ -3539,6 +3596,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_features": _q_media_features,
         "media_wav_features": _q_media_wav_features,
         "media_resize_frames": _q_media_resize_frames,
+        "media_resample_wav": _q_media_resample_wav,
         "full_outer_join_summary": _q_full_outer_join,
         # --- round-4 continuation batch (SQL-oracled, past the window;
         #     swept by scripts/check_all.py like the two above) ---

@@ -2059,3 +2059,62 @@ def test_near_dup_clusters_planted(ray_session):
                              threshold=0.5)
            .to_pandas().sort_values("doc_id").reset_index(drop=True))
     assert got["cluster_id"].tolist() == [0, 0, 0, 3, 0]
+
+
+def test_resample_audio_physical(ray_session):
+    """Linear-interpolation WAV resample: frame count scales by the
+    rate ratio, a pure tone's RMS survives resampling (physical
+    check), and np.interp exactness holds on a ramp signal; non-16-bit
+    payloads raise."""
+    import io
+    import wave
+
+    import ray.data as rd
+
+    from wned_ray.pipelines.datawork import AudioResampler, resample_audio
+
+    def wav(pcm, sr, nch=1):
+        buf = io.BytesIO()
+        with wave.open(buf, "wb") as w:
+            w.setnchannels(nch)
+            w.setsampwidth(2)
+            w.setframerate(sr)
+            w.writeframes(pcm.astype(np.int16).tobytes())
+        return buf.getvalue()
+
+    sr = 4000
+    t = np.arange(sr) / sr
+    tone = (np.sin(2 * np.pi * 440 * t) * 16000)
+    ramp = np.linspace(-16000, 16000, 100)
+    ds = rd.from_arrow(__import__("pyarrow").table({
+        "media_id": [1, 2],
+        "payload": [wav(tone, sr), wav(ramp, 100)],
+    }))
+    got = (resample_audio(ds, target_rate=8000).to_pandas()
+           .sort_values("media_id").reset_index(drop=True))
+    # both payloads are 1 s of audio -> 8000 frames at the target rate
+    assert got["n_frames"].tolist() == [2 * sr, 8000]
+    with wave.open(io.BytesIO(got["payload"][0]), "rb") as r:
+        assert r.getframerate() == 8000
+        x = np.frombuffer(r.readframes(r.getnframes()),
+                          np.int16).astype(np.float64)
+    # tone RMS survives within linear-interp attenuation (~3% at 9
+    # samples/cycle: midpoints under-shoot the sine's curvature)
+    rms0 = np.sqrt((tone ** 2).mean())
+    assert abs(np.sqrt((x ** 2).mean()) - rms0) < 0.05 * rms0
+    # ramp: linear interpolation reproduces the line exactly (+-1 lsb)
+    with wave.open(io.BytesIO(got["payload"][1]), "rb") as r:
+        y = np.frombuffer(r.readframes(r.getnframes()),
+                          np.int16).astype(np.float64)
+    want = np.interp(np.arange(8000) * (100 / 8000),
+                     np.arange(100), ramp)
+    assert np.abs(y - np.rint(want)).max() <= 1
+    # honest raise on unsupported width
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(1)
+        w.setframerate(100)
+        w.writeframes(b"\x00" * 50)
+    with pytest.raises(Exception):
+        AudioResampler().resample_payload(buf.getvalue())

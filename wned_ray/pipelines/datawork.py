@@ -4575,3 +4575,69 @@ def near_dup_clusters(ds, id_col: str = "doc_id", text_col: str = "text",
         })
 
     return j.map_batches(fin, batch_format="pyarrow")
+
+
+class AudioResampler:
+    """Actor-pool stage: REAL linear-interpolation resample of PCM WAV
+    payloads to ``target_rate``, re-encoded as WAV (stdlib ``wave``
+    decode/encode, 16-bit samples, any channel count) — the audio
+    member of the media family beside MediaResizer / FrameSampler.
+    Compressed codecs and non-16-bit PCM raise honestly: no audio
+    libraries in this container. Per-row loop is inherent
+    (variable-size binary); the interior is one ``np.interp`` per
+    channel."""
+
+    def __init__(self, target_rate: int = 8000):
+        self.target_rate = int(target_rate)
+
+    def resample_payload(self, payload: bytes) -> tuple[bytes, int]:
+        import io
+        import wave
+
+        with wave.open(io.BytesIO(payload), "rb") as r:
+            nch = r.getnchannels()
+            sw = r.getsampwidth()
+            rate = r.getframerate()
+            n = r.getnframes()
+            if sw != 2:
+                raise NotImplementedError(
+                    f"only 16-bit PCM supported (got {8 * sw}-bit)")
+            raw = r.readframes(n)
+        x = (np.frombuffer(raw, np.int16).astype(np.float64)
+             .reshape(n, nch))
+        m = max(1, int(round(n * self.target_rate / rate)))
+        # sample-position mapping keeps endpoints aligned
+        src_pos = np.arange(m) * (rate / self.target_rate)
+        out = np.stack([np.interp(src_pos, np.arange(n), x[:, c])
+                        for c in range(nch)], axis=1)
+        pcm = np.clip(np.rint(out), -32768, 32767).astype(np.int16)
+        buf = io.BytesIO()
+        with wave.open(buf, "wb") as w:
+            w.setnchannels(nch)
+            w.setsampwidth(2)
+            w.setframerate(self.target_rate)
+            w.writeframes(pcm.tobytes())
+        return buf.getvalue(), m
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        outs, frames = [], []
+        for p in batch["payload"].to_pylist():
+            b, m = self.resample_payload(p)
+            outs.append(b)
+            frames.append(m)
+        return pa.table({
+            "media_id": batch["media_id"],
+            "payload": pa.array(outs, pa.binary()),
+            "rate": pa.array([self.target_rate] * len(outs), pa.int32()),
+            "n_frames": pa.array(frames, pa.int64()),
+        })
+
+
+def resample_audio(ds, target_rate: int = 8000, concurrency: int = 2,
+                   batch_size: int = 64):
+    """Distributed WAV resample over an opaque binary column (small
+    batches — payloads are large; actor pool holds the target rate)."""
+    return ds.map_batches(AudioResampler, batch_format="pyarrow",
+                          concurrency=concurrency, batch_size=batch_size,
+                          fn_constructor_kwargs={
+                              "target_rate": target_rate})
