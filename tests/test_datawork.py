@@ -2118,3 +2118,51 @@ def test_resample_audio_physical(ray_session):
         w.writeframes(b"\x00" * 50)
     with pytest.raises(Exception):
         AudioResampler().resample_payload(buf.getvalue())
+
+
+def test_edit_distance_join_null_names_and_string_ids(ray_session):
+    """Regression (code review): a null name must not kill the join
+    (stringifies like str(None) did), and the empty-result schema must
+    carry the INPUT id type."""
+    import ray.data as rd
+
+    from wned_ray.pipelines.datawork import edit_distance_join
+
+    df = pd.DataFrame({
+        "id": [1, 2, 3, 4],
+        "name": ["abc", None, "abd", "None"],
+    })
+    got = (edit_distance_join(rd.from_pandas(df), "id", "name")
+           .to_pandas().sort_values(["id_a", "id_b"])
+           .reset_index(drop=True))
+    # null stringifies to "None": ids 2 and 4 are an exact pair (d=0)
+    assert [2, 4] in got[["id_a", "id_b"]].values.tolist()
+    assert [1, 3] in got[["id_a", "id_b"]].values.tolist()
+    # no-match corpus with STRING ids: empty result whose Dataset
+    # schema carries the input id type (to_pandas drops columns on
+    # 0-row datasets — a Ray quirk — so assert on the schema)
+    df2 = pd.DataFrame({"id": ["x", "y"], "name": ["aaaa", "zzzz"]})
+    out2 = edit_distance_join(rd.from_pandas(df2), "id", "name")
+    assert out2.count() == 0
+    sch = out2.schema()
+    assert sorted(sch.names) == ["dist", "id_a", "id_b",
+                                 "name_a", "name_b"]
+    import pyarrow as pa_
+    assert sch.types[sch.names.index("id_a")] == pa_.string()
+
+
+def test_tfidf_cosine_dense_path_string_ids(ray_session):
+    """Regression (code review): the dense small-vocab path must accept
+    NON-integer doc ids (they ride as a list cell, not an int64 blob)."""
+    import ray.data as rd
+
+    from wned_ray.pipelines.datawork import tfidf_cosine_join
+
+    df = pd.DataFrame({
+        "doc_id": ["a", "b", "c"],
+        "text": ["cat cat shared", "cat cat shared", "dog shared"],
+    })
+    got = (tfidf_cosine_join(rd.from_pandas(df), threshold=0.5)
+           .to_pandas())
+    assert got[["id_a", "id_b"]].values.tolist() == [["a", "b"]]
+    assert got["cos_e6"].tolist() == [1_000_000]

@@ -189,6 +189,36 @@ def test_increment_semi_join_fallback_path(ray_session, split_corpus):
     assert diff.empty, diff.head(20)
 
 
+def test_increment_ids_semi_join_on_driver_merge_branch(ray_session,
+                                                        split_corpus):
+    """increment_broadcast_max_rows=0 with the DRIVER blocking-merge
+    branch ACTIVE (default blocking_merge cap): the norm keep sets stay
+    driver tables (they are vocabulary-cap-bounded by that branch), but
+    the mention-ID keep set must NOT collect — the id filters switch to
+    marker semi-joins independently of the branch taken (a tiny-vocab /
+    huge-mention delta would otherwise OOM the driver through the fast
+    branch). max_block_size=10 forces hot flips so the dirty-id side
+    exercises too. Exact agreement with the full rerun."""
+    corpus, base_path, delta_path = split_corpus
+    cfg = PipelineConfig(global_promote=False, max_block_size=10,
+                         increment_broadcast_max_rows=0)
+
+    full = run_linkage(corpus["transcripts"], corpus["aliases"],
+                       corpus["graph_edges"], cfg,
+                       redirects_path=corpus["redirects"])
+    base = run_linkage(base_path, corpus["aliases"],
+                       corpus["graph_edges"], cfg,
+                       redirects_path=corpus["redirects"])
+    inc = run_linkage_increment(base, delta_path, corpus["aliases"],
+                                corpus["graph_edges"], cfg,
+                                redirects_path=corpus["redirects"])
+    got = _assign_df(inc["clusters"])
+    want = _assign_df(full["clusters"])
+    merged = got.merge(want, on="mention_id", suffixes=("_inc", "_full"))
+    diff = merged[merged["cluster_id_inc"] != merged["cluster_id_full"]]
+    assert diff.empty, diff.head(20)
+
+
 def test_increment_chain_three_deltas(ray_session, t1_corpus,
                                       tmp_path_factory):
     """Append-mostly usage: three sequential deltas chained through

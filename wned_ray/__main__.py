@@ -43,8 +43,16 @@ def _parse_overrides(pairs: list[str]):
             out[k] = int(v)
         elif isinstance(default, float):
             out[k] = float(v)
-        else:
+        elif isinstance(default, str):
             out[k] = v
+        else:
+            # non-scalar fields (nil_model tuple, None-defaulted paths
+            # with dedicated flags) cannot round-trip through a k=v
+            # string — reject up front instead of crashing deep in a
+            # scorer batch (code-review finding)
+            raise SystemExit(
+                f"{k!r} is not settable via --set (non-scalar field); "
+                f"use the dedicated flag or the Python API")
     return out
 
 

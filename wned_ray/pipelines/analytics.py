@@ -1454,34 +1454,22 @@ def connected_components(edges, src_col: str = "src",
                          dst_col: str = "dst", max_rounds: int = 64):
     """Connected components over an arbitrary edge Dataset — the
     standalone, first-class version of the linkage pipeline's
-    transitive-clustering stage (stages/cluster.py): BSP min-label
-    propagation expressed purely in Ray Data.
-
-    Per round: ONE hash join of the (static, symmetrized, materialized)
-    edge list against the current label table + a groupby(node).min —
-    each node's label becomes the min of its own and its neighbors' —
-    followed by a POINTER-JUMPING shortcut (label <- label-of-label,
-    one self-join of the label table; label[l] <= l always, so no min
-    needed). The shortcut halves the remaining path length every
-    round, so convergence is O(log diameter) exchanges, not
-    O(diameter). Labels only decrease, so a per-round label SUM
-    detects the fixpoint exactly (monotone => equal sum <=> done).
-
-    Output: (node, component) with component = min node id reachable.
-    Isolated nodes (present as self-loops or absent-from-edges ids fed
-    via the edge list) label themselves.
-
-    Execution reuses the linkage pipeline's clustering fast path
-    (stages/cluster.py, round-4 VERDICT #2 — the old per-round
+    transitive-clustering stage, reusing its fast path
+    (stages/cluster.py, round-4 VERDICT #2 — the previous per-round
     two-join BSP here spent 65.9 s at bench tier on a graph whose
     contracted forest union-finds in seconds): iterated per-batch
     spanning-forest contraction (``contract_to_cap``) collapses the
     edge list to near the nodes−components floor, then either a
     driver union-find (Arrow-native, below ``cc_driver_max_pairs``)
-    or distributed min-label propagation over the ~star forest.
-    Works for int or string node ids (the contraction is
-    dictionary-encode-generic; min = numeric for ints,
-    lexicographic for strings — matching the SQL oracle's MIN)."""
+    or distributed min-label propagation over the ~star forest
+    (bounded by ``max_rounds``; the contracted diameter is ~2 so it
+    converges in 1-2 rounds — ``max_rounds`` never binds on the
+    driver path). Works for int or string node ids (the contraction
+    is dictionary-encode-generic; min = numeric for ints,
+    lexicographic for strings — matching the SQL oracle's MIN).
+
+    Output: (node, component) with component = min node id reachable.
+    Isolated nodes (present as self-loops) label themselves."""
     import ray.data as rd
     from ray.data.aggregate import Min
 
@@ -1490,9 +1478,13 @@ def connected_components(edges, src_col: str = "src",
                                          _distributed_cc, contract_to_cap)
 
     cfg = PipelineConfig(cc_max_rounds=max_rounds)
+    # materialized ONCE: both the self-loop rescue pass and the
+    # contraction consume it — left lazy, an expensive upstream
+    # lineage (e.g. near_dup_clusters' Jaccard self-join) would
+    # execute twice (code-review finding)
     e = edges.map_batches(
         lambda b: pa.table({"id_a": b[src_col], "id_b": b[dst_col]}),
-        batch_format="pyarrow")
+        batch_format="pyarrow").materialize()
 
     # contraction drops nodes whose only incidences are self-loops
     # (a one-node forest has no star edges); rescue them separately —

@@ -3512,6 +3512,9 @@ def _deletion_hashes(names_obj: np.ndarray, max_dist: int,
     lens = np.fromiter((min(len(s), maxlen) for s in names_obj),
                        np.int64, n)
     L = max(3, int(lens.max()) if n else 3)
+    # mod-2^64 wraparound is the HASH ARITHMETIC here, not an error —
+    # silence numpy's overflow warning for the whole kernel
+    _err = np.seterr(over="ignore")
     codes = np.zeros((n, L), np.uint64)
     for i, s in enumerate(names_obj):   # one C-speed frombuffer per row
         m = int(lens[i])
@@ -3563,6 +3566,7 @@ def _deletion_hashes(names_obj: np.ndarray, max_dist: int,
     row_idx = np.concatenate(rows_out)
     vkeys = (np.concatenate(keys_out)
              & np.uint64(0x7FFF_FFFF_FFFF_FFFF)).astype(np.int64)
+    np.seterr(**_err)
     return row_idx, vkeys
 
 
@@ -3606,6 +3610,20 @@ def edit_distance_join(ds, id_col: str, name_col: str,
         raise ValueError("deletion-neighborhood blocking covers "
                          "max_dist in {1, 2}")
 
+    def norm_names(batch: pa.Table) -> pa.Table:
+        # nulls stringify like the pre-vectorized str(None) behavior so
+        # a single null row cannot kill the join (code-review finding)
+        return pa.table({
+            id_col: batch[id_col],
+            name_col: pc.fill_null(batch[name_col].cast(pa.string()),
+                                   "None"),
+        })
+
+    ds = (ds.select_columns([id_col, name_col])
+          .map_batches(norm_names, batch_format="pyarrow"))
+    sch = ds.schema()                      # Ray schema: names + arrow types
+    id_type = sch.types[sch.names.index(id_col)]
+
     def keys(batch: pa.Table) -> pa.Table:
         names_obj = np.asarray(batch[name_col].to_pylist(), object)
         row_idx, vkeys = _deletion_hashes(names_obj, max_dist)
@@ -3616,13 +3634,14 @@ def edit_distance_join(ds, id_col: str, name_col: str,
             "vkey": pa.array(vkeys),
         })
 
-    exploded = (ds.select_columns([id_col, name_col])
-                .map_batches(keys, batch_format="pyarrow")
+    exploded = (ds.map_batches(keys, batch_format="pyarrow")
                 .materialize())
     n_rows = exploded.count()
 
-    empty = pa.table({"id_a": pa.array([], pa.int64()),
-                      "id_b": pa.array([], pa.int64()),
+    # empty result carries the INPUT id type (a hardcoded int64 empty
+    # block would clash with string-id batches at schema unification)
+    empty = pa.table({"id_a": pa.array([], id_type),
+                      "id_b": pa.array([], id_type),
                       "name_a": pa.array([], pa.string()),
                       "name_b": pa.array([], pa.string()),
                       "dist": pa.array([], pa.int64())})
@@ -3743,9 +3762,11 @@ def _tfidf_cosine_dense(ds, id_col, text_col, threshold, V, doc_weights,
         r, tid, what = doc_weights(batch)
         m = np.zeros((batch.num_rows, V), np.float64)
         m[r, tid] = what
-        ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        # ids ride as ONE list cell so any id type works (int or
+        # string — a tobytes() int64 blob was a silent domain
+        # restriction, code-review finding)
         return pa.table({
-            "ids": pa.array([ids.tobytes()], pa.binary()),
+            "ids": pa.array([batch[id_col].to_pylist()]),
             "mat": pa.array([m.tobytes()], pa.binary()),
             "n": pa.array([batch.num_rows], pa.int64()),
         })
@@ -3760,7 +3781,7 @@ def _tfidf_cosine_dense(ds, id_col, text_col, threshold, V, doc_weights,
         out = []
         for i in range(t.num_rows):
             n = t["n"][i].as_py()
-            ids = np.frombuffer(t["ids"][i].as_py(), np.int64)
+            ids = np.asarray(t["ids"][i].as_py(), dtype=object)
             m = (np.frombuffer(t["mat"][i].as_py(), np.float64)
                  .reshape(n, V) if n else np.zeros((0, V)))
             out.append((ids, m))
@@ -3785,12 +3806,13 @@ def _tfidf_cosine_dense(ds, id_col, text_col, threshold, V, doc_weights,
                 lb.append(np.maximum(a, b))
                 lc.append(np.floor(s[ii, jj] * 1e6 + 0.5)
                           .astype(np.int64))
+        idt = ta["ids"].type.value_type        # preserves the id type
         if not la:
-            return pa.table({"id_a": pa.array([], pa.int64()),
-                             "id_b": pa.array([], pa.int64()),
+            return pa.table({"id_a": pa.array([], idt),
+                             "id_b": pa.array([], idt),
                              "cos_e6": pa.array([], pa.int64())})
-        return pa.table({"id_a": pa.array(np.concatenate(la)),
-                         "id_b": pa.array(np.concatenate(lb)),
+        return pa.table({"id_a": pa.array(np.concatenate(la), idt),
+                         "id_b": pa.array(np.concatenate(lb), idt),
                          "cos_e6": pa.array(np.concatenate(lc))})
 
     futs = []
@@ -4605,11 +4627,14 @@ class AudioResampler:
             raw = r.readframes(n)
         x = (np.frombuffer(raw, np.int16).astype(np.float64)
              .reshape(n, nch))
-        m = max(1, int(round(n * self.target_rate / rate)))
-        # sample-position mapping keeps endpoints aligned
+        m = int(round(n * self.target_rate / rate)) if n else 0
+        # sample-position mapping keeps endpoints aligned; a
+        # header-only WAV (0 frames) resamples to 0 frames rather than
+        # feeding np.interp an empty sample-point array
         src_pos = np.arange(m) * (rate / self.target_rate)
-        out = np.stack([np.interp(src_pos, np.arange(n), x[:, c])
-                        for c in range(nch)], axis=1)
+        out = (np.stack([np.interp(src_pos, np.arange(n), x[:, c])
+                         for c in range(nch)], axis=1)
+               if n else np.zeros((0, nch)))
         pcm = np.clip(np.rint(out), -32768, 32767).astype(np.int16)
         buf = io.BytesIO()
         with wave.open(buf, "wb") as w:

@@ -285,6 +285,8 @@ def run_linkage_increment(base: dict, delta_transcripts_path: str,
         delta_norms_ds = (delta_blocking.groupby("norm_mention").count()
                           .select_columns(["norm_mention"]).materialize())
         dirty_norms_ds = None
+        keep_norms_ds = None
+        dirty_ids_ds = None
         if flipped:
             flipped_arr = pa.array(sorted(flipped), pa.int64())
 
@@ -299,12 +301,12 @@ def run_linkage_increment(base: dict, delta_transcripts_path: str,
             if dnd.count() > 0:
                 dirty_norms_ds = dnd
 
-        # Keep-set cap (round-4 VERDICT #4): the delta norm / mention-id
-        # sets are delta-sized BY CONTRACT but were uncapped — past
-        # cfg.increment_broadcast_max_rows nothing is collected to the
-        # driver and every membership filter below switches to a
-        # distributed marker semi-join (util.semi_join_or_filter).
-        n_keep = (delta_norms_ds.count() + n_delta
+        # Norm keep-set cap (round-4 VERDICT #4): the delta/dirty NORM
+        # sets are vocabulary-sized — past the cap nothing norm-sized
+        # is collected and the norm filters switch to marker
+        # semi-joins (util.semi_join_or_filter). The MENTION-ID sets
+        # get their own cap decision below, common to both branches.
+        n_keep = (delta_norms_ds.count()
                   + (dirty_norms_ds.count() if dirty_norms_ds else 0))
         use_broadcast = n_keep <= cfg.increment_broadcast_max_rows
 
@@ -356,12 +358,11 @@ def run_linkage_increment(base: dict, delta_transcripts_path: str,
         touched_norms = None
         merged_blocking = combined_blocking          # chain state
         if not use_broadcast:
-            # distributed keep sets: distinct-norm union and the dirty
-            # mention ids stay Datasets; consumers semi-join them
+            # distributed norm keep set + dirty mention ids stay
+            # Datasets; consumers semi-join them
             from wned_ray.util import semi_join_or_filter
 
             keep_norms_ds = delta_norms_ds
-            dirty_ids_ds = None
             if dirty_norms_ds is not None:
                 keep_norms_ds = (delta_norms_ds.union(dirty_norms_ds)
                                  .groupby("norm_mention").count()
@@ -373,42 +374,64 @@ def run_linkage_increment(base: dict, delta_transcripts_path: str,
                     ["norm_mention"], dirty_norms_ds, "norm_mention",
                     num_partitions=num_partitions)
                     .select_columns(["mention_id"]).materialize())
-            keep_ids_ds = delta_prepared.select_columns(["mention_id"])
-            if dirty_ids_ds is not None:
-                keep_ids_ds = keep_ids_ds.union(dirty_ids_ds)
     _prof("blocking", t0)
 
-    # broadcast keep sets (driver-bounded below
-    # cfg.increment_broadcast_max_rows: delta-sized + dirty-norm-sized;
-    # dirty norms cluster near the hot cap, a small set by construction)
+    # ---- keep sets ---------------------------------------------------
+    # Norm sets broadcast only under `use_broadcast` (both branches'
+    # norm tables are vocabulary-cap-bounded). The MENTION-ID sets get
+    # an INDEPENDENT cap decision here — a delta with a tiny vocabulary
+    # but hundreds of millions of mentions must not collect its id set
+    # just because the blocking merge took the driver branch
+    # (code-review finding on round-5's first cap cut).
     t0 = time.time()
     norm_keep_ref = None
-    delta_ids_ref = None
-    dirty_ids_arr = pa.array([], pa.string())
     if use_broadcast:
         keep_norms = pa.concat_tables(
             [delta_norms, dirty_norms_t]).combine_chunks()
         norm_keep_ref = ray.put(keep_norms["norm_mention"].combine_chunks())
-        delta_ids = pa.Table.from_pandas(
-            delta_prepared.select_columns(["mention_id"]).to_pandas())
-        dirty_ids_t = pa.table({"mention_id": pa.array([], pa.string())})
-        if len(dirty_norms_t):
-            dn_arr = dirty_norms_t["norm_mention"].combine_chunks()
 
-            def _mention_of_dirty(batch: pa.Table) -> pa.Table:
-                return (batch.filter(pc.is_in(batch["norm_mention"],
-                                              value_set=dn_arr))
-                        .select(["mention_id"]))
+    # dirty mention ids as a DATASET first; collected only under the cap
+    if dirty_ids_ds is None and use_broadcast and len(dirty_norms_t):
+        dn_arr = dirty_norms_t["norm_mention"].combine_chunks()
 
-            dirty_ids_t = pa.Table.from_pandas(
-                base["prepared"]
-                .select_columns(["mention_id", "norm_mention"])
-                .map_batches(_mention_of_dirty, batch_format="pyarrow")
-                .to_pandas())
+        def _mention_of_dirty(batch: pa.Table) -> pa.Table:
+            return (batch.filter(pc.is_in(batch["norm_mention"],
+                                          value_set=dn_arr))
+                    .select(["mention_id"]))
+
+        dirty_ids_ds = (base["prepared"]
+                        .select_columns(["mention_id", "norm_mention"])
+                        .map_batches(_mention_of_dirty,
+                                     batch_format="pyarrow")
+                        .materialize())
+    n_dirty_ids = dirty_ids_ds.count() if dirty_ids_ds is not None else 0
+    ids_broadcast = ((n_delta + n_dirty_ids)
+                     <= cfg.increment_broadcast_max_rows)
+
+    delta_ids_ref = None
+    dirty_ids_arr = pa.array([], pa.string())
+    if ids_broadcast:
+        def _gather_ids(d):
+            ts = [t for t in ray.get(d.to_arrow_refs()) if t.num_rows > 0]
+            return (pa.concat_tables(ts).combine_chunks() if ts
+                    else pa.table({"mention_id": pa.array([],
+                                                          pa.string())}))
+
+        delta_ids = _gather_ids(
+            delta_prepared.select_columns(["mention_id"]))
+        dirty_ids_t = (_gather_ids(dirty_ids_ds)
+                       if dirty_ids_ds is not None
+                       else pa.table({"mention_id": pa.array(
+                           [], pa.string())}))
         keep_ids = pa.concat_tables(
-            [delta_ids, dirty_ids_t]).combine_chunks()
+            [delta_ids.select(["mention_id"]),
+             dirty_ids_t.select(["mention_id"])]).combine_chunks()
         delta_ids_ref = ray.put(keep_ids["mention_id"].combine_chunks())
         dirty_ids_arr = dirty_ids_t["mention_id"].combine_chunks()
+    else:
+        keep_ids_ds = delta_prepared.select_columns(["mention_id"])
+        if dirty_ids_ds is not None:
+            keep_ids_ds = keep_ids_ds.union(dirty_ids_ds)
 
     import pyarrow.parquet as pq
 
@@ -446,7 +469,7 @@ def run_linkage_increment(base: dict, delta_transcripts_path: str,
                       alias_ref=alias_ref, graph_ref=graph_ref,
                       norm_keep_ref=norm_keep_ref,
                       norm_keep_ds=None if use_broadcast else keep_norms_ds)
-    if use_broadcast:
+    if ids_broadcast:
         pairs = pairs.map_batches(_keep_touching_ids(delta_ids_ref),
                                   batch_format="pyarrow")
     else:
@@ -476,7 +499,7 @@ def run_linkage_increment(base: dict, delta_transcripts_path: str,
 
         base_edges = base_edges.map_batches(_drop_dirty,
                                             batch_format="pyarrow")
-    elif not use_broadcast and dirty_ids_ds is not None:
+    elif not ids_broadcast and dirty_ids_ds is not None:
         from wned_ray.util import semi_join_or_filter
 
         base_edges = semi_join_or_filter(
@@ -516,7 +539,7 @@ def run_linkage_increment(base: dict, delta_transcripts_path: str,
 
         state_scores = state_scores.map_batches(_drop_dirty_rows,
                                                 batch_format="pyarrow")
-    elif not use_broadcast and dirty_ids_ds is not None:
+    elif not ids_broadcast and dirty_ids_ds is not None:
         from wned_ray.util import semi_join_or_filter
 
         state_scores = semi_join_or_filter(

@@ -227,7 +227,9 @@ def sorted_neighborhood_pairs(ds, id_col: str, key_col: str,
        once, no cross-chunk dedup needed.
 
     Keys must be ASCII (the caller normalizes — e.g. strip to
-    [a-z0-9]); non-ASCII bytes are dropped at encode time. Partitioning
+    [a-z0-9]); out-of-contract non-ASCII keys pack their first 7 raw
+    utf8 bytes with the high bit MASKED (a deterministic total order,
+    but not the byte order a collation would give). Partitioning
     assumption: one chunk (≤ chunk + window - 1 rows) fits a worker."""
     import pandas as pd
     import pyarrow.compute as pc
