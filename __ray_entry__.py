@@ -3012,6 +3012,18 @@ def _q_distinct_ngram_ratio_docs(sf_dir: str):
     return distinct_ngram_ratio(ds)
 
 
+def _q_dedup_keep_docs(sf_dir: str):
+    """Dedup policy applied (datawork.dedup_keep): one kept document
+    per near-dup cluster (min-id representative), full rows out — the
+    final materialization step of the dedup story, oracled end to end
+    on top of the near_dup_clusters SQL."""
+    from wned_ray.pipelines.datawork import dedup_keep
+
+    ds = _rd().read_parquet(f"{sf_dir}/documents.parquet",
+                            columns=["doc_id", "text"])
+    return dedup_keep(ds)
+
+
 def _q_near_dup_clusters_docs(sf_dir: str):
     """Composed dedup flagship (datawork.near_dup_clusters): exact
     3-gram Jaccard >= 0.8 pairs -> transitive connected components ->
@@ -3674,6 +3686,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "leakage_safe_split_docs": _q_leakage_safe_split_docs,
         "distinct_ngram_ratio_docs": _q_distinct_ngram_ratio_docs,
         "near_dup_clusters_docs": _q_near_dup_clusters_docs,
+        "dedup_keep_docs": _q_dedup_keep_docs,
         "token_budget_chunks_docs": _q_token_budget_chunks_docs,
         "mix_lang_docs": _q_mix_lang_docs,
     }
@@ -4545,6 +4558,36 @@ def oracle_sql() -> dict[str, str]:
             "CAST(((CAST((user_id + 2654435769) % 4294967296 "
             "AS HUGEINT) * 2654435761) % 4294967296) AS BIGINT) "
             "AS pseudo_id FROM events"
+        ),
+        "dedup_keep_docs": (
+            r"WITH RECURSIVE "
+            r"w AS (SELECT doc_id, string_split(lower(trim("
+            r"regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS ws "
+            "FROM documents), "
+            "g AS (SELECT doc_id, unnest(list_distinct("
+            "[array_to_string(ws[i:i+2], ' ') "
+            "for i in generate_series(1, len(ws)-2)])) AS gram "
+            "FROM w WHERE len(ws) >= 3), "
+            "s AS (SELECT doc_id, count(*) AS sz FROM g GROUP BY doc_id), "
+            "i AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, "
+            "count(*) AS inter FROM g a "
+            "JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id "
+            "GROUP BY 1, 2), "
+            "p AS (SELECT i.id_a, i.id_b FROM i "
+            "JOIN s sa ON sa.doc_id = i.id_a "
+            "JOIN s sb ON sb.doc_id = i.id_b "
+            "WHERE 1.0 * inter / (sa.sz + sb.sz - inter) >= 0.8), "
+            "edges AS (SELECT DISTINCT src, dst FROM ("
+            "SELECT id_a AS src, id_b AS dst FROM p "
+            "UNION ALL SELECT id_b, id_a FROM p)), "
+            "lp AS (SELECT node, node AS lbl FROM ("
+            "SELECT DISTINCT src AS node FROM edges) "
+            "UNION SELECT e.dst AS node, lp.lbl FROM lp "
+            "JOIN edges e ON lp.node = e.src), "
+            "comp AS (SELECT node, min(lbl) AS c FROM lp GROUP BY node) "
+            "SELECT d.doc_id, d.text FROM documents d "
+            "LEFT JOIN comp ON d.doc_id = comp.node "
+            "WHERE COALESCE(comp.c, d.doc_id) = d.doc_id"
         ),
         "near_dup_clusters_docs": (
             r"WITH RECURSIVE "

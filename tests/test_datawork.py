@@ -2166,3 +2166,21 @@ def test_tfidf_cosine_dense_path_string_ids(ray_session):
            .to_pandas())
     assert got[["id_a", "id_b"]].values.tolist() == [["a", "b"]]
     assert got["cos_e6"].tolist() == [1_000_000]
+
+
+def test_dedup_keep_planted(ray_session):
+    """Dedup policy: exactly the min-id representative of every
+    near-dup cluster survives; singletons survive untouched."""
+    import ray.data as rd
+
+    from wned_ray.pipelines.datawork import dedup_keep
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    docs = {0: base, 1: base + " extra", 2: base + " extra more",
+            3: "totally different words here nothing shared at all okay",
+            4: base}
+    df = pd.DataFrame({"doc_id": list(docs), "text": list(docs.values())})
+    got = (dedup_keep(rd.from_pandas(df).repartition(3), threshold=0.5)
+           .to_pandas().sort_values("doc_id"))
+    assert got["doc_id"].tolist() == [0, 3]
+    assert got["text"].tolist() == [docs[0], docs[3]]

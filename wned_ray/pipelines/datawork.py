@@ -4666,3 +4666,33 @@ def resample_audio(ds, target_rate: int = 8000, concurrency: int = 2,
                           concurrency=concurrency, batch_size=batch_size,
                           fn_constructor_kwargs={
                               "target_rate": target_rate})
+
+
+def dedup_keep(ds, id_col: str = "doc_id", text_col: str = "text",
+               n: int = 3, threshold: float = 0.8,
+               num_partitions: int = 16):
+    """The dedup POLICY applied: keep exactly one document per
+    near-duplicate cluster (the cluster representative = min doc id,
+    ``near_dup_clusters``) and drop the rest — the final step a
+    curation pipeline writes out. One int-keyed semi-filter over the
+    cluster table; full doc rows never join anything (the filter is
+    doc_id == cluster_id, a property of the cluster row itself).
+
+    Output: the kept (doc_id, text) rows."""
+    from wned_ray.util import safe_partitions
+
+    clusters = near_dup_clusters(ds, id_col, text_col, n=n,
+                                 threshold=threshold,
+                                 num_partitions=num_partitions)
+
+    def keepers(b: pa.Table) -> pa.Table:
+        return (b.filter(pc.equal(b[id_col], b["cluster_id"]))
+                .select([id_col]))
+
+    keep_ids = clusters.map_batches(
+        keepers, batch_format="pyarrow").materialize()
+    # rows hint mandatory: a tiny corpus at 16 partitions builds
+    # schema-less empty join partitions (safe_partitions contract)
+    np_ = safe_partitions(num_partitions, rows=keep_ids.count())
+    return ds.select_columns([id_col, text_col]).join(
+        keep_ids, join_type="inner", num_partitions=np_, on=(id_col,))
